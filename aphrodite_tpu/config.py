@@ -1,0 +1,277 @@
+"""Engine configuration tree.
+
+A lean re-design of the reference's 18-dataclass `AphroditeConfig`
+(reference: aphrodite/common/config.py:4025). Each sub-config owns one concern
+and validates itself in ``__post_init__``; ``EngineConfig`` composes them.
+Differences from the reference, by design:
+
+- One engine generation (v1-shaped): chunked prefill and prefix caching are
+  always-available scheduler behaviors, not modes.
+- Parallelism is described as a device-mesh shape ``(dp, tp)`` rather than
+  process-group world sizes; XLA inserts the collectives.
+- TPU shape-bucketing knobs live here because compiled-program count is a
+  first-class serving concern.
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from aphrodite_tpu.utils import cdiv, logger
+
+# Valid KV-cache dtypes (reference: aphrodite/common/config.py:1449 CacheDType).
+KV_CACHE_DTYPES = ("auto", "fp8", "fp8_e4m3", "fp8_e5m2")
+
+
+@dataclass
+class ModelConfig:
+    """The model to serve and how to interpret its checkpoint."""
+
+    model: str
+    tokenizer: Optional[str] = None
+    trust_remote_code: bool = False
+    dtype: str = "bfloat16"
+    seed: int = 0
+    max_model_len: Optional[int] = None
+    quantization: Optional[str] = None
+    revision: Optional[str] = None
+    # Loaded HF config object (transformers.PretrainedConfig). May be supplied
+    # directly (tests) instead of loaded from `model`.
+    hf_config: Any = None
+    # Override the architecture detection (e.g. "LlamaForCausalLM").
+    architecture: Optional[str] = None
+    enforce_eager: bool = False
+
+    def __post_init__(self) -> None:
+        if self.tokenizer is None:
+            self.tokenizer = self.model
+        if self.hf_config is None:
+            from transformers import AutoConfig
+            self.hf_config = AutoConfig.from_pretrained(
+                self.model,
+                trust_remote_code=self.trust_remote_code,
+                revision=self.revision,
+            )
+        hf = self.hf_config
+        if self.architecture is None:
+            archs = getattr(hf, "architectures", None) or []
+            self.architecture = archs[0] if archs else None
+        derived_max = getattr(hf, "max_position_embeddings", 2048)
+        if self.max_model_len is None:
+            self.max_model_len = derived_max
+        elif self.max_model_len > derived_max:
+            logger.warning(
+                "max_model_len %d exceeds model max_position_embeddings %d",
+                self.max_model_len, derived_max)
+        if self.quantization is None:
+            qcfg = getattr(hf, "quantization_config", None)
+            if qcfg is not None:
+                self.quantization = (qcfg.get("quant_method")
+                                     if isinstance(qcfg, dict) else
+                                     getattr(qcfg, "quant_method", None))
+
+    # -- Derived geometry ----------------------------------------------------
+    @property
+    def text_config(self):
+        return getattr(self.hf_config, "text_config", None) or self.hf_config
+
+    @property
+    def hidden_size(self) -> int:
+        return self.text_config.hidden_size
+
+    @property
+    def num_layers(self) -> int:
+        return self.text_config.num_hidden_layers
+
+    @property
+    def num_attention_heads(self) -> int:
+        return self.text_config.num_attention_heads
+
+    @property
+    def num_kv_heads(self) -> int:
+        return getattr(self.text_config, "num_key_value_heads", None) \
+            or self.num_attention_heads
+
+    @property
+    def head_dim(self) -> int:
+        hd = getattr(self.text_config, "head_dim", None)
+        if hd is not None:
+            return hd
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def vocab_size(self) -> int:
+        return self.text_config.vocab_size
+
+    @property
+    def sliding_window(self) -> Optional[int]:
+        if not getattr(self.text_config, "use_sliding_window", True):
+            return None
+        return getattr(self.text_config, "sliding_window", None)
+
+    def kv_bytes_per_token_per_layer(self, cache_dtype: str) -> int:
+        itemsize = 1 if cache_dtype.startswith("fp8") else 2
+        return 2 * self.num_kv_heads * self.head_dim * itemsize
+
+
+@dataclass
+class CacheConfig:
+    """Paged KV cache geometry & dtype."""
+
+    block_size: int = 32
+    hbm_utilization: float = 0.9
+    cache_dtype: str = "auto"
+    # Explicit block count (tests / CPU); None = derive from free device memory.
+    num_blocks_override: Optional[int] = None
+    enable_prefix_caching: bool = True
+    # Filled by the worker after memory profiling.
+    num_blocks: Optional[int] = None
+
+    def __post_init__(self) -> None:
+        if self.cache_dtype not in KV_CACHE_DTYPES:
+            raise ValueError(f"cache_dtype must be one of {KV_CACHE_DTYPES}")
+        if not 0 < self.hbm_utilization <= 1:
+            raise ValueError("hbm_utilization must be in (0, 1]")
+        if self.block_size & (self.block_size - 1):
+            raise ValueError("block_size must be a power of two")
+
+
+@dataclass
+class SchedulerConfig:
+    """Token-budget continuous-batching scheduler knobs
+    (reference: aphrodite/v1/core/sched/scheduler.py:144)."""
+
+    max_num_seqs: int = 128
+    max_num_batched_tokens: int = 2048
+    max_model_len: int = 2048
+    # Cap on prefill chunk per request per step; None = budget-limited only.
+    long_prefill_token_threshold: Optional[int] = None
+
+    def __post_init__(self) -> None:
+        if self.max_num_batched_tokens < 1:
+            raise ValueError("max_num_batched_tokens must be >= 1")
+
+
+@dataclass
+class ParallelConfig:
+    """Device-mesh shape. ``tp`` shards attention heads / MLP; ``dp``
+    replicates the whole engine (one scheduler per replica)."""
+
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    pipeline_parallel_size: int = 1
+    enable_expert_parallel: bool = False
+
+    @property
+    def world_size(self) -> int:
+        return (self.tensor_parallel_size * self.data_parallel_size *
+                self.pipeline_parallel_size)
+
+
+@dataclass
+class DeviceConfig:
+    device: str = "auto"  # auto | tpu | cpu
+
+    def resolve(self) -> str:
+        if self.device != "auto":
+            return self.device
+        import jax
+        try:
+            plat = jax.devices()[0].platform
+        except RuntimeError:
+            return "cpu"
+        return "tpu" if plat in ("tpu", "axon") else "cpu"
+
+
+@dataclass
+class LoadConfig:
+    load_format: str = "auto"  # auto | safetensors | dummy
+    download_dir: Optional[str] = None
+
+
+@dataclass
+class LoRAConfig:
+    max_loras: int = 1
+    max_lora_rank: int = 16
+    lora_dtype: str = "bfloat16"
+
+
+@dataclass
+class SpeculativeConfig:
+    method: Optional[str] = None  # ngram | draft_model | eagle
+    num_speculative_tokens: int = 0
+    draft_model: Optional[str] = None
+    # ngram proposer window (reference: aphrodite/v1/spec_decode/ngram_proposer.py:9)
+    prompt_lookup_max: int = 4
+    prompt_lookup_min: int = 1
+
+
+@dataclass
+class ObservabilityConfig:
+    collect_detailed_metrics: bool = False
+    otlp_traces_endpoint: Optional[str] = None
+
+
+@dataclass
+class TPUConfig:
+    """Shape-bucketing and compile policy for the jitted serving step."""
+
+    min_token_bucket: int = 32
+    min_req_bucket: int = 8
+    # Precompile all (token, req) buckets at startup instead of lazily.
+    precompile: bool = True
+    # Use the Pallas ragged paged attention kernel (False = pure-JAX reference
+    # attention; automatic on CPU).
+    use_pallas_attention: Optional[bool] = None
+
+
+@dataclass
+class EngineConfig:
+    model_config: ModelConfig
+    cache_config: CacheConfig = field(default_factory=CacheConfig)
+    scheduler_config: SchedulerConfig = field(default_factory=SchedulerConfig)
+    parallel_config: ParallelConfig = field(default_factory=ParallelConfig)
+    device_config: DeviceConfig = field(default_factory=DeviceConfig)
+    load_config: LoadConfig = field(default_factory=LoadConfig)
+    lora_config: Optional[LoRAConfig] = None
+    speculative_config: Optional[SpeculativeConfig] = None
+    observability_config: ObservabilityConfig = field(
+        default_factory=ObservabilityConfig)
+    tpu_config: TPUConfig = field(default_factory=TPUConfig)
+
+    def __post_init__(self) -> None:
+        # Cross-validation mirroring Platform.check_and_update_config
+        # (reference: aphrodite/platforms/tpu.py:69).
+        mc, sc = self.model_config, self.scheduler_config
+        sc.max_model_len = min(sc.max_model_len, mc.max_model_len) \
+            if sc.max_model_len else mc.max_model_len
+        if sc.max_num_batched_tokens < self.cache_config.block_size:
+            raise ValueError(
+                "max_num_batched_tokens must be >= cache block_size")
+        tp = self.parallel_config.tensor_parallel_size
+        if mc.num_kv_heads % tp and tp % mc.num_kv_heads:
+            raise ValueError(
+                f"tensor_parallel_size={tp} incompatible with "
+                f"{mc.num_kv_heads} KV heads")
+
+    @property
+    def max_blocks_per_req(self) -> int:
+        return cdiv(self.scheduler_config.max_model_len,
+                    self.cache_config.block_size)
+
+    def compute_hash(self) -> str:
+        """Stable hash for compile-cache keying."""
+        payload = {
+            "model": self.model_config.model,
+            "dtype": self.model_config.dtype,
+            "quant": self.model_config.quantization,
+            "block_size": self.cache_config.block_size,
+            "cache_dtype": self.cache_config.cache_dtype,
+            "tp": self.parallel_config.tensor_parallel_size,
+            "max_model_len": self.scheduler_config.max_model_len,
+        }
+        return hashlib.sha256(
+            json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]

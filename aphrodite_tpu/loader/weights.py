@@ -1,0 +1,103 @@
+"""Checkpoint loading: safetensors/pt streaming -> host pytree -> sharded
+device arrays.
+
+Parity: aphrodite/modeling/model_loader/loader.py (DefaultModelLoader) +
+weight_utils.py. TPU-native difference: the host pytree is placed with
+`jax.device_put(param, NamedSharding(mesh, spec))` so each host only
+materializes its own shards on device; quantized checkpoints are repacked
+at load time by the quant method (SURVEY.md §2.6).
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Iterable, Iterator, Optional
+
+import jax
+import numpy as np
+
+from aphrodite_tpu.config import LoadConfig, ModelConfig
+from aphrodite_tpu.models.registry import get_model_class
+from aphrodite_tpu.utils import logger
+
+
+def _checkpoint_files(path: str) -> tuple[list[str], str]:
+    if os.path.isdir(path):
+        st = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+        if st:
+            return st, "safetensors"
+        pt = sorted(glob.glob(os.path.join(path, "*.bin"))) + \
+            sorted(glob.glob(os.path.join(path, "*.pt")))
+        if pt:
+            return pt, "pt"
+        raise FileNotFoundError(f"no checkpoint files under {path}")
+    if path.endswith(".safetensors"):
+        return [path], "safetensors"
+    return [path], "pt"
+
+
+def safetensors_iterator(files: list[str]) -> Iterator[tuple[str, np.ndarray]]:
+    from safetensors import safe_open
+    for f in files:
+        with safe_open(f, framework="np") as sf:
+            for name in sf.keys():
+                yield name, sf.get_tensor(name)
+
+
+def pt_iterator(files: list[str]) -> Iterator[tuple[str, np.ndarray]]:
+    import torch
+    for f in files:
+        state = torch.load(f, map_location="cpu", weights_only=True)
+        for name, t in state.items():
+            if t.dtype == torch.bfloat16:
+                # numpy has no bf16; round-trip via ml_dtypes view.
+                import ml_dtypes
+                arr = t.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+            else:
+                arr = t.numpy()
+            yield name, arr
+
+
+def weights_iterator(path: str) -> Iterator[tuple[str, np.ndarray]]:
+    files, fmt = _checkpoint_files(path)
+    it = safetensors_iterator(files) if fmt == "safetensors" \
+        else pt_iterator(files)
+    return it
+
+
+def create_model(model_config: ModelConfig):
+    """Instantiate the model class for the configured architecture."""
+    arch = model_config.architecture
+    if arch is None:
+        raise ValueError("could not determine model architecture")
+    cls = get_model_class(arch)
+    return cls(model_config)
+
+
+def load_model_params(model, model_config: ModelConfig,
+                      load_config: LoadConfig,
+                      mesh: Optional[jax.sharding.Mesh] = None,
+                      rng_seed: int = 0):
+    """Build the on-device parameter pytree (sharded if a mesh is given)."""
+    fmt = load_config.load_format
+    if fmt == "dummy":
+        params = model.init_dummy_params(jax.random.PRNGKey(rng_seed))
+    else:
+        logger.info("loading weights from %s", model_config.model)
+        params = model.load_weights(weights_iterator(model_config.model))
+
+    specs = model.param_specs()
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+
+        def place(path_spec, leaf):
+            return jax.device_put(leaf, NamedSharding(mesh, path_spec))
+
+        # params and specs are congruent pytrees except quant-weight dicts,
+        # which specs treat as sub-trees with per-tensor specs.
+        params = jax.tree.map(place, specs, params,
+                              is_leaf=lambda x: x is None)
+    else:
+        params = jax.tree.map(jax.device_put, params)
+    return params

@@ -1,0 +1,231 @@
+"""Llama-family decoder (Llama 1/2/3, TinyLlama, Mistral, Qwen2 via knobs).
+
+Pure-functional JAX: parameters are stacked per-layer arrays ``[L, ...]`` and
+the forward pass is a single ``lax.scan`` over layers — one traced layer body
+regardless of depth, so compile time stays flat across shape buckets and the
+paged KV cache threads through the scan as xs/ys (XLA keeps the donated
+buffer in place).
+
+Behavioral parity: aphrodite/modeling/models/llama.py:96-449 (LlamaAttention /
+LlamaForCausalLM); TP sharding replaces the reference's
+QKVParallelLinear/RowParallelLinear with PartitionSpec annotations on the
+weight leaves (psum is inserted by GSPMD).
+"""
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from aphrodite_tpu.attention import AttentionMetadata, paged_attention, write_kv
+from aphrodite_tpu.config import ModelConfig
+from aphrodite_tpu.layers.common import ACT2MUL, rms_norm
+from aphrodite_tpu.layers.linear import apply_linear
+from aphrodite_tpu.layers.rotary import (RopeConfig, apply_rope,
+                                         compute_cos_sin, compute_inv_freq)
+from aphrodite_tpu.utils import jax_dtype
+
+
+class LlamaForCausalLM:
+    """Also serves Mistral (sliding window) and, with bias knobs, Qwen2."""
+
+    # Knobs subclasses flip.
+    qkv_bias: bool = False
+    tie_embeddings_default: bool = False
+
+    def __init__(self, config: ModelConfig):
+        self.config = config
+        hf = config.text_config
+        self.dtype = jax_dtype(config.dtype)
+        self.hidden_size = config.hidden_size
+        self.num_layers = config.num_layers
+        self.num_heads = config.num_attention_heads
+        self.num_kv_heads = config.num_kv_heads
+        self.head_dim = config.head_dim
+        self.intermediate_size = hf.intermediate_size
+        self.vocab_size = config.vocab_size
+        self.rms_eps = getattr(hf, "rms_norm_eps", 1e-6)
+        self.sliding_window = config.sliding_window
+        self.scale = self.head_dim ** -0.5
+        self.act = ACT2MUL[getattr(hf, "hidden_act", "silu")]
+        self.tie_embeddings = getattr(hf, "tie_word_embeddings",
+                                      self.tie_embeddings_default)
+        self.qkv_bias = getattr(hf, "attention_bias", self.qkv_bias)
+        self.rope = RopeConfig.from_hf_config(hf, self.head_dim)
+        inv_freq, mscale = compute_inv_freq(self.rope)
+        self._inv_freq = jnp.asarray(inv_freq)
+        self._rope_mscale = mscale
+
+    # ------------------------------------------------------------------ params
+    def _layer_shapes(self) -> dict[str, tuple]:
+        H, nq, nkv, hd, I = (self.hidden_size, self.num_heads,
+                             self.num_kv_heads, self.head_dim,
+                             self.intermediate_size)
+        L = self.num_layers
+        shapes = {
+            "input_norm": (L, H),
+            "wq": (L, H, nq * hd),
+            "wk": (L, H, nkv * hd),
+            "wv": (L, H, nkv * hd),
+            "wo": (L, nq * hd, H),
+            "post_norm": (L, H),
+            "w_gate": (L, H, I),
+            "w_up": (L, H, I),
+            "w_down": (L, I, H),
+        }
+        if self.qkv_bias:
+            shapes.update(bq=(L, nq * hd), bk=(L, nkv * hd), bv=(L, nkv * hd))
+        return shapes
+
+    def init_dummy_params(self, rng: jax.Array) -> dict:
+        def mk(key, shape, scale=0.02):
+            return (scale * jax.random.normal(key, shape, jnp.float32)
+                    ).astype(self.dtype)
+
+        keys = iter(jax.random.split(rng, 64))
+        layers = {}
+        for name, shape in self._layer_shapes().items():
+            if "norm" in name:
+                layers[name] = jnp.ones(shape, self.dtype)
+            elif name.startswith("b"):
+                layers[name] = jnp.zeros(shape, self.dtype)
+            else:
+                layers[name] = mk(next(keys), shape)
+        params = {
+            "embed": mk(next(keys), (self.vocab_size, self.hidden_size)),
+            "layers": layers,
+            "final_norm": jnp.ones((self.hidden_size,), self.dtype),
+        }
+        if not self.tie_embeddings:
+            params["lm_head"] = mk(next(keys),
+                                   (self.hidden_size, self.vocab_size))
+        return params
+
+    # HF checkpoint name -> (param key, needs_transpose)
+    _HF_LAYER_MAP = {
+        "self_attn.q_proj.weight": ("wq", True),
+        "self_attn.k_proj.weight": ("wk", True),
+        "self_attn.v_proj.weight": ("wv", True),
+        "self_attn.o_proj.weight": ("wo", True),
+        "self_attn.q_proj.bias": ("bq", False),
+        "self_attn.k_proj.bias": ("bk", False),
+        "self_attn.v_proj.bias": ("bv", False),
+        "mlp.gate_proj.weight": ("w_gate", True),
+        "mlp.up_proj.weight": ("w_up", True),
+        "mlp.down_proj.weight": ("w_down", True),
+        "input_layernorm.weight": ("input_norm", False),
+        "post_attention_layernorm.weight": ("post_norm", False),
+    }
+
+    def load_weights(self, weights: Iterable[tuple[str, np.ndarray]]) -> dict:
+        """Stack per-layer HF tensors into [L, ...] host buffers."""
+        np_dtype = np.dtype(jnp.dtype(self.dtype).name) \
+            if self.dtype != jnp.bfloat16 else None
+        import ml_dtypes
+        target = np.dtype("bfloat16") if self.dtype == jnp.bfloat16 \
+            else np_dtype
+
+        layer_bufs = {
+            name: np.zeros(shape, dtype=target)
+            for name, shape in self._layer_shapes().items()
+        }
+        params: dict = {"layers": layer_bufs}
+        seen = set()
+        for name, w in weights:
+            if name.endswith("rotary_emb.inv_freq"):
+                continue
+            w = np.asarray(w)
+            if name == "model.embed_tokens.weight":
+                params["embed"] = w.astype(target)
+            elif name == "model.norm.weight":
+                params["final_norm"] = w.astype(target)
+            elif name == "lm_head.weight":
+                if not self.tie_embeddings:
+                    params["lm_head"] = w.T.astype(target)
+            elif name.startswith("model.layers."):
+                rest = name[len("model.layers."):]
+                idx_str, sub = rest.split(".", 1)
+                mapped = self._HF_LAYER_MAP.get(sub)
+                if mapped is None:
+                    continue
+                key, transpose = mapped
+                if key not in layer_bufs:
+                    continue
+                layer_bufs[key][int(idx_str)] = (
+                    w.T if transpose else w).astype(target)
+            seen.add(name)
+        if "embed" not in params:
+            raise ValueError("checkpoint missing model.embed_tokens.weight")
+        return params
+
+    def param_specs(self) -> dict:
+        layers = {
+            "input_norm": P(), "post_norm": P(),
+            "wq": P(None, None, "tp"), "wk": P(None, None, "tp"),
+            "wv": P(None, None, "tp"), "wo": P(None, "tp", None),
+            "w_gate": P(None, None, "tp"), "w_up": P(None, None, "tp"),
+            "w_down": P(None, "tp", None),
+        }
+        if self.qkv_bias:
+            layers.update(bq=P(None, "tp"), bk=P(None, "tp"),
+                          bv=P(None, "tp"))
+        specs = {
+            "embed": P("tp", None),
+            "layers": layers,
+            "final_norm": P(),
+        }
+        if not self.tie_embeddings:
+            specs["lm_head"] = P(None, "tp")
+        return specs
+
+    # ----------------------------------------------------------------- forward
+    def apply(self, params: dict, input_ids: jax.Array, kv_cache: jax.Array,
+              md: AttentionMetadata, *, use_pallas: bool = False
+              ) -> tuple[jax.Array, jax.Array]:
+        x = jnp.take(params["embed"], input_ids, axis=0)
+        cos, sin = compute_cos_sin(md.token_pos, self._inv_freq,
+                                   self._rope_mscale)
+        nq, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
+
+        def layer(x, xs):
+            lp, kvc = xs
+            # -- attention block
+            h = rms_norm(x, lp["input_norm"], self.rms_eps)
+            q = apply_linear(h, lp["wq"], lp.get("bq"))
+            k = apply_linear(h, lp["wk"], lp.get("bk"))
+            v = apply_linear(h, lp["wv"], lp.get("bv"))
+            T = q.shape[0]
+            q = apply_rope(q.reshape(T, nq, hd), cos, sin)
+            k = apply_rope(k.reshape(T, nkv, hd), cos, sin)
+            v = v.reshape(T, nkv, hd)
+            kvc = write_kv(kvc, k, v, md.slot_mapping)
+            o = paged_attention(q, kvc, md, self.scale,
+                                sliding_window=self.sliding_window,
+                                use_pallas=use_pallas)
+            x = x + apply_linear(o.reshape(T, nq * hd), lp["wo"])
+            # -- MLP block
+            h = rms_norm(x, lp["post_norm"], self.rms_eps)
+            gate = apply_linear(h, lp["w_gate"])
+            up = apply_linear(h, lp["w_up"])
+            x = x + apply_linear(self.act(gate, up), lp["w_down"])
+            return x, kvc
+
+        x, new_cache = jax.lax.scan(layer, x, (params["layers"], kv_cache))
+        x = rms_norm(x, params["final_norm"], self.rms_eps)
+        return x, new_cache
+
+    def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:
+        head = params["embed"].T if self.tie_embeddings else params["lm_head"]
+        return jnp.dot(hidden, head, preferred_element_type=jnp.float32)
+
+
+class MistralForCausalLM(LlamaForCausalLM):
+    pass
+
+
+class Qwen2ForCausalLM(LlamaForCausalLM):
+    qkv_bias = True
+    tie_embeddings_default = False

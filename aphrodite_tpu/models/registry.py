@@ -1,0 +1,39 @@
+"""Architecture registry (reference: aphrodite/modeling/models/registry.py:30).
+
+Maps HF `architectures[0]` strings to model classes. Lazy imports; OOT models
+register via `register_model`.
+"""
+from __future__ import annotations
+
+import importlib
+from typing import Callable
+
+# arch name -> (module, class name)
+_TEXT_GENERATION: dict[str, tuple[str, str]] = {
+    "LlamaForCausalLM": ("aphrodite_tpu.models.llama", "LlamaForCausalLM"),
+    "MistralForCausalLM": ("aphrodite_tpu.models.llama", "MistralForCausalLM"),
+    "Qwen2ForCausalLM": ("aphrodite_tpu.models.llama", "Qwen2ForCausalLM"),
+}
+
+MODEL_REGISTRY = dict(_TEXT_GENERATION)
+_OOT: dict[str, type] = {}
+
+
+def register_model(arch: str, cls_or_factory) -> None:
+    _OOT[arch] = cls_or_factory
+
+
+def get_model_class(arch: str) -> Callable:
+    if arch in _OOT:
+        return _OOT[arch]
+    try:
+        module, name = MODEL_REGISTRY[arch]
+    except KeyError:
+        raise ValueError(
+            f"Model architecture {arch!r} is not supported. "
+            f"Supported: {sorted(MODEL_REGISTRY)}") from None
+    return getattr(importlib.import_module(module), name)
+
+
+def supported_architectures() -> list[str]:
+    return sorted(set(MODEL_REGISTRY) | set(_OOT))
