@@ -1,0 +1,47 @@
+"""EngineCore: the scheduler + worker inner loop.
+
+Analog of the reference v1 EngineCore (aphrodite/v1/engine/core.py:48,
+step :204) minus the process boundary — the ZMQ-fronted multiprocess variant
+lives in engine/core_proc.py; this class is the shared inner logic.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+from aphrodite_tpu.config import EngineConfig
+from aphrodite_tpu.core.request import Request, RequestStatus
+from aphrodite_tpu.core.scheduler import EngineCoreOutput, Scheduler
+from aphrodite_tpu.utils import logger
+from aphrodite_tpu.worker.worker import Worker
+
+
+class EngineCore:
+
+    def __init__(self, config: EngineConfig) -> None:
+        self.config = config
+        self.worker = Worker(config)
+        num_spec = (config.speculative_config.num_speculative_tokens
+                    if config.speculative_config else 0)
+        self.scheduler = Scheduler(config.scheduler_config,
+                                   config.cache_config,
+                                   num_lookahead_tokens=num_spec)
+
+    def add_request(self, request: Request) -> None:
+        self.scheduler.add_request(request)
+
+    def abort_requests(self, request_ids: list[str]) -> None:
+        self.scheduler.finish_requests(request_ids,
+                                       RequestStatus.FINISHED_ABORTED)
+
+    def step(self) -> list[EngineCoreOutput]:
+        if not self.scheduler.has_unfinished_requests():
+            return []
+        sched_out = self.scheduler.schedule()
+        runner_out = self.worker.execute_model(sched_out)
+        return self.scheduler.update_from_output(sched_out, runner_out)
+
+    def has_unfinished_requests(self) -> bool:
+        return self.scheduler.has_unfinished_requests()
+
+    def reset_prefix_cache(self) -> bool:
+        return self.scheduler.kv.reset_prefix_cache()

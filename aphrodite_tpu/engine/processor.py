@@ -1,0 +1,68 @@
+"""Input processing: prompt -> tokenized, validated Request.
+(reference: aphrodite/v1/engine/processor.py:27 + inputs/preprocess.py)
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional, Union
+
+from aphrodite_tpu.config import EngineConfig
+from aphrodite_tpu.core.request import Request
+from aphrodite_tpu.sampling_params import SamplingParams
+
+# Accepted prompt forms: raw string, token id list, or dict with
+# {"prompt": str} / {"prompt_token_ids": [...]}.
+PromptType = Union[str, list[int], dict]
+
+
+class Processor:
+
+    def __init__(self, config: EngineConfig, tokenizer) -> None:
+        self.config = config
+        self.tokenizer = tokenizer
+        self.max_model_len = config.scheduler_config.max_model_len
+        self.eos_token_id = (tokenizer.eos_token_id
+                             if tokenizer is not None else None)
+
+    def process(self, request_id: str, prompt: PromptType,
+                params: SamplingParams,
+                arrival_time: Optional[float] = None,
+                lora_name: Optional[str] = None) -> Request:
+        text: Optional[str] = None
+        if isinstance(prompt, dict):
+            if "prompt_token_ids" in prompt:
+                token_ids = list(prompt["prompt_token_ids"])
+                text = prompt.get("prompt")
+            else:
+                text = prompt["prompt"]
+                token_ids = self.tokenizer.encode(text)
+        elif isinstance(prompt, str):
+            text = prompt
+            token_ids = self.tokenizer.encode(text)
+        else:
+            token_ids = list(prompt)
+
+        if not token_ids:
+            raise ValueError(f"request {request_id}: empty prompt")
+        if len(token_ids) >= self.max_model_len:
+            raise ValueError(
+                f"request {request_id}: prompt length {len(token_ids)} "
+                f"exceeds max_model_len {self.max_model_len}")
+        if params.max_tokens is None:
+            params = params.clone()
+            params.max_tokens = self.max_model_len - len(token_ids)
+        if params.allowed_token_ids is not None:
+            raise NotImplementedError(
+                "allowed_token_ids is not supported yet")
+        # Stop strings arrive as a convenience str sometimes.
+        if isinstance(params.stop, str):
+            params.stop = [params.stop]
+
+        return Request(
+            request_id=request_id,
+            prompt_token_ids=token_ids,
+            sampling_params=params,
+            eos_token_id=self.eos_token_id,
+            arrival_time=arrival_time or time.monotonic(),
+            prompt=text,
+            lora_name=lora_name)

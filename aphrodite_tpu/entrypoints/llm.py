@@ -1,0 +1,138 @@
+"""Offline batch inference API (reference: aphrodite/endpoints/llm.py:54)."""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Union
+
+from aphrodite_tpu.config import (CacheConfig, DeviceConfig, EngineConfig,
+                                  LoadConfig, ModelConfig, ParallelConfig,
+                                  SchedulerConfig, TPUConfig)
+from aphrodite_tpu.engine.llm_engine import LLMEngine
+from aphrodite_tpu.engine.processor import PromptType
+from aphrodite_tpu.outputs import RequestOutput
+from aphrodite_tpu.sampling_params import SamplingParams
+from aphrodite_tpu.utils import Counter
+
+
+def build_engine_config(
+    model: str,
+    *,
+    tokenizer: Optional[str] = None,
+    dtype: str = "bfloat16",
+    seed: int = 0,
+    max_model_len: Optional[int] = None,
+    quantization: Optional[str] = None,
+    trust_remote_code: bool = False,
+    hf_config: Any = None,
+    block_size: int = 32,
+    num_kv_blocks: Optional[int] = None,
+    hbm_utilization: float = 0.9,
+    kv_cache_dtype: str = "auto",
+    enable_prefix_caching: bool = True,
+    max_num_seqs: int = 128,
+    max_num_batched_tokens: int = 2048,
+    tensor_parallel_size: int = 1,
+    data_parallel_size: int = 1,
+    device: str = "auto",
+    load_format: str = "auto",
+    enforce_eager: bool = False,
+    speculative_config: Any = None,
+    **extra,
+) -> EngineConfig:
+    mc = ModelConfig(model=model, tokenizer=tokenizer, dtype=dtype,
+                     seed=seed, max_model_len=max_model_len,
+                     quantization=quantization,
+                     trust_remote_code=trust_remote_code,
+                     hf_config=hf_config, enforce_eager=enforce_eager)
+    return EngineConfig(
+        model_config=mc,
+        cache_config=CacheConfig(
+            block_size=block_size,
+            num_blocks_override=num_kv_blocks,
+            num_blocks=num_kv_blocks,
+            hbm_utilization=hbm_utilization,
+            cache_dtype=kv_cache_dtype,
+            enable_prefix_caching=enable_prefix_caching),
+        scheduler_config=SchedulerConfig(
+            max_num_seqs=max_num_seqs,
+            max_num_batched_tokens=max_num_batched_tokens,
+            max_model_len=max_model_len or mc.max_model_len),
+        parallel_config=ParallelConfig(
+            tensor_parallel_size=tensor_parallel_size,
+            data_parallel_size=data_parallel_size),
+        device_config=DeviceConfig(device=device),
+        load_config=LoadConfig(load_format=load_format),
+        speculative_config=speculative_config,
+        tpu_config=TPUConfig(**extra.pop("tpu_config", {})),
+    )
+
+
+class LLM:
+    """Synchronous batched generation over an in-process engine."""
+
+    def __init__(self, model: str, **kwargs) -> None:
+        config = build_engine_config(model, **kwargs)
+        self.engine = LLMEngine(config)
+        self._counter = Counter()
+
+    def get_tokenizer(self):
+        return self.engine.tokenizer
+
+    def generate(
+        self,
+        prompts: Union[PromptType, Sequence[PromptType]],
+        sampling_params: Union[SamplingParams, Sequence[SamplingParams],
+                               None] = None,
+        use_tqdm: bool = False,
+    ) -> list[RequestOutput]:
+        if isinstance(prompts, (str, dict)) or (
+                isinstance(prompts, list) and prompts
+                and isinstance(prompts[0], int)):
+            prompts = [prompts]
+        n = len(prompts)
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        if isinstance(sampling_params, SamplingParams):
+            sampling_params = [sampling_params] * n
+        if len(sampling_params) != n:
+            raise ValueError("prompts / sampling_params length mismatch")
+
+        order: list[str] = []
+        for prompt, params in zip(prompts, sampling_params):
+            rid = str(next(self._counter))
+            order.append(rid)
+            self.engine.add_request(rid, prompt, params)
+        agg = self._run(use_tqdm)
+        return [self._finalize(agg[rid]) for rid in order]
+
+    def _run(self, use_tqdm: bool) -> dict[str, RequestOutput]:
+        agg: dict[str, list[RequestOutput]] = {}
+        pbar = None
+        if use_tqdm:
+            from tqdm import tqdm
+            pbar = tqdm(desc="generating")
+        while self.engine.has_unfinished_requests():
+            for out in self.engine.step():
+                slot = agg.setdefault(out.request_id, {})
+                idx = out.outputs[0].index
+                if idx in slot:
+                    slot[idx].add(out)
+                else:
+                    slot[idx] = out
+                if pbar and out.finished:
+                    pbar.update(1)
+        if pbar:
+            pbar.close()
+        return agg
+
+    @staticmethod
+    def _finalize(slot: dict[int, RequestOutput]) -> RequestOutput:
+        """Merge per-index child outputs into one RequestOutput."""
+        first = slot[min(slot)]
+        merged = RequestOutput(
+            request_id=first.request_id,
+            prompt=first.prompt,
+            prompt_token_ids=first.prompt_token_ids,
+            outputs=[slot[i].outputs[0] for i in sorted(slot)],
+            finished=all(o.finished for o in slot.values()),
+            num_cached_tokens=first.num_cached_tokens)
+        return merged

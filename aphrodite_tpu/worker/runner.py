@@ -1,0 +1,248 @@
+"""Model runner: turns SchedulerOutput into one jitted device step.
+
+TPU-native redesign of the reference's TPUModelRunner
+(aphrodite/v1/worker/tpu_model_runner.py:94): the entire forward —
+embed -> scan(layers w/ paged attention + KV write) -> last-token gather ->
+logits — is ONE jitted function over bucketed static shapes; the sampler is a
+second jitted function bucketed on request count. The KV cache is donated
+through the step so XLA updates it in place. No CUDA-graph machinery, no
+input builders: padding + bucketing replaces all of it
+(reference `_get_padded_*` tpu_model_runner.py:50-90, precompile `:1018-1124`).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aphrodite_tpu.attention.metadata import AttentionMetadata
+from aphrodite_tpu.config import EngineConfig
+from aphrodite_tpu.core.sched_output import (ModelRunnerOutput,
+                                             SchedulerOutput)
+from aphrodite_tpu.sample.metadata import build_sampling_metadata
+from aphrodite_tpu.sample.sampler import sample_tokens
+from aphrodite_tpu.sampling_params import SamplingParams
+from aphrodite_tpu.utils import (bucket_schedule, cdiv, jax_dtype, logger,
+                                 next_power_of_2, pad_to_bucket)
+
+
+@dataclass
+class RequestState:
+    req_id: str
+    token_ids: list[int]
+    prompt_len: int
+    num_computed: int
+    block_ids: list[int]
+    sampling_params: SamplingParams
+    in_graph_sample_count: int = 0
+
+    @property
+    def num_tokens(self) -> int:
+        return len(self.token_ids)
+
+    @property
+    def output_len(self) -> int:
+        return len(self.token_ids) - self.prompt_len
+
+
+class ModelRunner:
+
+    def __init__(self, config: EngineConfig, model, params,
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 use_pallas: Optional[bool] = None) -> None:
+        self.config = config
+        self.model = model
+        self.params = params
+        self.mesh = mesh
+        cc = config.cache_config
+        dev = config.device_config.resolve()
+        if use_pallas is None:
+            use_pallas = config.tpu_config.use_pallas_attention
+        if use_pallas is None:
+            use_pallas = dev == "tpu"
+        self.use_pallas = use_pallas
+        self.block_size = cc.block_size
+        self.max_pages_per_req = config.max_blocks_per_req
+        self.requests: dict[str, RequestState] = {}
+
+        # --- KV cache -----------------------------------------------------
+        kv_dtype = (jax_dtype(config.model_config.dtype)
+                    if cc.cache_dtype == "auto" else
+                    jax_dtype("float8_e5m2" if cc.cache_dtype == "fp8_e5m2"
+                              else "float8_e4m3"))
+        self.kv_dtype = kv_dtype
+        assert cc.num_blocks is not None
+        kv_shape = (model.num_layers, cc.num_blocks, cc.block_size,
+                    model.num_kv_heads, 2, model.head_dim)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from aphrodite_tpu.parallel.mesh import kv_cache_pspec
+            sharding = NamedSharding(mesh, kv_cache_pspec())
+            self.kv_cache = jax.device_put(
+                jnp.zeros(kv_shape, kv_dtype), sharding)
+        else:
+            self.kv_cache = jnp.zeros(kv_shape, kv_dtype)
+        logger.info("KV cache: %s %s (%.2f GiB)", kv_shape, kv_dtype.__name__,
+                    np.prod(kv_shape) * jnp.dtype(kv_dtype).itemsize / 2**30)
+
+        # --- shape buckets ------------------------------------------------
+        sc = config.scheduler_config
+        tc = config.tpu_config
+        self.token_buckets = bucket_schedule(
+            tc.min_token_bucket, next_power_of_2(sc.max_num_batched_tokens))
+        self.req_buckets = bucket_schedule(
+            tc.min_req_bucket, next_power_of_2(sc.max_num_seqs))
+        self._rng_counter = 0
+        self._base_seed = config.model_config.seed
+
+        self._step_fn = jax.jit(self._step, donate_argnums=(1,))
+
+    # -------------------------------------------------------------- jit step
+    def _step(self, params, kv_cache, input_ids, md: AttentionMetadata):
+        hidden, kv_cache = self.model.apply(params, input_ids, kv_cache, md,
+                                            use_pallas=self.use_pallas)
+        last_idx = jnp.clip(md.query_start_loc[1:] - 1, 0)
+        rows = jnp.take(hidden, last_idx, axis=0)
+        logits = self.model.compute_logits(params, rows)
+        return logits, kv_cache
+
+    # --------------------------------------------------------- state updates
+    def update_states(self, so: SchedulerOutput) -> None:
+        for rid in so.finished_req_ids:
+            self.requests.pop(rid, None)
+        cr = so.scheduled_cached_reqs
+        for i, rid in enumerate(cr.req_ids):
+            st = self.requests.get(rid)
+            if cr.resumed_from_preemption[i] or st is None:
+                assert cr.all_token_ids[i] is not None
+                self.requests[rid] = RequestState(
+                    req_id=rid,
+                    token_ids=list(cr.all_token_ids[i]),
+                    prompt_len=(st.prompt_len if st else
+                                len(cr.all_token_ids[i])),
+                    num_computed=cr.num_computed_tokens[i],
+                    block_ids=list(cr.new_block_ids[i]),
+                    sampling_params=st.sampling_params if st else None)
+            else:
+                st.block_ids.extend(cr.new_block_ids[i])
+                st.num_computed = cr.num_computed_tokens[i]
+        for nr in so.scheduled_new_reqs:
+            self.requests[nr.req_id] = RequestState(
+                req_id=nr.req_id,
+                token_ids=list(nr.prompt_token_ids),
+                prompt_len=len(nr.prompt_token_ids),
+                num_computed=nr.num_computed_tokens,
+                block_ids=list(nr.block_ids),
+                sampling_params=nr.sampling_params)
+
+    # ------------------------------------------------------------- execution
+    def execute_model(self, so: SchedulerOutput) -> ModelRunnerOutput:
+        self.update_states(so)
+        if so.total_num_scheduled_tokens == 0:
+            return ModelRunnerOutput(req_ids=[], sampled_token_ids=[])
+
+        order = list(so.num_scheduled_tokens.keys())
+        R = len(order)
+        R_pad = pad_to_bucket(R, self.req_buckets[0], self.req_buckets[-1])
+        T = so.total_num_scheduled_tokens
+        T_pad = pad_to_bucket(T, self.token_buckets[0],
+                              self.token_buckets[-1])
+
+        input_ids = np.zeros((T_pad,), np.int32)
+        token_req = np.zeros((T_pad,), np.int32)
+        token_pos = np.zeros((T_pad,), np.int32)
+        slots = np.full((T_pad,), -1, np.int32)
+        qsl = np.zeros((R_pad + 1,), np.int32)
+        seq_lens = np.zeros((R_pad,), np.int32)
+        block_tables = np.zeros((R_pad, self.max_pages_per_req), np.int32)
+
+        t = 0
+        samples_expected: list[bool] = []
+        for r, rid in enumerate(order):
+            st = self.requests[rid]
+            n = so.num_scheduled_tokens[rid]
+            start = st.num_computed
+            toks = st.token_ids[start:start + n]
+            # Spec-decode drafts may extend past known tokens; padded later.
+            input_ids[t:t + len(toks)] = toks
+            token_req[t:t + n] = r
+            token_pos[t:t + n] = np.arange(start, start + n)
+            for j in range(n):
+                p = start + j
+                slots[t + j] = (st.block_ids[p // self.block_size] *
+                                self.block_size + p % self.block_size)
+            t += n
+            qsl[r + 1] = t
+            seq_lens[r] = start + n
+            nb = len(st.block_ids)
+            block_tables[r, :nb] = st.block_ids
+            samples_expected.append(start + n >= st.num_tokens)
+        qsl[R + 1:] = t
+
+        md = AttentionMetadata(
+            token_req_idx=jnp.asarray(token_req),
+            token_pos=jnp.asarray(token_pos),
+            slot_mapping=jnp.asarray(slots),
+            query_start_loc=jnp.asarray(qsl),
+            seq_lens=jnp.asarray(seq_lens),
+            block_tables=jnp.asarray(block_tables),
+            num_reqs=jnp.asarray(R, jnp.int32),
+            num_tokens=jnp.asarray(T, jnp.int32),
+        )
+
+        logits, self.kv_cache = self._step_fn(
+            self.params, self.kv_cache, jnp.asarray(input_ids), md)
+
+        # ---- sampling ----------------------------------------------------
+        reqs_meta = []
+        max_logprobs = 0
+        for rid in order:
+            st = self.requests[rid]
+            p = st.sampling_params
+            reqs_meta.append((p, st.token_ids, st.prompt_len, st.output_len))
+            if p.logprobs:
+                max_logprobs = max(max_logprobs, p.logprobs)
+        self._rng_counter += 1
+        smd, flags = build_sampling_metadata(
+            reqs_meta, self.model.vocab_size, R_pad,
+            base_seed=self._base_seed + self._rng_counter * 1000003)
+        max_lp = next_power_of_2(max_logprobs) if max_logprobs else 0
+        out = sample_tokens(logits, smd, flags, max_logprobs=max_lp)
+
+        tokens_host = np.asarray(out["tokens"][:R])
+        lp_host = np.asarray(out["logprob"][:R])
+        topk_v = (np.asarray(out["topk_values"][:R]) if max_lp else None)
+        topk_i = (np.asarray(out["topk_indices"][:R]) if max_lp else None)
+
+        sampled: list[list[int]] = []
+        logprobs_out: list[Optional[list[dict[int, float]]]] = []
+        any_lp = False
+        for r, rid in enumerate(order):
+            st = self.requests[rid]
+            if samples_expected[r]:
+                tok = int(tokens_host[r])
+                sampled.append([tok])
+                st.token_ids.append(tok)
+                p = st.sampling_params
+                if p.logprobs is not None:
+                    d = {tok: float(lp_host[r])}
+                    if p.logprobs and topk_v is not None:
+                        for v, i in zip(topk_v[r][:p.logprobs],
+                                        topk_i[r][:p.logprobs]):
+                            d[int(i)] = float(v)
+                    logprobs_out.append([d])
+                    any_lp = True
+                else:
+                    logprobs_out.append(None)
+            else:
+                sampled.append([])
+                logprobs_out.append(None)
+
+        return ModelRunnerOutput(
+            req_ids=order,
+            sampled_token_ids=sampled,
+            logprobs=logprobs_out if any_lp else None)

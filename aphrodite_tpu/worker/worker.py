@@ -1,0 +1,78 @@
+"""Worker: device/mesh init, model load, KV memory sizing, runner ownership.
+
+Analog of the reference TPUWorker (aphrodite/v1/worker/tpu_worker.py:27) with
+the determine_num_available_blocks handshake
+(aphrodite/executor/executor_base.py:86-120) collapsed into construction:
+measure free HBM after weights load, then size the paged KV cache.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aphrodite_tpu.config import EngineConfig
+from aphrodite_tpu.loader.weights import create_model, load_model_params
+from aphrodite_tpu.parallel.mesh import build_mesh
+from aphrodite_tpu.utils import logger
+from aphrodite_tpu.worker.runner import ModelRunner
+
+# Reserved activation/workspace headroom when profiling (bytes).
+_ACTIVATION_HEADROOM = 1 * 2**30
+
+
+class Worker:
+
+    def __init__(self, config: EngineConfig) -> None:
+        self.config = config
+        self.device_kind = config.device_config.resolve()
+        pc = config.parallel_config
+        self.mesh = (build_mesh(pc) if pc.world_size > 1 else None)
+
+        self.model = create_model(config.model_config)
+        self.params = load_model_params(
+            self.model, config.model_config, config.load_config,
+            mesh=self.mesh, rng_seed=config.model_config.seed)
+
+        cc = config.cache_config
+        if cc.num_blocks is None:
+            if cc.num_blocks_override is not None:
+                cc.num_blocks = cc.num_blocks_override
+            else:
+                cc.num_blocks = self._determine_num_blocks()
+        logger.info("KV pages: %d x %d tokens", cc.num_blocks, cc.block_size)
+
+        self.runner = ModelRunner(config, self.model, self.params,
+                                  mesh=self.mesh)
+
+    def _determine_num_blocks(self) -> int:
+        """Size the KV pool from device memory stats (the reference's
+        dummy-run + mem_get_info math, worker/tpu_worker.py:137)."""
+        cc = self.config.cache_config
+        mc = self.config.model_config
+        page_bytes = (mc.num_kv_heads * 2 * mc.head_dim * cc.block_size *
+                      mc.num_layers *
+                      (1 if cc.cache_dtype.startswith("fp8") else
+                       jnp.dtype(mc.dtype).itemsize))
+        tp = self.config.parallel_config.tensor_parallel_size
+        page_bytes = max(page_bytes // tp, 1)
+        try:
+            stats = jax.devices()[0].memory_stats()
+            limit = stats.get("bytes_limit", 0)
+            in_use = stats.get("bytes_in_use", 0)
+        except Exception:
+            limit = 0
+        if not limit:
+            # CPU or unknown platform: small default for tests.
+            return 512
+        budget = int(limit * cc.hbm_utilization) - in_use \
+            - _ACTIVATION_HEADROOM
+        num = max(budget // page_bytes, 16)
+        max_needed = (self.config.max_blocks_per_req *
+                      self.config.scheduler_config.max_num_seqs + 1)
+        return int(min(num, max_needed))
+
+    def execute_model(self, scheduler_output):
+        return self.runner.execute_model(scheduler_output)

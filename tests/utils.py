@@ -75,3 +75,27 @@ def make_prefill_metadata(prompts: list[list[int]], block_size: int,
         num_tokens=jnp.asarray(total, jnp.int32),
     )
     return md, jnp.asarray(ids, jnp.int32), next_page
+
+
+def build_tiny_tokenizer(save_dir, vocab_size=256):
+    """Train a tiny byte-level BPE in-process (no network) and save it so
+    AutoTokenizer.from_pretrained(save_dir) works."""
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+    tok = Tokenizer(models.BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    trainer = trainers.BpeTrainer(
+        vocab_size=vocab_size,
+        special_tokens=["<unk>", "<s>", "</s>"])
+    corpus = [
+        "the quick brown fox jumps over the lazy dog",
+        "hello world, this is a test of the tokenizer",
+        "paged attention over block tables on tpu hardware",
+        "0123456789 !@#$%^&*()",
+    ] * 8
+    tok.train_from_iterator(corpus, trainer)
+    from transformers import PreTrainedTokenizerFast
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="<unk>", bos_token="<s>",
+        eos_token="</s>")
+    fast.save_pretrained(str(save_dir))
+    return fast
