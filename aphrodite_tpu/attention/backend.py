@@ -1,10 +1,12 @@
 """Paged-attention compute path.
 
-KV cache layout (per layer): ``[num_pages, page_size, num_kv_heads, 2, head_dim]``
-with K at ``[..., 0, :]`` and V at ``[..., 1, :]`` — head-interleaved K/V so a
-single page DMA brings both (same motivation as the reference's
-``(num_blocks, block_size, num_kv_heads*2, head_size)`` layout,
-aphrodite/v1/attention/backends/pallas.py:37-43).
+KV cache layout (per layer): ``[num_pages, 2, num_kv_heads, page_size, head_dim]``
+with K at ``[:, 0]`` and V at ``[:, 1]``. Rationale (Mosaic tiling): every
+per-head / per-K-or-V access in the Pallas kernel is then a *leading-dim*
+slice of a VMEM buffer whose minor dims stay ``(page_size, head_dim)`` —
+no lane/sublane-unaligned slicing regardless of head_dim (64 or 128). One
+page DMA still moves K and V for all heads together (same motivation as the
+reference's combined layout, aphrodite/v1/attention/backends/pallas.py:37-43).
 
 Two implementations with identical semantics:
 
@@ -28,34 +30,50 @@ import jax.numpy as jnp
 from aphrodite_tpu.attention.metadata import AttentionMetadata
 
 
+def kv_cache_shape(num_pages: int, page_size: int, num_kv_heads: int,
+                   head_dim: int, pad_head_dim: bool = False
+                   ) -> tuple[int, int, int, int, int]:
+    """pad_head_dim=True rounds head_dim up to the 128-lane tile — required
+    for the Pallas kernel's HBM page DMAs (Mosaic cannot slice partial
+    lanes); the pad lanes hold zeros and drop out of the attention math."""
+    if pad_head_dim:
+        head_dim = max(128, -(-head_dim // 128) * 128)
+    return (num_pages, 2, num_kv_heads, page_size, head_dim)
+
+
 def write_kv(kv_cache: jax.Array, k: jax.Array, v: jax.Array,
              slot_mapping: jax.Array) -> jax.Array:
     """Scatter this step's K/V into the paged cache.
 
-    kv_cache: [P, page, kvh, 2, hd]; k, v: [T, kvh, hd];
-    slot_mapping: [T] flat slots, -1 => dropped (pad token).
+    kv_cache: [P, 2, kvh, page, hd]; k, v: [T, kvh, hd];
+    slot_mapping: [T] flat slots (page*page_size + offset), -1 => dropped.
     Replaces the reference's reshape_and_cache kernel
     (kernels/cache_kernels.cu) with an XLA scatter on a donated buffer.
     """
-    num_pages, page_size, kvh, _, hd = kv_cache.shape
-    flat = kv_cache.reshape(num_pages * page_size, kvh, 2, hd)
-    kv = jnp.stack([k, v], axis=2)  # [T, kvh, 2, hd]
-    slots = jnp.where(slot_mapping < 0, num_pages * page_size, slot_mapping)
-    flat = flat.at[slots].set(kv.astype(flat.dtype), mode="drop",
-                              indices_are_sorted=False, unique_indices=False)
-    return flat.reshape(kv_cache.shape)
+    num_pages, _, kvh, page_size, hd = kv_cache.shape
+    if k.shape[-1] != hd:
+        pad = hd - k.shape[-1]
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad)))
+    pages = jnp.where(slot_mapping < 0, num_pages, slot_mapping // page_size)
+    offs = jnp.where(slot_mapping < 0, 0, slot_mapping % page_size)
+    kv_cache = kv_cache.at[pages, 0, :, offs, :].set(
+        k.astype(kv_cache.dtype), mode="drop")
+    kv_cache = kv_cache.at[pages, 1, :, offs, :].set(
+        v.astype(kv_cache.dtype), mode="drop")
+    return kv_cache
 
 
 def ref_ragged_paged_attention(
     q: jax.Array,  # [T, nq, hd]
-    kv_cache: jax.Array,  # [P, page, kvh, 2, hd]
+    kv_cache: jax.Array,  # [P, 2, kvh, page, hd]
     md: AttentionMetadata,
     scale: float,
     sliding_window: Optional[int] = None,
     logits_soft_cap: Optional[float] = None,
 ) -> jax.Array:
     """Pure-JAX oracle for ragged paged attention (correct, not fast)."""
-    num_pages, page_size, kvh, _, hd = kv_cache.shape
+    num_pages, _, kvh, page_size, hd = kv_cache.shape
     nq = q.shape[1]
     group = nq // kvh
     max_pages_per_req = md.block_tables.shape[1]
@@ -63,7 +81,8 @@ def ref_ragged_paged_attention(
 
     def per_token(qt, req, pos):
         pages = md.block_tables[req]  # [max_pages]
-        kv = kv_cache[pages]  # [max_pages, page, kvh, 2, hd]
+        kv = kv_cache[pages]  # [max_pages, 2, kvh, page, hd]
+        kv = jnp.transpose(kv, (0, 3, 2, 1, 4))  # [MP, page, kvh, 2, hd]
         kv = kv.reshape(max_kv, kvh, 2, hd).astype(jnp.float32)
         keys, values = kv[:, :, 0], kv[:, :, 1]  # [max_kv, kvh, hd]
         qf = qt.astype(jnp.float32).reshape(kvh, group, hd)
@@ -93,14 +112,21 @@ def paged_attention(
     use_pallas: bool = False,
 ) -> jax.Array:
     """Dispatch to the Pallas kernel (TPU) or the JAX oracle (CPU/tests)."""
+    hd = q.shape[-1]
+    hd_cache = kv_cache.shape[-1]
+    if hd_cache != hd:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, hd_cache - hd)))
     if use_pallas:
         from aphrodite_tpu.ops.ragged_paged_attention import (
-            ragged_paged_attention)
-        return ragged_paged_attention(
+            DEFAULT_BLOCK_Q, ragged_paged_attention)
+        out = ragged_paged_attention(
+            q, kv_cache, md, scale,
+            sliding_window=sliding_window,
+            logits_soft_cap=logits_soft_cap,
+            block_q=md.block_q or DEFAULT_BLOCK_Q)
+    else:
+        out = ref_ragged_paged_attention(
             q, kv_cache, md, scale,
             sliding_window=sliding_window,
             logits_soft_cap=logits_soft_cap)
-    return ref_ragged_paged_attention(
-        q, kv_cache, md, scale,
-        sliding_window=sliding_window,
-        logits_soft_cap=logits_soft_cap)
+    return out[..., :hd]

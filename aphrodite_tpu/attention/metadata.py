@@ -8,9 +8,11 @@ padded to static buckets before jit; validity is encoded in the data
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from typing import Optional
 
 import jax
+import numpy as np
 
 
 @jax.tree_util.register_dataclass
@@ -34,3 +36,66 @@ class AttentionMetadata:
     num_reqs: jax.Array
     # [] int32 number of live (non-pad) tokens.
     num_tokens: jax.Array
+
+    # ---- Pallas-kernel work items (see ops/ragged_paged_attention.py). ----
+    # Host-prescheduled fixed-size q blocks: [max_items] each.
+    item_req: Optional[jax.Array] = None
+    item_qstart: Optional[jax.Array] = None
+    item_qlen: Optional[jax.Array] = None
+    item_pos: Optional[jax.Array] = None
+    num_items_arr: Optional[jax.Array] = None  # [1] int32
+    # Token -> (item, row-in-item) for re-gathering kernel output: [T].
+    token_item: Optional[jax.Array] = None
+    token_item_row: Optional[jax.Array] = None
+    # Static q-block size the work items were scheduled with.
+    block_q: Optional[int] = field(default=None,
+                                   metadata=dict(static=True))
+
+
+# Flat-layout alignment of each request's q segment. The Pallas kernel's
+# q-block DMA offset is qstart*group; Mosaic requires dynamic sublane indices
+# to be 8-aligned, and qstart % 8 == 0 guarantees that for any group size.
+Q_SEGMENT_ALIGN = 8
+
+
+def build_work_items(seg_starts: np.ndarray, seg_counts: np.ndarray,
+                     seq_lens: np.ndarray,
+                     num_reqs: int, num_tokens_pad: int, block_q: int,
+                     num_reqs_pad: int
+                     ) -> dict[str, np.ndarray]:
+    """Host-side schedule of fixed-size q blocks for the Pallas kernel.
+    seg_starts[r] / seg_counts[r]: where request r's scheduled tokens live in
+    the flat token layout. max_items is static per (T, R) bucket: T/block_q
+    full blocks plus at most one partial block per request."""
+    max_items = num_tokens_pad // block_q + num_reqs_pad
+    item_req = np.zeros((max_items,), np.int32)
+    item_qstart = np.zeros((max_items,), np.int32)
+    item_qlen = np.zeros((max_items,), np.int32)
+    item_pos = np.zeros((max_items,), np.int32)
+    token_item = np.zeros((num_tokens_pad,), np.int32)
+    token_row = np.zeros((num_tokens_pad,), np.int32)
+    n = 0
+    for r in range(num_reqs):
+        qs = int(seg_starts[r])
+        qe = qs + int(seg_counts[r])
+        pos0 = int(seq_lens[r]) - (qe - qs)
+        off = 0
+        while qs + off < qe:
+            qlen = min(block_q, qe - qs - off)
+            item_req[n] = r
+            item_qstart[n] = qs + off
+            item_qlen[n] = qlen
+            item_pos[n] = pos0 + off
+            token_item[qs + off:qs + off + qlen] = n
+            token_row[qs + off:qs + off + qlen] = np.arange(qlen)
+            off += qlen
+            n += 1
+    return {
+        "item_req": item_req,
+        "item_qstart": item_qstart,
+        "item_qlen": item_qlen,
+        "item_pos": item_pos,
+        "num_items_arr": np.array([n], np.int32),
+        "token_item": token_item,
+        "token_item_row": token_row,
+    }

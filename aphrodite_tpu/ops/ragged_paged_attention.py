@@ -1,0 +1,229 @@
+"""Pallas TPU kernel: ragged paged attention (mixed prefill + decode).
+
+One kernel serves the whole continuous batch over its block tables — the TPU
+replacement for the reference's paged_attention_v1/v2 CUDA kernels
+(kernels/attention/) and the torch-xla `ragged_paged_attention` op the
+reference TPU backend calls (aphrodite/v1/attention/backends/pallas.py:174).
+
+Design:
+- The host pre-schedules fixed-size *work items*: (request, q_start, q_len,
+  pos_start) covering each request's scheduled tokens in chunks of BLOCK_Q.
+  Item arrays ride in as scalar-prefetch operands (SMEM), so the kernel grid
+  is simply (max_items,).
+- Each grid step flash-attends one q block against its request's KV pages:
+  pages are DMA'd HBM->VMEM in chunks of CHUNK_PAGES with double buffering;
+  online-softmax (m, l, acc) accumulates in fp32 VMEM scratch.
+- Output is written per item ([max_items, kvh, BLOCK_Q*group, hd]) and
+  re-gathered to the flat token layout by XLA — no cross-item write races.
+- Layout rule (Mosaic tiling): every slice taken inside the kernel is a
+  LEADING-dim slice; minor dims are always (rows|page, head_dim). This is
+  why q arrives as [kvh, T*group, hd] and the cache as
+  [P, 2, kvh, page, hd] (see attention/backend.py).
+- Causality: q position = pos_start + row//group; KV slot j holds context
+  position j, so the mask is kv_pos <= q_pos (plus optional sliding window).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aphrodite_tpu.attention.metadata import AttentionMetadata
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_CHUNK_PAGES = 8
+
+
+def _rpa_kernel(
+    # scalar prefetch (SMEM)
+    item_req, item_qstart, item_qlen, item_pos, seq_lens, block_tables,
+    num_items,
+    # tensor inputs
+    q_hbm,   # [kvh, (T+BQ)*group, hd]
+    kv_hbm,  # [P, 2, kvh, page, hd]
+    # output (blocked per item): [1, kvh, BQ*group, hd]
+    out_ref,
+    # scratch
+    q_vmem, kv_vmem, acc, m_i, l_i, q_sem, kv_sem,
+    *, scale: float, block_q: int, chunk_pages: int, page_size: int,
+    num_q_heads: int, num_kv_heads: int, head_dim: int,
+    sliding_window: Optional[int], logits_soft_cap: Optional[float],
+    max_pages: int,
+):
+    it = pl.program_id(0)
+    group = num_q_heads // num_kv_heads
+    rows = block_q * group
+    chunk_kv = chunk_pages * page_size
+
+    @pl.when(it < num_items[0])
+    def _run():
+        req = item_req[it]
+        qstart = item_qstart[it]
+        qlen = item_qlen[it]
+        pos0 = item_pos[it]
+        seq_len = seq_lens[req]
+        # Highest position this block attends to caps the KV range.
+        kv_limit = jnp.minimum(pos0 + qlen, seq_len)
+        num_chunks = pl.cdiv(kv_limit, chunk_kv)
+
+        # Segment starts are 8-aligned in the flat layout
+        # (Q_SEGMENT_ALIGN); tell Mosaic so the dynamic DMA offset is legal.
+        row_start = pl.multiple_of(qstart * group, 8)
+        q_dma = pltpu.make_async_copy(
+            q_hbm.at[:, pl.ds(row_start, rows), :], q_vmem, q_sem)
+        q_dma.start()
+
+        def start_chunk(c, slot):
+            @pl.when(c < num_chunks)
+            def _():
+                for k in range(chunk_pages):
+                    page_idx = c * chunk_pages + k
+                    page_id = block_tables[
+                        req, jnp.minimum(page_idx, max_pages - 1)]
+                    pltpu.make_async_copy(
+                        kv_hbm.at[page_id],
+                        kv_vmem.at[slot, k],
+                        kv_sem.at[slot, k],
+                    ).start()
+
+        def wait_chunk(slot):
+            for k in range(chunk_pages):
+                pltpu.make_async_copy(
+                    kv_hbm.at[0], kv_vmem.at[slot, k], kv_sem.at[slot, k]
+                ).wait()
+
+        start_chunk(0, 0)
+        acc[...] = jnp.zeros_like(acc)
+        m_i[...] = jnp.full_like(m_i, -jnp.inf)
+        l_i[...] = jnp.zeros_like(l_i)
+        q_dma.wait()
+
+        row_q = jax.lax.broadcasted_iota(
+            jnp.int32, (rows, chunk_kv), 0) // group
+        q_pos = pos0 + row_q  # [rows, chunk_kv]
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, chunk_kv), 1)
+
+        def body(c, _):
+            slot = jax.lax.rem(c, 2)
+            start_chunk(c + 1, 1 - slot)
+            wait_chunk(slot)
+            kv_pos = c * chunk_kv + col  # [rows, chunk_kv]
+            mask = (kv_pos <= q_pos) & (kv_pos < kv_limit)
+            if sliding_window is not None:
+                mask &= kv_pos > q_pos - sliding_window
+            for h in range(num_kv_heads):
+                # Leading-dim slices only (Mosaic-friendly).
+                k_h = kv_vmem[slot, :, 0, h].reshape(chunk_kv, head_dim)
+                v_h = kv_vmem[slot, :, 1, h].reshape(chunk_kv, head_dim)
+                q_h = q_vmem[h]  # [rows, hd]
+                s = jax.lax.dot_general(
+                    q_h, k_h, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                if logits_soft_cap is not None:
+                    s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
+                s = jnp.where(mask, s, -jnp.inf)
+                m_prev = m_i[h]  # [rows, 1]
+                m_new = jnp.maximum(m_prev,
+                                    jnp.max(s, axis=-1, keepdims=True))
+                # Rows with no valid kv yet keep m=-inf; guard exp.
+                m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+                p = jnp.exp(s - m_safe)
+                p = jnp.where(mask, p, 0.0)
+                alpha = jnp.where(jnp.isfinite(m_prev),
+                                  jnp.exp(m_prev - m_safe), 0.0)
+                l_i[h] = l_i[h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc[h] = acc[h] * alpha + pv
+                m_i[h] = m_new
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, body, 0)
+
+        for h in range(num_kv_heads):
+            denom = jnp.maximum(l_i[h], 1e-20)  # [rows, 1]
+            out_ref[0, h] = (acc[h] / denom).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "sliding_window", "logits_soft_cap",
+                     "block_q", "chunk_pages", "interpret"))
+def ragged_paged_attention(
+    q: jax.Array,  # [T, nq, hd] (flat token layout)
+    kv_cache: jax.Array,  # [P, 2, kvh, page, hd]
+    md: AttentionMetadata,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    logits_soft_cap: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    chunk_pages: int = DEFAULT_CHUNK_PAGES,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    if interpret is None:
+        # Env override lets the full engine run the Pallas path on CPU.
+        interpret = os.environ.get("APHRODITE_PALLAS_INTERPRET", "0") == "1"
+    assert md.item_req is not None, \
+        "AttentionMetadata lacks work items (runner must build them)"
+    T, nq, hd = q.shape
+    num_pages, _, kvh, page_size, _ = kv_cache.shape
+    max_items = md.item_req.shape[0]
+    group = nq // kvh
+
+    # [T, nq, hd] -> [kvh, (T+BQ)*group, hd]: rows grouped per kv head so the
+    # kernel's q-block DMA is one contiguous leading-dim slice per head.
+    q_arr = jnp.pad(q, ((0, block_q), (0, 0), (0, 0)))
+    q_arr = q_arr.reshape(T + block_q, kvh, group, hd)
+    q_arr = jnp.transpose(q_arr, (1, 0, 2, 3)).reshape(
+        kvh, (T + block_q) * group, hd)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(max_items,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # q
+            pl.BlockSpec(memory_space=pltpu.HBM),  # kv
+        ],
+        out_specs=pl.BlockSpec(
+            (1, kvh, block_q * group, hd), lambda i, *_: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((kvh, block_q * group, hd), q.dtype),
+            pltpu.VMEM((2, chunk_pages, 2, kvh, page_size, hd),
+                       kv_cache.dtype),
+            pltpu.VMEM((kvh, block_q * group, hd), jnp.float32),
+            pltpu.VMEM((kvh, block_q * group, 1), jnp.float32),
+            pltpu.VMEM((kvh, block_q * group, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2, chunk_pages)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _rpa_kernel, scale=scale, block_q=block_q, chunk_pages=chunk_pages,
+        page_size=page_size, num_q_heads=nq, num_kv_heads=kvh, head_dim=hd,
+        sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
+        max_pages=md.block_tables.shape[1])
+
+    out_items = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (max_items, kvh, block_q * group, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(md.item_req, md.item_qstart, md.item_qlen, md.item_pos,
+      md.seq_lens, md.block_tables, md.num_items_arr, q_arr, kv_cache)
+
+    # [items, kvh, BQ*G, hd] -> [items, BQ, nq, hd] -> flat [T, nq, hd].
+    out = out_items.reshape(max_items, kvh, block_q, group, hd)
+    out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(
+        max_items, block_q, nq, hd)
+    return out[md.token_item, md.token_item_row]

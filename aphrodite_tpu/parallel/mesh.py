@@ -46,7 +46,7 @@ def build_mesh(parallel_config: ParallelConfig,
 
 
 def kv_cache_pspec() -> P:
-    """KV cache [L, pages, page, kvh, 2, hd]: shard the KV heads across tp."""
+    """KV cache [L, pages, 2, kvh, page, hd]: shard the KV heads across tp."""
     return P(None, None, None, "tp", None, None)
 
 

@@ -76,8 +76,10 @@ class ModelRunner:
                               else "float8_e4m3"))
         self.kv_dtype = kv_dtype
         assert cc.num_blocks is not None
-        kv_shape = (model.num_layers, cc.num_blocks, cc.block_size,
-                    model.num_kv_heads, 2, model.head_dim)
+        from aphrodite_tpu.attention.backend import kv_cache_shape
+        kv_shape = (model.num_layers,) + kv_cache_shape(
+            cc.num_blocks, cc.block_size, model.num_kv_heads, model.head_dim,
+            pad_head_dim=self.use_pallas)
         if mesh is not None:
             from jax.sharding import NamedSharding
             from aphrodite_tpu.parallel.mesh import kv_cache_pspec
@@ -92,8 +94,11 @@ class ModelRunner:
         # --- shape buckets ------------------------------------------------
         sc = config.scheduler_config
         tc = config.tpu_config
+        # Budget + per-request segment-alignment slack (see execute_model).
         self.token_buckets = bucket_schedule(
-            tc.min_token_bucket, next_power_of_2(sc.max_num_batched_tokens))
+            tc.min_token_bucket,
+            next_power_of_2(sc.max_num_batched_tokens +
+                            8 * sc.max_num_seqs))
         self.req_buckets = bucket_schedule(
             tc.min_req_bucket, next_power_of_2(sc.max_num_seqs))
         self._rng_counter = 0
@@ -145,10 +150,18 @@ class ModelRunner:
         if so.total_num_scheduled_tokens == 0:
             return ModelRunnerOutput(req_ids=[], sampled_token_ids=[])
 
+        from aphrodite_tpu.attention.metadata import Q_SEGMENT_ALIGN
+        from aphrodite_tpu.utils import round_up
+
         order = list(so.num_scheduled_tokens.keys())
         R = len(order)
         R_pad = pad_to_bucket(R, self.req_buckets[0], self.req_buckets[-1])
-        T = so.total_num_scheduled_tokens
+        # Each request's q segment is aligned so the Pallas kernel's dynamic
+        # q DMA offsets satisfy Mosaic's sublane alignment.
+        align = Q_SEGMENT_ALIGN if self.use_pallas else 1
+        T = 0
+        for rid in order:
+            T = round_up(T, align) + so.num_scheduled_tokens[rid]
         T_pad = pad_to_bucket(T, self.token_buckets[0],
                               self.token_buckets[-1])
 
@@ -160,12 +173,15 @@ class ModelRunner:
         seq_lens = np.zeros((R_pad,), np.int32)
         block_tables = np.zeros((R_pad, self.max_pages_per_req), np.int32)
 
+        seg_starts = np.zeros((R_pad,), np.int32)
         t = 0
         samples_expected: list[bool] = []
         for r, rid in enumerate(order):
             st = self.requests[rid]
             n = so.num_scheduled_tokens[rid]
             start = st.num_computed
+            t = round_up(t, align)
+            seg_starts[r] = t
             toks = st.token_ids[start:start + n]
             # Spec-decode drafts may extend past known tokens; padded later.
             input_ids[t:t + len(toks)] = toks
@@ -176,6 +192,8 @@ class ModelRunner:
                 slots[t + j] = (st.block_ids[p // self.block_size] *
                                 self.block_size + p % self.block_size)
             t += n
+            # qsl[r+1] marks the END of request r's segment (the last-token
+            # gather reads qsl[1:]-1); segments may have alignment gaps.
             qsl[r + 1] = t
             seq_lens[r] = start + n
             nb = len(st.block_ids)
@@ -183,6 +201,15 @@ class ModelRunner:
             samples_expected.append(start + n >= st.num_tokens)
         qsl[R + 1:] = t
 
+        extra = {}
+        if self.use_pallas:
+            from aphrodite_tpu.attention.metadata import build_work_items
+            block_q = min(128, T_pad)
+            seg_counts = qsl[1:R + 1] - seg_starts[:R]
+            items = build_work_items(seg_starts, seg_counts, seq_lens, R,
+                                     T_pad, block_q, R_pad)
+            extra = {k: jnp.asarray(v) for k, v in items.items()}
+            extra["block_q"] = block_q
         md = AttentionMetadata(
             token_req_idx=jnp.asarray(token_req),
             token_pos=jnp.asarray(token_pos),
@@ -192,6 +219,7 @@ class ModelRunner:
             block_tables=jnp.asarray(block_tables),
             num_reqs=jnp.asarray(R, jnp.int32),
             num_tokens=jnp.asarray(T, jnp.int32),
+            **extra,
         )
 
         logits, self.kv_cache = self._step_fn(

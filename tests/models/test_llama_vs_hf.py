@@ -25,9 +25,11 @@ def tiny_ckpt(tmp_path_factory):
 
 def _jax_logits(model, params, prompts, kv_dtype=jnp.float32):
     md, ids, used_pages = make_prefill_metadata(prompts, BLOCK, MAX_PAGES)
+    from aphrodite_tpu.attention.backend import kv_cache_shape
     kv_cache = jnp.zeros(
-        (model.num_layers, used_pages + 4, BLOCK, model.num_kv_heads, 2,
-         model.head_dim), kv_dtype)
+        (model.num_layers,) + kv_cache_shape(used_pages + 4, BLOCK,
+                                             model.num_kv_heads,
+                                             model.head_dim), kv_dtype)
     hidden, _ = model.apply(params, ids, kv_cache, md)
     logits = model.compute_logits(params, hidden)
     return np.asarray(logits), md
@@ -68,8 +70,9 @@ def test_gqa_and_padding_invariance(tiny_ckpt):
 
     md, ids, used = make_prefill_metadata(prompts, BLOCK, MAX_PAGES,
                                           num_tokens_pad=16)
-    kv_cache = jnp.zeros((model.num_layers, used + 4, BLOCK,
-                          model.num_kv_heads, 2, model.head_dim), jnp.float32)
+    from aphrodite_tpu.attention.backend import kv_cache_shape
+    kv_cache = jnp.zeros((model.num_layers,) + kv_cache_shape(
+        used + 4, BLOCK, model.num_kv_heads, model.head_dim), jnp.float32)
     hidden, _ = model.apply(params, ids, kv_cache, md)
     logits_b = np.asarray(model.compute_logits(params, hidden))[:4]
     np.testing.assert_allclose(logits_a[:4], logits_b, rtol=1e-5, atol=1e-5)
@@ -91,8 +94,9 @@ def test_decode_step_matches_prefill(tiny_ckpt):
 
     # Prefill first 4, then decode the 5th.
     md, ids, used = make_prefill_metadata([full[:4]], BLOCK, MAX_PAGES)
-    kv_cache = jnp.zeros((model.num_layers, used + 4, BLOCK,
-                          model.num_kv_heads, 2, model.head_dim), jnp.float32)
+    from aphrodite_tpu.attention.backend import kv_cache_shape
+    kv_cache = jnp.zeros((model.num_layers,) + kv_cache_shape(
+        used + 4, BLOCK, model.num_kv_heads, model.head_dim), jnp.float32)
     _, kv_cache = model.apply(params, ids, kv_cache, md)
 
     md2 = AttentionMetadata(
