@@ -76,13 +76,16 @@ class SamplingMetadata:
     dry_breakers: jax.Array   # [R, MAX_BREAKERS] int32, pad -1
     no_repeat_ngram: jax.Array  # [R] int32 (0 = disabled)
     # -- min-tokens / stops / bias -------------------------------------------
-    min_tokens_active: jax.Array  # [R] bool: output_len < min_tokens
+    min_tokens: jax.Array         # [R] int32 (0 = no min)
     stop_tokens: jax.Array        # [R, MAX_STOP_TOKENS] int32, pad -1
     bias_tokens: jax.Array        # [R, MAX_LOGIT_BIAS] int32, pad -1
     bias_values: jax.Array        # [R, MAX_LOGIT_BIAS] f32
     # -- sampling ------------------------------------------------------------
     is_greedy: jax.Array      # [R] bool
-    prng_keys: jax.Array      # [R, 2] uint32 (per-row fold_in'ed key data)
+    # Per-row RNG derivation happens IN-GRAPH (no host-side key material):
+    # key = fold_in(PRNGKey(seed), out_len + step_offset).
+    seeds: jax.Array          # [R] uint32
+    out_len: jax.Array        # [R] int32 (current output length / counter)
 
 
 def build_sampling_metadata(
@@ -121,9 +124,10 @@ def build_sampling_metadata(
     stop_tokens = np.full((R, MAX_STOP_TOKENS), -1, np.int32)
     bias_tokens = np.full((R, MAX_LOGIT_BIAS), -1, np.int32)
     bias_values = np.zeros((R, MAX_LOGIT_BIAS), np.float32)
-    min_tokens_active = np.zeros((R,), bool)
+    min_tokens = np.zeros((R,), np.int32)
     is_greedy = np.ones((R,), bool)
-    keys = np.zeros((R, 2), np.uint32)
+    seeds = np.zeros((R,), np.uint32)
+    out_lens = np.zeros((R,), np.int32)
     prompt_len = np.zeros((R,), np.int32)
     total_len = np.zeros((R,), np.int32)
 
@@ -190,11 +194,12 @@ def build_sampling_metadata(
         if p.no_repeat_ngram_size > 0:
             cols["no_repeat_ngram"][r] = p.no_repeat_ngram_size
             flags["do_ngram"] = True
+        out_lens[r] = out_len
         if p.min_tokens > 0 and out_len < p.min_tokens:
             ids = sorted(p.all_stop_token_ids)[:MAX_STOP_TOKENS]
             if ids:
                 stop_tokens[r, :len(ids)] = ids
-                min_tokens_active[r] = True
+                min_tokens[r] = p.min_tokens
                 flags["do_min_tokens"] = True
         if p.logit_bias:
             items = list(p.logit_bias.items())[:MAX_LOGIT_BIAS]
@@ -203,12 +208,7 @@ def build_sampling_metadata(
                 bias_values[r, j] = float(val)
             flags["do_logit_bias"] = True
         seed = p.seed if p.seed is not None else (base_seed + r * 7919)
-        # fold_in(output_len) gives seeded requests a reproducible stream.
-        key = np.array(
-            jax.random.key_data(
-                jax.random.fold_in(jax.random.PRNGKey(seed & 0x7fffffff),
-                                   out_len)), np.uint32)
-        keys[r] = key
+        seeds[r] = np.uint32(seed & 0x7fffffff)
 
     sampler_flags = SamplerFlags(**flags)
     need_tok = (need_tokens if need_tokens is not None else
@@ -228,11 +228,12 @@ def build_sampling_metadata(
         prompt_len=jnp.asarray(prompt_len),
         total_len=jnp.asarray(total_len),
         dry_breakers=jnp.asarray(dry_breakers),
-        min_tokens_active=jnp.asarray(min_tokens_active),
+        min_tokens=jnp.asarray(min_tokens),
         stop_tokens=jnp.asarray(stop_tokens),
         bias_tokens=jnp.asarray(bias_tokens),
         bias_values=jnp.asarray(bias_values),
         is_greedy=jnp.asarray(is_greedy),
-        prng_keys=jnp.asarray(keys),
+        seeds=jnp.asarray(seeds),
+        out_len=jnp.asarray(out_lens),
         **{k: jnp.asarray(v) for k, v in cols.items()})
     return md, sampler_flags

@@ -311,9 +311,10 @@ def _apply_nsigma(logits, md):
                      logits)
 
 
-def _apply_min_tokens(logits, md):
+def _apply_min_tokens(logits, md, step_offset):
     R, V = logits.shape
-    tgt = jnp.where(md.min_tokens_active[:, None], md.stop_tokens, -1)
+    active = (md.out_len + step_offset) < md.min_tokens
+    tgt = jnp.where(active[:, None], md.stop_tokens, -1)
     tgt = jnp.where(tgt < 0, V, tgt)
     mask = jnp.zeros((R, V + 1), bool).at[
         jnp.arange(R)[:, None], tgt].set(True, mode="drop")[:, :V]
@@ -337,16 +338,20 @@ def sample_tokens(
     md: SamplingMetadata,
     flags: SamplerFlags,
     max_logprobs: int = 0,
+    step_offset: jax.Array | int = 0,
 ) -> dict:
     """Run the sampler pipeline; returns dict with:
     tokens [R] int32, logprob [R] f32 (of the chosen token),
-    and when max_logprobs>0: topk_values/topk_indices [R, max_logprobs]."""
+    and when max_logprobs>0: topk_values/topk_indices [R, max_logprobs].
+
+    step_offset advances the per-row RNG counter (used by multi-step decode,
+    where the same metadata serves several consecutive steps in-graph)."""
     logits = logits.astype(jnp.float32)
 
     if flags.do_logit_bias:
         logits = _apply_logit_bias(logits, md)
     if flags.do_min_tokens:
-        logits = _apply_min_tokens(logits, md)
+        logits = _apply_min_tokens(logits, md, step_offset)
     if flags.do_dry:
         logits = _apply_dry(logits, md)
     if flags.do_penalties:
@@ -354,7 +359,12 @@ def sample_tokens(
     if flags.do_ngram:
         logits = _apply_no_repeat_ngram(logits, md)
 
-    keys = jax.random.wrap_key_data(md.prng_keys)
+    # Per-row keys derived fully in-graph: seeded requests get a
+    # reproducible stream keyed by their output position.
+    counters = md.out_len + step_offset
+    keys = jax.vmap(
+        lambda s, c: jax.random.fold_in(
+            jax.random.PRNGKey(s.astype(jnp.int32)), c))(md.seeds, counters)
     key_xtc = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
     key_sample = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
 

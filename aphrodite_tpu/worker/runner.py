@@ -104,16 +104,29 @@ class ModelRunner:
         self._rng_counter = 0
         self._base_seed = config.model_config.seed
 
-        self._step_fn = jax.jit(self._step, donate_argnums=(1,))
+        self._step_fn = jax.jit(self._step, donate_argnums=(1,),
+                                static_argnames=("flags", "max_logprobs"))
 
     # -------------------------------------------------------------- jit step
-    def _step(self, params, kv_cache, input_ids, md: AttentionMetadata):
+    def _step(self, params, kv_cache, input_ids, md: AttentionMetadata,
+              smd, flags, max_logprobs):
+        """Fused forward + sample: ONE dispatch and one small d2h per engine
+        step (the device round trip dominates decode latency on a tunneled
+        chip; see bench notes)."""
         hidden, kv_cache = self.model.apply(params, input_ids, kv_cache, md,
                                             use_pallas=self.use_pallas)
         last_idx = jnp.clip(md.query_start_loc[1:] - 1, 0)
         rows = jnp.take(hidden, last_idx, axis=0)
         logits = self.model.compute_logits(params, rows)
-        return logits, kv_cache
+        out = sample_tokens(logits, smd, flags, max_logprobs)
+        # Pack (tokens, logprob) into one [2, R] f32 array -> single d2h.
+        packed = jnp.stack([
+            jax.lax.bitcast_convert_type(out["tokens"], jnp.float32),
+            out["logprob"],
+        ])
+        if max_logprobs:
+            return packed, out["topk_values"], out["topk_indices"], kv_cache
+        return packed, None, None, kv_cache
 
     # --------------------------------------------------------- state updates
     def update_states(self, so: SchedulerOutput) -> None:
@@ -222,10 +235,7 @@ class ModelRunner:
             **extra,
         )
 
-        logits, self.kv_cache = self._step_fn(
-            self.params, self.kv_cache, jnp.asarray(input_ids), md)
-
-        # ---- sampling ----------------------------------------------------
+        # ---- sampling metadata (host-side packing, no device calls) -------
         reqs_meta = []
         max_logprobs = 0
         for rid in order:
@@ -237,14 +247,18 @@ class ModelRunner:
         self._rng_counter += 1
         smd, flags = build_sampling_metadata(
             reqs_meta, self.model.vocab_size, R_pad,
-            base_seed=self._base_seed + self._rng_counter * 1000003)
+            base_seed=self._base_seed)
         max_lp = next_power_of_2(max_logprobs) if max_logprobs else 0
-        out = sample_tokens(logits, smd, flags, max_logprobs=max_lp)
 
-        tokens_host = np.asarray(out["tokens"][:R])
-        lp_host = np.asarray(out["logprob"][:R])
-        topk_v = (np.asarray(out["topk_values"][:R]) if max_lp else None)
-        topk_i = (np.asarray(out["topk_indices"][:R]) if max_lp else None)
+        packed, topk_v_d, topk_i_d, self.kv_cache = self._step_fn(
+            self.params, self.kv_cache, jnp.asarray(input_ids), md, smd,
+            flags=flags, max_logprobs=max_lp)
+
+        packed = np.asarray(packed)  # single d2h
+        tokens_host = packed[0, :R].view(np.int32)
+        lp_host = packed[1, :R]
+        topk_v = (np.asarray(topk_v_d[:R]) if max_lp else None)
+        topk_i = (np.asarray(topk_i_d[:R]) if max_lp else None)
 
         sampled: list[list[int]] = []
         logprobs_out: list[Optional[list[dict[int, float]]]] = []
