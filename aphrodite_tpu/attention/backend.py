@@ -116,7 +116,13 @@ def paged_attention(
     hd_cache = kv_cache.shape[-1]
     if hd_cache != hd:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, hd_cache - hd)))
-    if use_pallas:
+    if use_pallas and md.decode_mode:
+        from aphrodite_tpu.ops.decode_paged_attention import (
+            decode_paged_attention)
+        out = decode_paged_attention(
+            q, kv_cache, md.block_tables, md.seq_lens, scale,
+            sliding_window=sliding_window, logits_soft_cap=logits_soft_cap)
+    elif use_pallas:
         from aphrodite_tpu.ops.ragged_paged_attention import (
             DEFAULT_BLOCK_Q, ragged_paged_attention)
         out = ragged_paged_attention(

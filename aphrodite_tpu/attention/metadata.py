@@ -50,6 +50,9 @@ class AttentionMetadata:
     # Static q-block size the work items were scheduled with.
     block_q: Optional[int] = field(default=None,
                                    metadata=dict(static=True))
+    # Pure-decode step (one token per request, token i belongs to request i):
+    # routes to the decode-specialized kernel; metadata may be built in-graph.
+    decode_mode: bool = field(default=False, metadata=dict(static=True))
 
 
 # Flat-layout alignment of each request's q segment. The Pallas kernel's

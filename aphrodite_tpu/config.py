@@ -226,6 +226,11 @@ class TPUConfig:
     # Use the Pallas ragged paged attention kernel (False = pure-JAX reference
     # attention; automatic on CPU).
     use_pallas_attention: Optional[bool] = None
+    # Run K consecutive decode steps in ONE device dispatch (in-graph token
+    # feedback + sampling). Amortizes host<->device round trips — the TPU
+    # analog of the reference's multi-step scheduling
+    # (aphrodite/worker/multi_step_model_runner.py). 1 = off.
+    multi_step_decode: int = 8
 
 
 @dataclass

@@ -227,7 +227,10 @@ class Scheduler:
                 num_rejected = len(spec) + 1 - len(sampled)
                 req.num_computed_tokens += n_sched - num_rejected
             else:
-                req.num_computed_tokens += n_sched
+                # Multi-step decode returns >1 sampled tokens per scheduled
+                # token: each extra token's KV was computed in-graph.
+                req.num_computed_tokens += n_sched + max(
+                    0, len(sampled) - 1)
             req.spec_token_ids = (
                 runner_out.spec_token_ids[i]
                 if runner_out.spec_token_ids and i is not None else [])

@@ -22,9 +22,12 @@ class EngineCore:
         self.worker = Worker(config)
         num_spec = (config.speculative_config.num_speculative_tokens
                     if config.speculative_config else 0)
+        # Lookahead KV slots cover both speculative drafts and the in-graph
+        # multi-step decode window.
+        lookahead = max(num_spec, config.tpu_config.multi_step_decode - 1)
         self.scheduler = Scheduler(config.scheduler_config,
                                    config.cache_config,
-                                   num_lookahead_tokens=num_spec)
+                                   num_lookahead_tokens=lookahead)
 
     def add_request(self, request: Request) -> None:
         self.scheduler.add_request(request)

@@ -103,9 +103,13 @@ class ModelRunner:
             tc.min_req_bucket, next_power_of_2(sc.max_num_seqs))
         self._rng_counter = 0
         self._base_seed = config.model_config.seed
+        self.use_graph_multi_step = True
 
         self._step_fn = jax.jit(self._step, donate_argnums=(1,),
                                 static_argnames=("flags", "max_logprobs"))
+        self._multi_step_fn = jax.jit(
+            self._multi_step, donate_argnums=(1,),
+            static_argnames=("flags", "num_steps", "max_logprobs"))
 
     # -------------------------------------------------------------- jit step
     def _step(self, params, kv_cache, input_ids, md: AttentionMetadata,
@@ -127,6 +131,51 @@ class ModelRunner:
         if max_logprobs:
             return packed, out["topk_values"], out["topk_indices"], kv_cache
         return packed, None, None, kv_cache
+
+    # ------------------------------------------------- multi-step decode scan
+    def _multi_step(self, params, kv_cache, cur_tokens, seq_lens0,
+                    block_tables, smd, flags, num_steps, max_logprobs):
+        """K decode steps in one dispatch: sampled token feeds the next step
+        in-graph (scan carry); KV slots come from the block tables; RNG/
+        min-tokens counters advance via step_offset."""
+        R = cur_tokens.shape[0]
+        ps = self.block_size
+        arange_r = jnp.arange(R, dtype=jnp.int32)
+
+        def sub(carry, i):
+            kv, toks, seqlens = carry
+            live = seqlens > 0
+            pos = jnp.maximum(seqlens - 1, 0)
+            pages = jnp.take_along_axis(
+                block_tables, (pos // ps)[:, None], axis=1)[:, 0]
+            slots = jnp.where(live, pages * ps + pos % ps, -1)
+            md = AttentionMetadata(
+                token_req_idx=arange_r,
+                token_pos=pos,
+                slot_mapping=slots,
+                query_start_loc=jnp.arange(R + 1, dtype=jnp.int32),
+                seq_lens=seqlens,
+                block_tables=block_tables,
+                num_reqs=jnp.asarray(R, jnp.int32),
+                num_tokens=jnp.asarray(R, jnp.int32),
+                decode_mode=True)
+            hidden, kv = self.model.apply(params, toks, kv, md,
+                                          use_pallas=self.use_pallas)
+            logits = self.model.compute_logits(params, hidden)
+            out = sample_tokens(logits, smd, flags, max_logprobs,
+                                step_offset=i)
+            new_tok = out["tokens"]
+            ys = (new_tok, out["logprob"],
+                  out.get("topk_values"), out.get("topk_indices"))
+            return (kv, new_tok, seqlens + live.astype(jnp.int32)), ys
+
+        (kv_cache, _, _), ys = jax.lax.scan(
+            sub, (kv_cache, cur_tokens, seq_lens0),
+            jnp.arange(num_steps, dtype=jnp.int32))
+        tokens_k, lp_k, topk_v, topk_i = ys  # [K, R], ...
+        packed = jnp.stack([
+            jax.lax.bitcast_convert_type(tokens_k, jnp.float32), lp_k])
+        return packed, topk_v, topk_i, kv_cache
 
     # --------------------------------------------------------- state updates
     def update_states(self, so: SchedulerOutput) -> None:
@@ -169,6 +218,26 @@ class ModelRunner:
         order = list(so.num_scheduled_tokens.keys())
         R = len(order)
         R_pad = pad_to_bucket(R, self.req_buckets[0], self.req_buckets[-1])
+
+        # ---- sampling metadata (host-side packing, shared by both paths) --
+        reqs_meta = []
+        max_logprobs = 0
+        for rid in order:
+            st = self.requests[rid]
+            p = st.sampling_params
+            reqs_meta.append((p, st.token_ids, st.prompt_len, st.output_len))
+            if p.logprobs:
+                max_logprobs = max(max_logprobs, p.logprobs)
+        smd, flags = build_sampling_metadata(
+            reqs_meta, self.model.vocab_size, R_pad,
+            base_seed=self._base_seed)
+        max_lp = next_power_of_2(max_logprobs) if max_logprobs else 0
+
+        num_steps = self._multi_step_eligibility(so, order, flags)
+        if num_steps > 1:
+            return self._execute_multi_step(so, order, R, R_pad, smd, flags,
+                                            max_lp, num_steps)
+
         # Each request's q segment is aligned so the Pallas kernel's dynamic
         # q DMA offsets satisfy Mosaic's sublane alignment.
         align = Q_SEGMENT_ALIGN if self.use_pallas else 1
@@ -235,21 +304,6 @@ class ModelRunner:
             **extra,
         )
 
-        # ---- sampling metadata (host-side packing, no device calls) -------
-        reqs_meta = []
-        max_logprobs = 0
-        for rid in order:
-            st = self.requests[rid]
-            p = st.sampling_params
-            reqs_meta.append((p, st.token_ids, st.prompt_len, st.output_len))
-            if p.logprobs:
-                max_logprobs = max(max_logprobs, p.logprobs)
-        self._rng_counter += 1
-        smd, flags = build_sampling_metadata(
-            reqs_meta, self.model.vocab_size, R_pad,
-            base_seed=self._base_seed)
-        max_lp = next_power_of_2(max_logprobs) if max_logprobs else 0
-
         packed, topk_v_d, topk_i_d, self.kv_cache = self._step_fn(
             self.params, self.kv_cache, jnp.asarray(input_ids), md, smd,
             flags=flags, max_logprobs=max_lp)
@@ -284,6 +338,80 @@ class ModelRunner:
                 sampled.append([])
                 logprobs_out.append(None)
 
+        return ModelRunnerOutput(
+            req_ids=order,
+            sampled_token_ids=sampled,
+            logprobs=logprobs_out if any_lp else None)
+
+    # --------------------------------------------------- multi-step machinery
+    def _multi_step_eligibility(self, so: SchedulerOutput, order, flags
+                                ) -> int:
+        """K>1 when the whole batch is plain single-token decode with no
+        token-history samplers (penalties/DRY/ngram need fresh context) and
+        room for K tokens within max_model_len and allocated lookahead."""
+        K = self.config.tpu_config.multi_step_decode
+        if K <= 1 or not self.use_graph_multi_step:
+            return 1
+        if so.scheduled_spec_decode_tokens or so.grammar_bitmask is not None:
+            return 1
+        if flags.do_penalties or flags.do_dry or flags.do_ngram:
+            return 1
+        max_len = self.config.scheduler_config.max_model_len
+        for rid in order:
+            st = self.requests[rid]
+            if so.num_scheduled_tokens[rid] != 1:
+                return 1
+            if st.num_computed + 1 != st.num_tokens:
+                return 1
+            if st.num_tokens + K > max_len:
+                return 1
+        return K
+
+    def _execute_multi_step(self, so: SchedulerOutput, order, R, R_pad,
+                            smd, flags, max_lp, num_steps
+                            ) -> ModelRunnerOutput:
+        cur_tokens = np.zeros((R_pad,), np.int32)
+        seq_lens0 = np.zeros((R_pad,), np.int32)
+        block_tables = np.zeros((R_pad, self.max_pages_per_req), np.int32)
+        for r, rid in enumerate(order):
+            st = self.requests[rid]
+            cur_tokens[r] = st.token_ids[-1]
+            seq_lens0[r] = st.num_tokens
+            block_tables[r, :len(st.block_ids)] = st.block_ids
+
+        packed, topk_v_d, topk_i_d, self.kv_cache = self._multi_step_fn(
+            self.params, self.kv_cache, jnp.asarray(cur_tokens),
+            jnp.asarray(seq_lens0), jnp.asarray(block_tables), smd,
+            flags=flags, num_steps=num_steps, max_logprobs=max_lp)
+
+        packed = np.asarray(packed)  # [2, K, R_pad], single d2h
+        tokens_k = packed[0, :, :R].view(np.int32)  # [K, R]
+        lp_k = packed[1, :, :R]
+        topk_v = np.asarray(topk_v_d[:, :R]) if max_lp else None
+        topk_i = np.asarray(topk_i_d[:, :R]) if max_lp else None
+
+        sampled: list[list[int]] = []
+        logprobs_out: list[Optional[list[dict[int, float]]]] = []
+        any_lp = False
+        for r, rid in enumerate(order):
+            st = self.requests[rid]
+            toks = [int(t) for t in tokens_k[:, r]]
+            sampled.append(toks)
+            st.token_ids.extend(toks)
+            p = st.sampling_params
+            if p.logprobs is not None:
+                lps = []
+                for k, tok in enumerate(toks):
+                    d = {tok: float(lp_k[k, r])}
+                    if p.logprobs and topk_v is not None:
+                        for v, i in zip(topk_v[k, r][:p.logprobs],
+                                        topk_i[k, r][:p.logprobs]):
+                            d[int(i)] = float(v)
+                    lps.append(d)
+                logprobs_out.append(lps)
+                any_lp = True
+            else:
+                logprobs_out.append(None)
         return ModelRunnerOutput(
             req_ids=order,
             sampled_token_ids=sampled,
