@@ -1,0 +1,103 @@
+"""CLI argument surface -> EngineConfig.
+(reference: aphrodite/engine/args_tools.py:230 EngineArgs)
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional
+
+from aphrodite_tpu.config import EngineConfig
+
+
+@dataclasses.dataclass
+class EngineArgs:
+    model: str = ""
+    tokenizer: Optional[str] = None
+    dtype: str = "bfloat16"
+    seed: int = 0
+    max_model_len: Optional[int] = None
+    quantization: Optional[str] = None
+    trust_remote_code: bool = False
+    block_size: int = 32
+    num_kv_blocks: Optional[int] = None
+    hbm_utilization: float = 0.9
+    kv_cache_dtype: str = "auto"
+    enable_prefix_caching: bool = True
+    max_num_seqs: int = 128
+    max_num_batched_tokens: int = 2048
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    device: str = "auto"
+    load_format: str = "auto"
+    enforce_eager: bool = False
+
+    @staticmethod
+    def add_cli_args(parser: argparse.ArgumentParser
+                    ) -> argparse.ArgumentParser:
+        parser.add_argument("model", nargs="?", help="model name or path")
+        parser.add_argument("--model", dest="model_opt", default=None)
+        parser.add_argument("--tokenizer", default=None)
+        parser.add_argument("--dtype", default="bfloat16",
+                            choices=["bfloat16", "float16", "float32",
+                                     "auto"])
+        parser.add_argument("--seed", type=int, default=0)
+        parser.add_argument("--max-model-len", type=int, default=None)
+        parser.add_argument("--quantization", "-q", default=None)
+        parser.add_argument("--trust-remote-code", action="store_true")
+        parser.add_argument("--block-size", type=int, default=32)
+        parser.add_argument("--num-kv-blocks", type=int, default=None)
+        parser.add_argument("--gpu-memory-utilization", "--hbm-utilization",
+                            dest="hbm_utilization", type=float, default=0.9)
+        parser.add_argument("--kv-cache-dtype", default="auto",
+                            choices=["auto", "fp8", "fp8_e4m3", "fp8_e5m2"])
+        parser.add_argument("--no-enable-prefix-caching", dest="epc",
+                            action="store_false")
+        parser.add_argument("--max-num-seqs", type=int, default=128)
+        parser.add_argument("--max-num-batched-tokens", type=int,
+                            default=2048)
+        parser.add_argument("--tensor-parallel-size", "-tp", type=int,
+                            default=1)
+        parser.add_argument("--data-parallel-size", "-dp", type=int,
+                            default=1)
+        parser.add_argument("--device", default="auto")
+        parser.add_argument("--load-format", default="auto",
+                            choices=["auto", "safetensors", "dummy"])
+        parser.add_argument("--enforce-eager", action="store_true")
+        parser.add_argument("--config", default=None,
+                            help="YAML config file with CLI keys")
+        return parser
+
+    @classmethod
+    def from_cli_args(cls, args: argparse.Namespace) -> "EngineArgs":
+        if args.config:
+            import yaml
+            with open(args.config) as f:
+                overrides = yaml.safe_load(f) or {}
+            for k, v in overrides.items():
+                k = k.replace("-", "_")
+                if getattr(args, k, None) in (None, False):
+                    setattr(args, k, v)
+        model = args.model_opt or args.model
+        if not model:
+            raise ValueError("model is required")
+        dtype = "bfloat16" if args.dtype == "auto" else args.dtype
+        return cls(
+            model=model, tokenizer=args.tokenizer, dtype=dtype,
+            seed=args.seed, max_model_len=args.max_model_len,
+            quantization=args.quantization,
+            trust_remote_code=args.trust_remote_code,
+            block_size=args.block_size, num_kv_blocks=args.num_kv_blocks,
+            hbm_utilization=args.hbm_utilization,
+            kv_cache_dtype=args.kv_cache_dtype,
+            enable_prefix_caching=args.epc,
+            max_num_seqs=args.max_num_seqs,
+            max_num_batched_tokens=args.max_num_batched_tokens,
+            tensor_parallel_size=args.tensor_parallel_size,
+            data_parallel_size=args.data_parallel_size,
+            device=args.device, load_format=args.load_format,
+            enforce_eager=args.enforce_eager)
+
+    def create_engine_config(self) -> EngineConfig:
+        from aphrodite_tpu.entrypoints.llm import build_engine_config
+        return build_engine_config(**dataclasses.asdict(self))

@@ -26,7 +26,12 @@ MAX_LOGIT_BIAS = 32
 
 class SamplerFlags(NamedTuple):
     """Static (compile-time) gates. One jit specialization per combination
-    actually seen in traffic — typically 2-3."""
+    actually seen in traffic — typically 2-3. The hot greedy path compiles to
+    argmax only — no vocab sort, no gumbel, no log_softmax."""
+    do_top_k_p: bool = False     # full-vocab sort — the expensive one
+    do_min_p: bool = False
+    all_greedy: bool = True      # skip RNG + gumbel entirely
+    need_logprobs: bool = False  # compute log_softmax + chosen logprob
     do_penalties: bool = False
     do_dry: bool = False
     do_ngram: bool = False
@@ -143,10 +148,18 @@ def build_sampling_metadata(
         total_len[r] = len(toks)
         greedy = p.sampling_type == SamplingType.GREEDY
         is_greedy[r] = greedy
+        if not greedy:
+            flags["all_greedy"] = False
         cols["temperature"][r] = p.temperature if not greedy else 1.0
         cols["top_p"][r] = p.top_p
         cols["top_k"][r] = max(p.top_k, 0)
         cols["min_p"][r] = p.min_p
+        if p.top_k > 0 or p.top_p < 1.0:
+            flags["do_top_k_p"] = True
+        if p.min_p > 0:
+            flags["do_min_p"] = True
+        if p.logprobs is not None:
+            flags["need_logprobs"] = True
         if p.dynatemp_min != 0.0 or p.dynatemp_max != 0.0:
             cols["dynatemp_min"][r] = p.dynatemp_min
             cols["dynatemp_max"][r] = p.dynatemp_max

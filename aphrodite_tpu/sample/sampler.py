@@ -368,14 +368,16 @@ def sample_tokens(
     key_xtc = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
     key_sample = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
 
-    if not flags.do_temp_last:
+    if not flags.all_greedy and not flags.do_temp_last:
         logits = _apply_temperature(logits, md, flags.do_advanced)
     if flags.do_advanced:
         logits = _apply_nsigma(logits, md)
-    logits = _apply_top_k_top_p(logits, md)
+    if flags.do_top_k_p:
+        logits = _apply_top_k_top_p(logits, md)
     if flags.do_advanced:
         logits = _apply_top_a(logits, md)
-    logits = _apply_min_p(logits, md)
+    if flags.do_min_p:
+        logits = _apply_min_p(logits, md)
     if flags.do_advanced:
         logits = _apply_tfs(logits, md)
         logits = _apply_eta(logits, md)
@@ -388,26 +390,38 @@ def sample_tokens(
     if flags.do_temp_last:
         logits = _apply_temperature(logits, md, flags.do_advanced)
 
-    logprobs_final = jax.nn.log_softmax(logits, axis=-1)
-    if flags.do_skew:
-        probs = jnp.exp(logprobs_final)
-        cum = jnp.cumsum(probs, axis=-1)
-        cum = cum ** jnp.exp(md.skew)[:, None]
-        probs = jnp.diff(cum, axis=-1, prepend=jnp.zeros_like(cum[:, :1]))
-        logprobs_final = jnp.log(jnp.maximum(probs, 1e-30))
+    need_lp = flags.need_logprobs or max_logprobs > 0
+    if flags.all_greedy:
+        tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logprobs_final = (jax.nn.log_softmax(logits, axis=-1)
+                          if need_lp or flags.do_skew else None)
+    else:
+        logprobs_final = jax.nn.log_softmax(logits, axis=-1)
+        if flags.do_skew:
+            probs = jnp.exp(logprobs_final)
+            cum = jnp.cumsum(probs, axis=-1)
+            cum = cum ** jnp.exp(md.skew)[:, None]
+            probs = jnp.diff(cum, axis=-1,
+                             prepend=jnp.zeros_like(cum[:, :1]))
+            logprobs_final = jnp.log(jnp.maximum(probs, 1e-30))
 
-    # Gumbel-max sampling on the final distribution; greedy rows take argmax
-    # of the *pre-randomness* logits.
-    gumbel = jax.vmap(
-        lambda k: jax.random.gumbel(k, logprobs_final.shape[-1:]))(key_sample)
-    noisy = jnp.where(jnp.isfinite(logprobs_final),
-                      logprobs_final + gumbel, NEG_INF)
-    sampled = jnp.argmax(noisy, axis=-1)
-    greedy_tok = jnp.argmax(logits, axis=-1)
-    tokens = jnp.where(md.is_greedy, greedy_tok, sampled).astype(jnp.int32)
+        # Gumbel-max sampling on the final distribution; greedy rows take
+        # argmax of the *pre-randomness* logits.
+        gumbel = jax.vmap(
+            lambda k: jax.random.gumbel(
+                k, logprobs_final.shape[-1:]))(key_sample)
+        noisy = jnp.where(jnp.isfinite(logprobs_final),
+                          logprobs_final + gumbel, NEG_INF)
+        sampled = jnp.argmax(noisy, axis=-1)
+        greedy_tok = jnp.argmax(logits, axis=-1)
+        tokens = jnp.where(md.is_greedy, greedy_tok,
+                           sampled).astype(jnp.int32)
 
-    chosen_lp = jnp.take_along_axis(logprobs_final, tokens[:, None],
-                                    axis=1)[:, 0]
+    if logprobs_final is not None:
+        chosen_lp = jnp.take_along_axis(logprobs_final, tokens[:, None],
+                                        axis=1)[:, 0]
+    else:
+        chosen_lp = jnp.zeros(tokens.shape, jnp.float32)
     out = {"tokens": tokens, "logprob": chosen_lp}
     if max_logprobs > 0:
         vals, idxs = jax.lax.top_k(logprobs_final, max_logprobs)

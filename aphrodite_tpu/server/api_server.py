@@ -1,0 +1,375 @@
+"""OpenAI-compatible API server (aiohttp).
+
+Parity target: aphrodite/endpoints/openai/api_server.py route surface
+(SURVEY.md §2.10): /v1/chat/completions (+SSE streaming), /v1/completions,
+/v1/models, /v1/tokenize, /v1/detokenize, /health, /ping, /version,
+/server_info, /reset_prefix_cache, /metrics (Prometheus text).
+Built on aiohttp (this environment ships no fastapi/uvicorn).
+"""
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+from typing import Optional
+
+from aiohttp import web
+
+import aphrodite_tpu
+from aphrodite_tpu.engine.async_llm import AsyncLLM, EngineDeadError
+from aphrodite_tpu.server.protocol import (
+    ChatCompletionChoice, ChatCompletionRequest, ChatCompletionResponse,
+    ChatCompletionStreamChoice, ChatCompletionStreamResponse, ChatMessage,
+    CompletionChoice, CompletionRequest, CompletionResponse,
+    DeltaMessage, DetokenizeRequest, DetokenizeResponse, ErrorResponse,
+    ModelCard, ModelList, TokenizeRequest, TokenizeResponse, UsageInfo,
+    random_uuid)
+from aphrodite_tpu.utils import logger
+
+
+def _err(msg: str, code: int = 400, etype: str = "BadRequestError"
+         ) -> web.Response:
+    return web.json_response(
+        ErrorResponse(message=msg, type=etype, code=code).model_dump(),
+        status=code)
+
+
+def _json(model) -> web.Response:
+    return web.json_response(model.model_dump())
+
+
+class OpenAIServer:
+    """Route handlers bound to one AsyncLLM."""
+
+    def __init__(self, engine: AsyncLLM, model_name: str) -> None:
+        self.engine = engine
+        self.model_name = model_name
+        self.start_time = time.time()
+        self.num_requests = 0
+        self.num_prompt_tokens = 0
+        self.num_generation_tokens = 0
+
+    # ----------------------------------------------------------------- app
+    def build_app(self) -> web.Application:
+        app = web.Application()
+        r = app.router
+        r.add_get("/health", self.health)
+        r.add_get("/ping", self.ping)
+        r.add_post("/ping", self.ping)
+        r.add_get("/version", self.version)
+        r.add_get("/server_info", self.server_info)
+        r.add_get("/metrics", self.metrics)
+        r.add_post("/reset_prefix_cache", self.reset_prefix_cache)
+        r.add_get("/v1/models", self.list_models)
+        r.add_post("/v1/tokenize", self.tokenize)
+        r.add_post("/v1/detokenize", self.detokenize)
+        r.add_post("/v1/chat/completions", self.chat_completions)
+        r.add_post("/v1/completions", self.completions)
+        return app
+
+    # --------------------------------------------------------------- admin
+    async def health(self, request: web.Request) -> web.Response:
+        try:
+            await self.engine.check_health()
+        except EngineDeadError:
+            return web.Response(status=500)
+        return web.Response(status=200)
+
+    async def ping(self, request: web.Request) -> web.Response:
+        return web.Response(status=200)
+
+    async def version(self, request: web.Request) -> web.Response:
+        return web.json_response({"version": aphrodite_tpu.__version__})
+
+    async def server_info(self, request: web.Request) -> web.Response:
+        return web.json_response({
+            "model": self.model_name,
+            "stats": self.engine.stats,
+            "uptime_s": time.time() - self.start_time,
+        })
+
+    async def reset_prefix_cache(self, request: web.Request) -> web.Response:
+        return web.json_response(
+            {"success": bool(self.engine.reset_prefix_cache())})
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        s = self.engine.stats
+        lines = [
+            "# TYPE aphrodite_num_requests_running gauge",
+            f"aphrodite_num_requests_running {s['num_running']}",
+            "# TYPE aphrodite_num_requests_waiting gauge",
+            f"aphrodite_num_requests_waiting {s['num_waiting']}",
+            "# TYPE aphrodite_kv_cache_usage_perc gauge",
+            f"aphrodite_kv_cache_usage_perc {s['kv_usage']:.6f}",
+            "# TYPE aphrodite_prefix_cache_hit_rate gauge",
+            f"aphrodite_prefix_cache_hit_rate "
+            f"{s['prefix_cache_hit_rate']:.6f}",
+            "# TYPE aphrodite_request_success_total counter",
+            f"aphrodite_request_success_total {self.num_requests}",
+            "# TYPE aphrodite_prompt_tokens_total counter",
+            f"aphrodite_prompt_tokens_total {self.num_prompt_tokens}",
+            "# TYPE aphrodite_generation_tokens_total counter",
+            f"aphrodite_generation_tokens_total "
+            f"{self.num_generation_tokens}",
+        ]
+        return web.Response(text="\n".join(lines) + "\n",
+                            content_type="text/plain")
+
+    # -------------------------------------------------------------- models
+    async def list_models(self, request: web.Request) -> web.Response:
+        card = ModelCard(
+            id=self.model_name, root=self.model_name,
+            max_model_len=self.engine.config.scheduler_config.max_model_len)
+        return _json(ModelList(data=[card]))
+
+    # ------------------------------------------------------------ tokenize
+    async def tokenize(self, request: web.Request) -> web.Response:
+        try:
+            req = TokenizeRequest(**await request.json())
+        except Exception as e:
+            return _err(str(e))
+        tok = self.engine.tokenizer
+        if req.messages is not None:
+            text = tok.apply_chat_template(req.messages, tokenize=False,
+                                           add_generation_prompt=True)
+        else:
+            text = req.prompt or ""
+        ids = tok.encode(text, add_special_tokens=req.add_special_tokens)
+        return _json(TokenizeResponse(
+            tokens=ids, count=len(ids),
+            max_model_len=self.engine.config.scheduler_config.max_model_len))
+
+    async def detokenize(self, request: web.Request) -> web.Response:
+        try:
+            req = DetokenizeRequest(**await request.json())
+        except Exception as e:
+            return _err(str(e))
+        return _json(DetokenizeResponse(
+            prompt=self.engine.tokenizer.decode(req.tokens)))
+
+    # ---------------------------------------------------- chat completions
+    def _render_chat(self, req: ChatCompletionRequest) -> str:
+        kwargs = req.chat_template_kwargs or {}
+        return self.engine.tokenizer.apply_chat_template(
+            req.messages, tokenize=False,
+            add_generation_prompt=req.add_generation_prompt,
+            chat_template=req.chat_template, **kwargs)
+
+    async def chat_completions(self, request: web.Request) -> web.Response:
+        try:
+            req = ChatCompletionRequest(**await request.json())
+            prompt = self._render_chat(req)
+            params = req.to_sampling_params()
+        except Exception as e:
+            return _err(str(e))
+        request_id = f"chatcmpl-{random_uuid()}"
+        model = req.model or self.model_name
+
+        if req.stream:
+            return await self._stream_chat(request, req, request_id, model,
+                                           prompt, params)
+
+        texts: dict[int, str] = {}
+        toks: dict[int, int] = {}
+        lps: dict[int, list] = {}
+        finish: dict[int, Optional[str]] = {}
+        stop_reason: dict[int, object] = {}
+        prompt_tokens = 0
+        try:
+            async for out in self.engine.generate(prompt, params,
+                                                  request_id):
+                prompt_tokens = len(out.prompt_token_ids)
+                for c in out.outputs:
+                    texts[c.index] = texts.get(c.index, "") + c.text
+                    toks[c.index] = toks.get(c.index, 0) + len(c.token_ids)
+                    finish[c.index] = c.finish_reason
+                    stop_reason[c.index] = c.stop_reason
+                    if c.logprobs:
+                        lps.setdefault(c.index, []).extend(c.logprobs)
+        except EngineDeadError:
+            return _err("engine is dead", 500, "InternalServerError")
+        except ValueError as e:
+            return _err(str(e))
+
+        tok = self.engine.tokenizer
+        choices = []
+        for i in sorted(texts):
+            logprobs = None
+            if i in lps:
+                content = []
+                for d in lps[i]:
+                    items = sorted(d.items(), key=lambda kv: -kv[1].logprob)
+                    chosen_tok, chosen = items[0]
+                    content.append({
+                        "token": tok.decode([chosen_tok]),
+                        "logprob": chosen.logprob,
+                        "top_logprobs": [
+                            {"token": tok.decode([t]), "logprob": lp.logprob}
+                            for t, lp in items],
+                    })
+                logprobs = {"content": content}
+            choices.append(ChatCompletionChoice(
+                index=i,
+                message=ChatMessage(role="assistant",
+                                    content=texts.get(i, "")),
+                finish_reason=finish.get(i) or "stop",
+                stop_reason=stop_reason.get(i),
+                logprobs=logprobs))
+        completion_tokens = sum(toks.values())
+        self.num_requests += 1
+        self.num_prompt_tokens += prompt_tokens
+        self.num_generation_tokens += completion_tokens
+        return _json(ChatCompletionResponse(
+            id=request_id, model=model, choices=choices,
+            usage=UsageInfo(
+                prompt_tokens=prompt_tokens,
+                completion_tokens=completion_tokens,
+                total_tokens=prompt_tokens + completion_tokens)))
+
+    async def _stream_chat(self, request, req, request_id, model, prompt,
+                           params) -> web.StreamResponse:
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache"})
+        await resp.prepare(request)
+
+        async def send(obj) -> None:
+            await resp.write(f"data: {obj.model_dump_json()}\n\n".encode())
+
+        first = ChatCompletionStreamResponse(
+            id=request_id, model=model,
+            choices=[ChatCompletionStreamChoice(
+                index=i, delta=DeltaMessage(role="assistant", content=""))
+                for i in range(params.n)])
+        await send(first)
+        n_prompt = n_gen = 0
+        try:
+            async for out in self.engine.generate(prompt, params,
+                                                  request_id):
+                n_prompt = len(out.prompt_token_ids)
+                choices = []
+                for c in out.outputs:
+                    n_gen += len(c.token_ids)
+                    if c.text or c.finish_reason:
+                        choices.append(ChatCompletionStreamChoice(
+                            index=c.index,
+                            delta=DeltaMessage(content=c.text),
+                            finish_reason=c.finish_reason))
+                if choices:
+                    await send(ChatCompletionStreamResponse(
+                        id=request_id, model=model, choices=choices))
+        except (EngineDeadError, ValueError) as e:
+            await send(ErrorResponse(message=str(e),
+                                     type="InternalServerError", code=500))
+        if req.stream_options and req.stream_options.get("include_usage"):
+            await send(ChatCompletionStreamResponse(
+                id=request_id, model=model, choices=[],
+                usage=UsageInfo(prompt_tokens=n_prompt,
+                                completion_tokens=n_gen,
+                                total_tokens=n_prompt + n_gen)))
+        self.num_requests += 1
+        self.num_prompt_tokens += n_prompt
+        self.num_generation_tokens += n_gen
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    # --------------------------------------------------------- completions
+    async def completions(self, request: web.Request) -> web.Response:
+        try:
+            req = CompletionRequest(**await request.json())
+            params = req.to_sampling_params()
+        except Exception as e:
+            return _err(str(e))
+        prompts = req.prompt
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        elif prompts and isinstance(prompts[0], int):
+            prompts = [prompts]
+        request_id = f"cmpl-{random_uuid()}"
+        model = req.model or self.model_name
+
+        if req.stream:
+            if len(prompts) != 1:
+                return _err("streaming supports a single prompt")
+            return await self._stream_completion(
+                request, req, request_id, model, prompts[0], params)
+
+        choices = []
+        usage = UsageInfo()
+        try:
+            for pi, prompt in enumerate(prompts):
+                texts: dict[int, str] = {}
+                finish: dict[int, Optional[str]] = {}
+                stop_reason: dict[int, object] = {}
+                ntok: dict[int, int] = {}
+                prompt_len = 0
+                async for out in self.engine.generate(
+                        prompt, params, f"{request_id}-{pi}"):
+                    prompt_len = len(out.prompt_token_ids)
+                    for c in out.outputs:
+                        texts[c.index] = texts.get(c.index, "") + c.text
+                        ntok[c.index] = ntok.get(c.index, 0) + \
+                            len(c.token_ids)
+                        finish[c.index] = c.finish_reason
+                        stop_reason[c.index] = c.stop_reason
+                usage.prompt_tokens += prompt_len
+                usage.completion_tokens += sum(ntok.values())
+                for i in sorted(texts):
+                    text = texts[i]
+                    if req.echo and isinstance(prompt, str):
+                        text = prompt + text
+                    choices.append(CompletionChoice(
+                        index=pi * params.n + i, text=text,
+                        finish_reason=finish.get(i) or "stop",
+                        stop_reason=stop_reason.get(i)))
+        except EngineDeadError:
+            return _err("engine is dead", 500, "InternalServerError")
+        except ValueError as e:
+            return _err(str(e))
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+        self.num_requests += 1
+        self.num_prompt_tokens += usage.prompt_tokens
+        self.num_generation_tokens += usage.completion_tokens
+        return _json(CompletionResponse(id=request_id, model=model,
+                                        choices=choices, usage=usage))
+
+    async def _stream_completion(self, request, req, request_id, model,
+                                 prompt, params) -> web.StreamResponse:
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache"})
+        await resp.prepare(request)
+        try:
+            async for out in self.engine.generate(prompt, params,
+                                                  request_id):
+                for c in out.outputs:
+                    if c.text or c.finish_reason:
+                        chunk = CompletionResponse(
+                            id=request_id, model=model,
+                            choices=[CompletionChoice(
+                                index=c.index, text=c.text,
+                                finish_reason=c.finish_reason,
+                                stop_reason=c.stop_reason)])
+                        await resp.write(
+                            f"data: {chunk.model_dump_json()}\n\n".encode())
+        except (EngineDeadError, ValueError) as e:
+            err = ErrorResponse(message=str(e), type="InternalServerError",
+                                code=500)
+            await resp.write(f"data: {err.model_dump_json()}\n\n".encode())
+        self.num_requests += 1
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+
+def build_app(engine: AsyncLLM, model_name: str) -> web.Application:
+    return OpenAIServer(engine, model_name).build_app()
+
+
+def run_server(config, model_name: str, host: str = "0.0.0.0",
+               port: int = 2242) -> None:
+    engine = AsyncLLM(config)
+    app = build_app(engine, model_name)
+    logger.info("serving %s on %s:%d", model_name, host, port)
+    web.run_app(app, host=host, port=port)

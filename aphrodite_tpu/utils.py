@@ -47,15 +47,31 @@ def pad_to_bucket(x: int, min_bucket: int, max_bucket: int) -> int:
     return min(max_bucket, max(min_bucket, next_power_of_2(x)))
 
 
-def bucket_schedule(min_bucket: int, max_bucket: int) -> list[int]:
-    """All power-of-two buckets in [min_bucket, max_bucket] (for precompile)."""
+def bucket_schedule(min_bucket: int, max_bucket: int,
+                    fine_above: int = 1024, fine_step: int = 512
+                    ) -> list[int]:
+    """Bucket ladder: powers of two up to ``fine_above``, then fixed
+    ``fine_step`` increments. Pow2 jumps near the top waste up to 2x compute
+    on full prefill steps; the fine region caps waste at ~fine_step/max."""
     out = []
     b = min_bucket
-    while b < max_bucket:
+    while b < min(max_bucket, fine_above):
         out.append(b)
         b *= 2
+    while b < max_bucket:
+        out.append(b)
+        b += fine_step
     out.append(max_bucket)
-    return out
+    return sorted(set(out))
+
+
+def pick_bucket(buckets: list[int], x: int) -> int:
+    """Smallest bucket >= x."""
+    import bisect
+    i = bisect.bisect_left(buckets, x)
+    if i == len(buckets):
+        raise ValueError(f"{x} exceeds max bucket {buckets[-1]}")
+    return buckets[i]
 
 
 class Counter:

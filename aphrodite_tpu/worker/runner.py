@@ -27,7 +27,8 @@ from aphrodite_tpu.sample.metadata import build_sampling_metadata
 from aphrodite_tpu.sample.sampler import sample_tokens
 from aphrodite_tpu.sampling_params import SamplingParams
 from aphrodite_tpu.utils import (bucket_schedule, cdiv, jax_dtype, logger,
-                                 next_power_of_2, pad_to_bucket)
+                                 next_power_of_2, pad_to_bucket, pick_bucket,
+                                 round_up)
 
 
 @dataclass
@@ -95,10 +96,10 @@ class ModelRunner:
         sc = config.scheduler_config
         tc = config.tpu_config
         # Budget + per-request segment-alignment slack (see execute_model).
-        self.token_buckets = bucket_schedule(
-            tc.min_token_bucket,
-            next_power_of_2(sc.max_num_batched_tokens +
-                            8 * sc.max_num_seqs))
+        max_tokens_padded = round_up(
+            sc.max_num_batched_tokens + 8 * sc.max_num_seqs, 512)
+        self.token_buckets = bucket_schedule(tc.min_token_bucket,
+                                             max_tokens_padded)
         self.req_buckets = bucket_schedule(
             tc.min_req_bucket, next_power_of_2(sc.max_num_seqs))
         self._rng_counter = 0
@@ -213,11 +214,10 @@ class ModelRunner:
             return ModelRunnerOutput(req_ids=[], sampled_token_ids=[])
 
         from aphrodite_tpu.attention.metadata import Q_SEGMENT_ALIGN
-        from aphrodite_tpu.utils import round_up
 
         order = list(so.num_scheduled_tokens.keys())
         R = len(order)
-        R_pad = pad_to_bucket(R, self.req_buckets[0], self.req_buckets[-1])
+        R_pad = pick_bucket(self.req_buckets, R)
 
         # ---- sampling metadata (host-side packing, shared by both paths) --
         reqs_meta = []
@@ -244,8 +244,7 @@ class ModelRunner:
         T = 0
         for rid in order:
             T = round_up(T, align) + so.num_scheduled_tokens[rid]
-        T_pad = pad_to_bucket(T, self.token_buckets[0],
-                              self.token_buckets[-1])
+        T_pad = pick_bucket(self.token_buckets, T)
 
         input_ids = np.zeros((T_pad,), np.int32)
         token_req = np.zeros((T_pad,), np.int32)

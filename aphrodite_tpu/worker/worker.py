@@ -27,6 +27,13 @@ class Worker:
 
     def __init__(self, config: EngineConfig) -> None:
         self.config = config
+        if config.device_config.device == "cpu":
+            # Make an explicit --device cpu authoritative even when a TPU
+            # plugin (e.g. axon sitecustomize) pre-selected itself.
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
         self.device_kind = config.device_config.resolve()
         pc = config.parallel_config
         self.mesh = (build_mesh(pc) if pc.world_size > 1 else None)

@@ -97,5 +97,66 @@ def build_tiny_tokenizer(save_dir, vocab_size=256):
     fast = PreTrainedTokenizerFast(
         tokenizer_object=tok, unk_token="<unk>", bos_token="<s>",
         eos_token="</s>")
+    fast.chat_template = (
+        "{% for m in messages %}{{ m['role'] }}: {{ m['content'] }}\n"
+        "{% endfor %}{% if add_generation_prompt %}assistant:{% endif %}")
     fast.save_pretrained(str(save_dir))
     return fast
+
+
+class RemoteOpenAIServer:
+    """Spawn the real server as a subprocess and wait for /health
+    (reference pattern: tests/utils.py:65 RemoteOpenAIServer)."""
+
+    def __init__(self, model_path, extra_args=(), port=None, timeout=180.0):
+        import os
+        import socket
+        import subprocess
+        import sys
+        import time
+
+        import httpx
+
+        if port is None:
+            with socket.socket() as s:
+                s.bind(("127.0.0.1", 0))
+                port = s.getsockname()[1]
+        self.port = port
+        self.base_url = f"http://127.0.0.1:{port}"
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))) + ":" + env.get("PYTHONPATH", ""))
+        self.proc = subprocess.Popen(
+            [sys.executable, "-m", "aphrodite_tpu.cli", "run",
+             str(model_path), "--host", "127.0.0.1", "--port", str(port),
+             "--device", "cpu", *extra_args],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if self.proc.poll() is not None:
+                out = self.proc.stdout.read().decode(errors="replace")
+                raise RuntimeError(f"server died:\n{out[-4000:]}")
+            try:
+                r = httpx.get(self.base_url + "/health", timeout=2)
+                if r.status_code == 200:
+                    return
+            except Exception:
+                pass
+            time.sleep(0.5)
+        self.kill()
+        raise TimeoutError("server did not become healthy")
+
+    def kill(self):
+        if self.proc.poll() is None:
+            self.proc.terminate()
+            try:
+                self.proc.wait(10)
+            except Exception:
+                self.proc.kill()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.kill()
