@@ -78,26 +78,45 @@ def create_model(model_config: ModelConfig):
 def load_model_params(model, model_config: ModelConfig,
                       load_config: LoadConfig,
                       mesh: Optional[jax.sharding.Mesh] = None,
-                      rng_seed: int = 0):
-    """Build the on-device parameter pytree (sharded if a mesh is given)."""
+                      rng_seed: int = 0,
+                      quant_config=None):
+    """Build the on-device parameter pytree (sharded if a mesh is given).
+    Quantized paths: packed GPTQ/AWQ checkpoints are repacked at load; fp
+    checkpoints (or dummy weights) are quantized on the fly."""
     fmt = load_config.load_format
     if fmt == "dummy":
         params = model.init_dummy_params(jax.random.PRNGKey(rng_seed))
+        if quant_config is not None:
+            from aphrodite_tpu.quantization.loader import (
+                quantize_stacked_params)
+            params = jax.tree.map(np.asarray, params)
+            params = quantize_stacked_params(params, quant_config)
+    elif quant_config is not None and quant_config.from_checkpoint:
+        from aphrodite_tpu.quantization.loader import load_llama_quantized
+        logger.info("loading %s-quantized weights from %s",
+                    quant_config.method, model_config.model)
+        params = load_llama_quantized(
+            model, weights_iterator(model_config.model), quant_config)
     else:
         logger.info("loading weights from %s", model_config.model)
         params = model.load_weights(weights_iterator(model_config.model))
+        if quant_config is not None:
+            from aphrodite_tpu.quantization.loader import (
+                quantize_stacked_params)
+            params = quantize_stacked_params(params, quant_config)
 
     specs = model.param_specs()
     if mesh is not None:
-        from jax.sharding import NamedSharding
+        from jax.sharding import NamedSharding, PartitionSpec
 
-        def place(path_spec, leaf):
-            return jax.device_put(leaf, NamedSharding(mesh, path_spec))
+        def rec(p, s):
+            if isinstance(p, dict):
+                return {k: rec(v, s.get(k) if isinstance(s, dict) else None)
+                        for k, v in p.items()}
+            spec = s if s is not None else PartitionSpec()
+            return jax.device_put(p, NamedSharding(mesh, spec))
 
-        # params and specs are congruent pytrees except quant-weight dicts,
-        # which specs treat as sub-trees with per-tensor specs.
-        params = jax.tree.map(place, specs, params,
-                              is_leaf=lambda x: x is None)
+        params = rec(params, specs)
     else:
         params = jax.tree.map(jax.device_put, params)
     return params

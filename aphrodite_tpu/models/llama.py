@@ -58,6 +58,13 @@ class LlamaForCausalLM:
         inv_freq, mscale = compute_inv_freq(self.rope)
         self._inv_freq = jnp.asarray(inv_freq)
         self._rope_mscale = mscale
+        # Quantization format for the linear weights ("w4a16" / "int8" /
+        # "w8a16" / "fp8"); None = full precision. Set by the worker.
+        self.quant_fmt = None
+
+    def set_quant_config(self, qcfg) -> None:
+        self.quant_fmt = {"gptq": "w4a16", "awq": "w4a16", "int8": "int8",
+                          "w8a16": "w8a16", "fp8": "fp8"}[qcfg.method]
 
     # ------------------------------------------------------------------ params
     def _layer_shapes(self) -> dict[str, tuple]:
@@ -169,6 +176,23 @@ class LlamaForCausalLM:
             "w_gate": P(None, None, "tp"), "w_up": P(None, None, "tp"),
             "w_down": P(None, "tp", None),
         }
+        if self.quant_fmt is not None:
+            # Quantized leaves are dicts: qweight shards like the fp weight;
+            # scale-like tensors shard on their output dim.
+            def qspec(wspec):
+                out_axis = wspec[2]  # None or "tp" on the output dim
+                in_axis = wspec[1]
+                d = {"qweight": wspec}
+                if self.quant_fmt == "w4a16":
+                    d["scales"] = P(None, None, out_axis)
+                    d["zeros"] = P(None, None, out_axis)
+                elif self.quant_fmt == "fp8":
+                    d["weight_scale"] = P(None, out_axis)
+                else:
+                    d["scales"] = P(None, out_axis)
+                return d
+            for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+                layers[k] = qspec(layers[k])
         if self.qkv_bias:
             layers.update(bq=P(None, "tp"), bk=P(None, "tp"),
                           bv=P(None, "tp"))
@@ -194,9 +218,10 @@ class LlamaForCausalLM:
             lp, kvc = xs
             # -- attention block
             h = rms_norm(x, lp["input_norm"], self.rms_eps)
-            q = apply_linear(h, lp["wq"], lp.get("bq"))
-            k = apply_linear(h, lp["wk"], lp.get("bk"))
-            v = apply_linear(h, lp["wv"], lp.get("bv"))
+            fmt = self.quant_fmt
+            q = apply_linear(h, lp["wq"], lp.get("bq"), fmt=fmt)
+            k = apply_linear(h, lp["wk"], lp.get("bk"), fmt=fmt)
+            v = apply_linear(h, lp["wv"], lp.get("bv"), fmt=fmt)
             T = q.shape[0]
             q = apply_rope(q.reshape(T, nq, hd), cos, sin)
             k = apply_rope(k.reshape(T, nkv, hd), cos, sin)
@@ -205,12 +230,12 @@ class LlamaForCausalLM:
             o = paged_attention(q, kvc, md, self.scale,
                                 sliding_window=self.sliding_window,
                                 use_pallas=use_pallas)
-            x = x + apply_linear(o.reshape(T, nq * hd), lp["wo"])
+            x = x + apply_linear(o.reshape(T, nq * hd), lp["wo"], fmt=fmt)
             # -- MLP block
             h = rms_norm(x, lp["post_norm"], self.rms_eps)
-            gate = apply_linear(h, lp["w_gate"])
-            up = apply_linear(h, lp["w_up"])
-            x = x + apply_linear(self.act(gate, up), lp["w_down"])
+            gate = apply_linear(h, lp["w_gate"], fmt=fmt)
+            up = apply_linear(h, lp["w_up"], fmt=fmt)
+            x = x + apply_linear(self.act(gate, up), lp["w_down"], fmt=fmt)
             return x, kvc
 
         x, new_cache = jax.lax.scan(layer, x, (params["layers"], kv_cache))

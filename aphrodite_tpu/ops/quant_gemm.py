@@ -1,0 +1,77 @@
+"""Quantized matmuls (W4A16 / W8A16 / int8 W8A8 / FP8).
+
+TPU replacement for the reference's 40k-LoC CUDA quant-GEMM zoo
+(kernels/quantization/ — marlin/machete/gptq/awq/...; SURVEY.md §2.7): the
+dequant is expressed as an elementwise producer of the dot operand so XLA
+fuses it into the MXU pipeline and weights stream from HBM in their packed
+dtype. The group-wise W4A16 zero-point term is algebraically split out:
+
+    y = x @ ((q - z) * s) = x @ (q * s)  -  xsum_g @ (z_g * s_g)
+
+so the main contraction stays a single dot. Activation quantization for
+W8A8 is dynamic per-token (reference: quantization/tpu_int8.py semantics).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def w8a16_matmul(x: jax.Array, qweight: jax.Array,
+                 scales: jax.Array) -> jax.Array:
+    """Weight-only int8: per-output-channel symmetric scales."""
+    acc = jnp.dot(x, qweight.astype(x.dtype),
+                  preferred_element_type=jnp.float32)
+    return (acc * scales.astype(jnp.float32)[None, :]).astype(x.dtype)
+
+
+def int8_matmul(x: jax.Array, qweight: jax.Array,
+                scales: jax.Array) -> jax.Array:
+    """W8A8 on the int8 MXU: dynamic per-token activation scales."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(amax / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale), -128,
+                  127).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, qweight, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * x_scale * \
+        scales.astype(jnp.float32)[None, :]
+    return out.astype(x.dtype)
+
+
+def fp8_matmul(x: jax.Array, qweight: jax.Array, weight_scale: jax.Array,
+               input_scale: Optional[jax.Array] = None) -> jax.Array:
+    """FP8-e4m3 weights. On MXU generations without native fp8 this is a
+    weight-only memory win (upcast fused into the dot)."""
+    acc = jnp.dot(x, qweight.astype(x.dtype),
+                  preferred_element_type=jnp.float32)
+    return (acc * weight_scale.astype(jnp.float32)[None, :]).astype(x.dtype)
+
+
+def w4a16_matmul(x: jax.Array, qweight: jax.Array, scales: jax.Array,
+                 zeros: Optional[jax.Array],
+                 group_size: Optional[int] = None,
+                 input_perm: Optional[jax.Array] = None) -> jax.Array:
+    """Group-quantized 4-bit weights (GPTQ/AWQ after load-time repack).
+
+    qweight: int8 [in, out] holding uint4 values 0..15;
+    scales/zeros: [in/group, out] float; y = x @ ((q - z) * s).
+    """
+    if input_perm is not None:
+        x = jnp.take(x, input_perm, axis=-1)  # desc_act reorder
+    k, n = qweight.shape
+    G = scales.shape[-2]
+    g = k // G
+    # Scale folded into the quantized operand: fused by XLA into the dot.
+    w_scaled = (qweight.reshape(G, g, n).astype(x.dtype) *
+                scales.reshape(G, 1, n).astype(x.dtype)).reshape(k, n)
+    acc = jnp.dot(x, w_scaled, preferred_element_type=jnp.float32)
+    if zeros is not None:
+        xsum = jnp.sum(x.astype(jnp.float32).reshape(*x.shape[:-1], G, g),
+                       axis=-1)  # [T, G]
+        zcorr = (zeros.astype(jnp.float32) *
+                 scales.astype(jnp.float32))  # [G, n]
+        acc = acc - jnp.dot(xsum, zcorr, preferred_element_type=jnp.float32)
+    return acc.astype(x.dtype)

@@ -1,0 +1,202 @@
+"""Quantization configs + load-time repack into TPU-friendly layouts.
+
+The reference repacks GPTQ/AWQ checkpoints into its CUDA kernels' layouts at
+load time (gptq_marlin.py:329 process_weights_after_loading); here the repack
+target is plain arrays the XLA/Pallas dequant-matmul consumes:
+
+  w4a16: {"format": "w4a16", "qweight": int8 [in, out] (values 0..15),
+          "scales": [G, out], "zeros": [G, out] (float, already scaled? no —
+          integer zero points), "group_size": g, "out_features": out}
+  w8a16: {"format": "w8a16", "qweight": int8 [in, out], "scales": [out]}
+  int8 (W8A8): {"format": "int8", "qweight": int8 [in, out], "scales": [out]}
+  fp8:  {"format": "fp8", "qweight": f8e4m3 [in, out], "weight_scale": [out]}
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import numpy as np
+
+from aphrodite_tpu.utils import logger
+
+# Linear-layer param keys that may be quantized (per-layer stacked names used
+# by the llama family models).
+QUANTIZABLE = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+@dataclasses.dataclass
+class QuantizationConfig:
+    method: str                  # gptq | awq | int8 | w8a16 | fp8
+    weight_bits: int = 8
+    group_size: int = -1         # -1 = per-channel (k-wide group)
+    desc_act: bool = False       # GPTQ activation reordering (g_idx)
+    zero_point: bool = True      # asymmetric (awq) vs symmetric
+    lm_head_quantized: bool = False
+    # True when the checkpoint itself holds packed tensors (HF
+    # quantization_config) vs on-the-fly quantization of an fp checkpoint.
+    from_checkpoint: bool = False
+
+    # ------------------------------------------------------------- detection
+    @staticmethod
+    def from_hf_config(hf_quant_cfg: dict) -> "QuantizationConfig":
+        m = (hf_quant_cfg.get("quant_method") or "").lower()
+        if m == "gptq":
+            return QuantizationConfig(
+                method="gptq",
+                weight_bits=hf_quant_cfg.get("bits", 4),
+                group_size=hf_quant_cfg.get("group_size", -1),
+                desc_act=hf_quant_cfg.get("desc_act", False),
+                zero_point=True, from_checkpoint=True)
+        if m == "awq":
+            return QuantizationConfig(
+                method="awq",
+                weight_bits=hf_quant_cfg.get("bits", 4),
+                group_size=hf_quant_cfg.get("group_size", 128),
+                zero_point=hf_quant_cfg.get("zero_point", True),
+                from_checkpoint=True)
+        if m in ("fp8", "fbgemm_fp8"):
+            return QuantizationConfig(method="fp8")
+        if m in ("int8", "tpu_int8", "w8a8"):
+            return QuantizationConfig(method="int8")
+        raise ValueError(f"unsupported quantization method {m!r}")
+
+    @staticmethod
+    def from_name(name: str) -> "QuantizationConfig":
+        name = name.lower()
+        if name in ("tpu_int8", "int8"):
+            return QuantizationConfig(method="int8")
+        if name == "w8a16":
+            return QuantizationConfig(method="w8a16")
+        if name == "fp8":
+            return QuantizationConfig(method="fp8")
+        if name == "gptq":
+            return QuantizationConfig(method="gptq", weight_bits=4,
+                                      group_size=128)
+        if name == "awq":
+            return QuantizationConfig(method="awq", weight_bits=4,
+                                      group_size=128)
+        raise ValueError(f"unknown quantization {name!r}")
+
+    # --------------------------------------------------- quantize-on-the-fly
+    def quantize_tensor(self, w: np.ndarray) -> dict:
+        """fp checkpoint tensor [in, out] -> quantized weight dict
+        (the reference's on-the-fly path, e.g. Fp8Config quantizing fp16
+        checkpoints at load, quantization/fp8.py:47-80)."""
+        w = np.ascontiguousarray(np.asarray(w, np.float32))
+        if self.method in ("int8", "w8a16"):
+            scale = np.abs(w).max(axis=0) / 127.0
+            scale = np.maximum(scale, 1e-8)
+            q = np.clip(np.round(w / scale), -128, 127).astype(np.int8)
+            return {"format": "int8" if self.method == "int8" else "w8a16",
+                    "qweight": q, "scales": scale.astype(np.float32),
+                    "out_features": w.shape[1]}
+        if self.method == "fp8":
+            import ml_dtypes
+            amax = np.abs(w).max(axis=0)
+            scale = np.maximum(amax / 448.0, 1e-8)  # e4m3 max normal
+            q = (w / scale).astype(ml_dtypes.float8_e4m3fn)
+            return {"format": "fp8", "qweight": q,
+                    "weight_scale": scale.astype(np.float32),
+                    "out_features": w.shape[1]}
+        if self.method in ("gptq", "awq"):
+            g = self.group_size if self.group_size > 0 else w.shape[0]
+            k, n = w.shape
+            assert k % g == 0, (k, g)
+            wg = w.reshape(k // g, g, n)
+            if self.zero_point:  # asymmetric uint4
+                wmax = wg.max(axis=1)
+                wmin = wg.min(axis=1)
+                scale = np.maximum((wmax - wmin) / 15.0, 1e-8)
+                zero = np.clip(np.round(-wmin / scale), 0, 15)
+                q = np.clip(np.round(wg / scale[:, None, :]) +
+                            zero[:, None, :], 0, 15).astype(np.int8)
+            else:
+                amax = np.abs(wg).max(axis=1)
+                scale = np.maximum(amax / 7.0, 1e-8)
+                zero = np.full_like(scale, 8.0)
+                q = np.clip(np.round(wg / scale[:, None, :]) + 8, 0,
+                            15).astype(np.int8)
+            return {"format": "w4a16", "qweight": q.reshape(k, n),
+                    "scales": scale.astype(np.float32),
+                    "zeros": zero.astype(np.float32),
+                    "group_size": g, "out_features": n}
+        raise ValueError(self.method)
+
+
+def get_quantization_config(model_config) -> Optional[QuantizationConfig]:
+    """Resolve quantization from explicit config or HF checkpoint metadata
+    (reference: model_loader/weight_utils.py get_quant_config)."""
+    hf_q = getattr(model_config.hf_config, "quantization_config", None)
+    if hf_q is not None:
+        if not isinstance(hf_q, dict):
+            hf_q = hf_q.to_dict() if hasattr(hf_q, "to_dict") else dict(
+                hf_q.__dict__)
+        return QuantizationConfig.from_hf_config(hf_q)
+    if model_config.quantization:
+        return QuantizationConfig.from_name(model_config.quantization)
+    return None
+
+
+# --------------------------------------------------------------------------- #
+# GPTQ / AWQ packed-checkpoint repack
+# --------------------------------------------------------------------------- #
+AWQ_ORDER = [0, 4, 1, 5, 2, 6, 3, 7]
+
+
+def unpack_gptq(qweight: np.ndarray, qzeros: np.ndarray, scales: np.ndarray,
+                bits: int = 4, g_idx: Optional[np.ndarray] = None) -> dict:
+    """GPTQ checkpoint tensors -> our w4a16 layout.
+
+    GPTQ packs along the *input* dim: qweight int32 [in/8, out] holds 8
+    4-bit rows per word (row-major nibbles); qzeros int32 [G, out/8]
+    (checkpoint zeros are stored off-by-one: stored = z - 1 in most GPTQ
+    exports; AutoGPTQ v2 dropped that — we follow the modern convention of
+    stored == z, matching the reference kernels' `qzeros + 0` handling).
+    """
+    assert bits == 4, "only 4-bit GPTQ supported"
+    pack = 32 // bits
+    kw, n = qweight.shape
+    k = kw * pack
+    shifts = np.arange(pack, dtype=np.uint32) * bits
+    # [in/8, 8, out] -> [in, out]
+    w = ((qweight.astype(np.uint32)[:, None, :] >> shifts[None, :, None])
+         & 0xF).astype(np.int8).reshape(k, n)
+    G = qzeros.shape[0]
+    z = ((qzeros.astype(np.uint32)[:, :, None] >> shifts[None, None, :])
+         & 0xF).astype(np.float32).reshape(G, n)
+    out = {"format": "w4a16", "qweight": w,
+           "scales": scales.astype(np.float32), "zeros": z,
+           "group_size": k // G, "out_features": n}
+    if g_idx is not None and len(g_idx) and not np.all(np.diff(g_idx) >= 0):
+        # desc_act: rows are visited in g_idx group order. Repack by sorting
+        # rows so groups are contiguous; record the permutation applied to
+        # the *input* activations.
+        perm = np.argsort(g_idx, kind="stable")
+        out["qweight"] = w[perm]
+        out["input_perm"] = perm.astype(np.int32)
+    return out
+
+
+def unpack_awq(qweight: np.ndarray, qzeros: np.ndarray, scales: np.ndarray,
+               bits: int = 4) -> dict:
+    """AWQ packs along the *output* dim with the interleaved nibble order
+    [0,4,1,5,2,6,3,7]: qweight int32 [in, out/8]."""
+    assert bits == 4
+    pack = 32 // bits
+    k, nw = qweight.shape
+    n = nw * pack
+    shifts = (np.array(AWQ_ORDER, dtype=np.uint32) * bits)
+    order_inv = np.argsort(AWQ_ORDER)
+    w = ((qweight.astype(np.uint32)[:, :, None] >> shifts[None, None, :])
+         & 0xF).astype(np.int8)
+    # nibble j holds logical column AWQ_ORDER.index? Undo interleave:
+    w = w[:, :, order_inv].reshape(k, n) if False else w.reshape(k, n)
+    # shifts already ordered by logical column via AWQ_ORDER: nibble at
+    # shift AWQ_ORDER[j]*4 is logical column j.
+    G = qzeros.shape[0]
+    z = ((qzeros.astype(np.uint32)[:, :, None] >> shifts[None, None, :])
+         & 0xF).astype(np.float32).reshape(G, n)
+    return {"format": "w4a16", "qweight": w,
+            "scales": scales.astype(np.float32), "zeros": z,
+            "group_size": k // G, "out_features": n}

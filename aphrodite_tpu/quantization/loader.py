@@ -1,0 +1,152 @@
+"""Quantized weight loading: on-the-fly quantization of fp checkpoints and
+repacking of GPTQ/AWQ packed checkpoints into the TPU layouts.
+
+Parity: the reference's load-time repack (gptq_marlin.py:329) and
+quantize-on-load (fp8.py) paths — SURVEY.md §2.6.
+"""
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import numpy as np
+
+from aphrodite_tpu.quantization.base import (QUANTIZABLE, QuantizationConfig,
+                                             unpack_awq, unpack_gptq)
+from aphrodite_tpu.utils import logger
+
+
+def quantize_stacked_params(params: dict, qcfg: QuantizationConfig) -> dict:
+    """Quantize an fp parameter tree's linear layers (stacked [L, in, out])
+    into quantized-weight dicts. Vectorized over the layer dim."""
+    layers = params["layers"]
+    for key in QUANTIZABLE:
+        w = layers.get(key)
+        if w is None:
+            continue
+        w = np.asarray(w, np.float32)  # [L, K, N]
+        L, K, N = w.shape
+        if qcfg.method in ("int8", "w8a16"):
+            scale = np.maximum(np.abs(w).max(axis=1) / 127.0, 1e-8)  # [L, N]
+            q = np.clip(np.round(w / scale[:, None, :]), -128,
+                        127).astype(np.int8)
+            layers[key] = {"qweight": q,
+                           "scales": scale.astype(np.float32)}
+        elif qcfg.method == "fp8":
+            import ml_dtypes
+            scale = np.maximum(np.abs(w).max(axis=1) / 448.0, 1e-8)
+            q = (w / scale[:, None, :]).astype(ml_dtypes.float8_e4m3fn)
+            layers[key] = {"qweight": q,
+                           "weight_scale": scale.astype(np.float32)}
+        elif qcfg.method in ("gptq", "awq"):
+            g = qcfg.group_size if 0 < qcfg.group_size <= K else K
+            G = K // g
+            wg = w.reshape(L, G, g, N)
+            wmax = wg.max(axis=2)
+            wmin = wg.min(axis=2)
+            scale = np.maximum((wmax - wmin) / 15.0, 1e-8)  # [L, G, N]
+            zero = np.clip(np.round(-wmin / scale), 0, 15)
+            q = np.clip(np.round(wg / scale[:, :, None, :]) +
+                        zero[:, :, None, :], 0, 15).astype(np.int8)
+            layers[key] = {"qweight": q.reshape(L, K, N),
+                           "scales": scale.astype(np.float32),
+                           "zeros": zero.astype(np.float32)}
+        else:
+            raise ValueError(qcfg.method)
+    logger.info("quantized %s on the fly (%s)", list(QUANTIZABLE),
+                qcfg.method)
+    return params
+
+
+# HF projection-name -> our stacked key (llama family).
+_PROJ_MAP = {
+    "self_attn.q_proj": "wq",
+    "self_attn.k_proj": "wk",
+    "self_attn.v_proj": "wv",
+    "self_attn.o_proj": "wo",
+    "mlp.gate_proj": "w_gate",
+    "mlp.up_proj": "w_up",
+    "mlp.down_proj": "w_down",
+}
+_QPARTS = ("qweight", "qzeros", "scales", "g_idx", "bias")
+
+
+def load_llama_quantized(model, weights: Iterable[tuple[str, np.ndarray]],
+                         qcfg: QuantizationConfig) -> dict:
+    """Load a GPTQ/AWQ-packed llama-family checkpoint: collect the packed
+    tensors per (layer, projection), unpack into the w4a16 layout, stack."""
+    import jax.numpy as jnp
+    import ml_dtypes
+    target = (np.dtype("bfloat16") if model.dtype == jnp.bfloat16
+              else np.dtype(jnp.dtype(model.dtype).name))
+    raw: dict[tuple[int, str], dict[str, np.ndarray]] = {}
+    params: dict = {}
+    other: dict[str, np.ndarray] = {}
+
+    for name, w in weights:
+        if name == "model.embed_tokens.weight":
+            params["embed"] = np.asarray(w).astype(target)
+        elif name == "model.norm.weight":
+            params["final_norm"] = np.asarray(w).astype(target)
+        elif name == "lm_head.weight":
+            if not model.tie_embeddings:
+                params["lm_head"] = np.asarray(w).T.astype(target)
+        elif name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            idx_str, sub = rest.split(".", 1)
+            li = int(idx_str)
+            matched = False
+            for proj, key in _PROJ_MAP.items():
+                if sub.startswith(proj + "."):
+                    part = sub[len(proj) + 1:]
+                    if part in _QPARTS:
+                        raw.setdefault((li, key), {})[part] = np.asarray(w)
+                        matched = True
+                    break
+            if not matched:
+                if sub == "input_layernorm.weight":
+                    other[f"input_norm.{li}"] = np.asarray(w)
+                elif sub == "post_attention_layernorm.weight":
+                    other[f"post_norm.{li}"] = np.asarray(w)
+
+    L = model.num_layers
+    layers: dict = {}
+    for norm in ("input_norm", "post_norm"):
+        buf = np.ones((L, model.hidden_size), target)
+        for li in range(L):
+            t = other.get(f"{norm}.{li}")
+            if t is not None:
+                buf[li] = t.astype(target)
+        layers[norm] = buf
+
+    for key in QUANTIZABLE:
+        per_layer = []
+        for li in range(L):
+            parts = raw.get((li, key))
+            if parts is None:
+                raise ValueError(f"missing quantized tensors for layer {li} "
+                                 f"{key}")
+            if qcfg.method == "gptq":
+                unpacked = unpack_gptq(parts["qweight"], parts["qzeros"],
+                                       parts["scales"],
+                                       bits=qcfg.weight_bits,
+                                       g_idx=parts.get("g_idx"))
+            else:
+                unpacked = unpack_awq(parts["qweight"], parts["qzeros"],
+                                      parts["scales"],
+                                      bits=qcfg.weight_bits)
+            per_layer.append(unpacked)
+        stacked = {
+            "qweight": np.stack([u["qweight"] for u in per_layer]),
+            "scales": np.stack([u["scales"] for u in per_layer]),
+            "zeros": np.stack([u["zeros"] for u in per_layer]),
+        }
+        if any("input_perm" in u for u in per_layer):
+            stacked["input_perm"] = np.stack(
+                [u.get("input_perm",
+                       np.arange(u["qweight"].shape[0], dtype=np.int32))
+                 for u in per_layer])
+        layers[key] = stacked
+    params["layers"] = layers
+    if "embed" not in params:
+        raise ValueError("checkpoint missing model.embed_tokens.weight")
+    return params

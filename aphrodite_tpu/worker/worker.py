@@ -39,9 +39,18 @@ class Worker:
         self.mesh = (build_mesh(pc) if pc.world_size > 1 else None)
 
         self.model = create_model(config.model_config)
+        from aphrodite_tpu.quantization.base import get_quantization_config
+        self.quant_config = get_quantization_config(config.model_config)
+        if self.quant_config is not None:
+            self.model.set_quant_config(self.quant_config)
+            logger.info("quantization: %s (bits=%d group=%d)",
+                        self.quant_config.method,
+                        self.quant_config.weight_bits,
+                        self.quant_config.group_size)
         self.params = load_model_params(
             self.model, config.model_config, config.load_config,
-            mesh=self.mesh, rng_seed=config.model_config.seed)
+            mesh=self.mesh, rng_seed=config.model_config.seed,
+            quant_config=self.quant_config)
 
         cc = config.cache_config
         if cc.num_blocks is None:
