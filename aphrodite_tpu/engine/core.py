@@ -28,6 +28,15 @@ class EngineCore:
         self.scheduler = Scheduler(config.scheduler_config,
                                    config.cache_config,
                                    num_lookahead_tokens=lookahead)
+        self.proposer = None
+        sc = config.speculative_config
+        if sc is not None and sc.method == "ngram" and \
+                sc.num_speculative_tokens > 0:
+            from aphrodite_tpu.spec_decode import NgramProposer
+            self.proposer = NgramProposer(
+                min_n=sc.prompt_lookup_min, max_n=sc.prompt_lookup_max,
+                num_speculative_tokens=sc.num_speculative_tokens)
+            self.worker.runner.spec_k = sc.num_speculative_tokens
 
     def add_request(self, request: Request) -> None:
         self.scheduler.add_request(request)
@@ -41,7 +50,22 @@ class EngineCore:
             return []
         sched_out = self.scheduler.schedule()
         runner_out = self.worker.execute_model(sched_out)
-        return self.scheduler.update_from_output(sched_out, runner_out)
+        outputs = self.scheduler.update_from_output(sched_out, runner_out)
+        if self.proposer is not None:
+            for req in self.scheduler.running:
+                # Draft only for decode-ready requests (prompt fully done).
+                # Token-history samplers (penalties/DRY/ngram-ban) need fresh
+                # context at every position — skip drafting for those.
+                p = req.sampling_params
+                if (req.num_computed_tokens + 1 == req.num_tokens
+                        and p.repetition_penalty == 1.0
+                        and p.presence_penalty == 0.0
+                        and p.frequency_penalty == 0.0
+                        and p.dry_multiplier == 0.0
+                        and p.no_repeat_ngram_size == 0):
+                    req.spec_token_ids = self.proposer.propose(
+                        req.all_token_ids)
+        return outputs
 
     def has_unfinished_requests(self) -> bool:
         return self.scheduler.has_unfinished_requests()

@@ -105,23 +105,34 @@ class ModelRunner:
         self._rng_counter = 0
         self._base_seed = config.model_config.seed
         self.use_graph_multi_step = True
+        # >0 when an ngram/draft proposer is active (set by the engine core):
+        # verification gathers spec_k+1 sample rows per request.
+        self.spec_k = 0
 
-        self._step_fn = jax.jit(self._step, donate_argnums=(1,),
-                                static_argnames=("flags", "max_logprobs"))
+        self._step_fn = jax.jit(
+            self._step, donate_argnums=(1,),
+            static_argnames=("flags", "max_logprobs", "spec_k"))
         self._multi_step_fn = jax.jit(
             self._multi_step, donate_argnums=(1,),
             static_argnames=("flags", "num_steps", "max_logprobs"))
 
     # -------------------------------------------------------------- jit step
     def _step(self, params, kv_cache, input_ids, md: AttentionMetadata,
-              smd, flags, max_logprobs):
+              smd, flags, max_logprobs, spec_k=0):
         """Fused forward + sample: ONE dispatch and one small d2h per engine
         step (the device round trip dominates decode latency on a tunneled
-        chip; see bench notes)."""
+        chip; see bench notes). With spec_k>0, gathers spec_k+1 rows per
+        request (the draft positions + bonus) for sample-and-match
+        verification."""
         hidden, kv_cache = self.model.apply(params, input_ids, kv_cache, md,
                                             use_pallas=self.use_pallas)
-        last_idx = jnp.clip(md.query_start_loc[1:] - 1, 0)
-        rows = jnp.take(hidden, last_idx, axis=0)
+        ends = jnp.clip(md.query_start_loc[1:] - 1, 0)
+        if spec_k > 0:
+            offs = jnp.arange(spec_k + 1, dtype=jnp.int32) - spec_k
+            row_idx = jnp.clip(ends[:, None] + offs[None, :], 0).reshape(-1)
+            rows = jnp.take(hidden, row_idx, axis=0)
+        else:
+            rows = jnp.take(hidden, ends, axis=0)
         logits = self.model.compute_logits(params, rows)
         out = sample_tokens(logits, smd, flags, max_logprobs)
         # Pack (tokens, logprob) into one [2, R] f32 array -> single d2h.
@@ -263,8 +274,10 @@ class ModelRunner:
             start = st.num_computed
             t = round_up(t, align)
             seg_starts[r] = t
-            toks = st.token_ids[start:start + n]
-            # Spec-decode drafts may extend past known tokens; padded later.
+            drafts = so.scheduled_spec_decode_tokens.get(rid)
+            all_toks = (st.token_ids + list(drafts)) if drafts \
+                else st.token_ids
+            toks = all_toks[start:start + n]
             input_ids[t:t + len(toks)] = toks
             token_req[t:t + n] = r
             token_pos[t:t + n] = np.arange(start, start + n)
@@ -303,11 +316,52 @@ class ModelRunner:
             **extra,
         )
 
+        spec_k = self.spec_k if so.scheduled_spec_decode_tokens else 0
+        if spec_k:
+            # Per-verification-row sampling metadata: row j of request r
+            # samples output position out_len + j - (k - m_r).
+            reqs2 = []
+            for rid in order:
+                st = self.requests[rid]
+                m = len(so.scheduled_spec_decode_tokens.get(rid, ()))
+                for j in range(spec_k + 1):
+                    reqs2.append((st.sampling_params, st.token_ids,
+                                  st.prompt_len,
+                                  max(st.output_len + j - (spec_k - m), 0)))
+            smd, flags = build_sampling_metadata(
+                reqs2, self.model.vocab_size, R_pad * (spec_k + 1),
+                base_seed=self._base_seed)
+            max_lp = 0
+
         packed, topk_v_d, topk_i_d, self.kv_cache = self._step_fn(
             self.params, self.kv_cache, jnp.asarray(input_ids), md, smd,
-            flags=flags, max_logprobs=max_lp)
+            flags=flags, max_logprobs=max_lp, spec_k=spec_k)
 
         packed = np.asarray(packed)  # single d2h
+
+        if spec_k:
+            tok2 = packed[0].view(np.int32)[:R * (spec_k + 1)].reshape(
+                R, spec_k + 1)
+            sampled = []
+            for r, rid in enumerate(order):
+                st = self.requests[rid]
+                if not samples_expected[r]:
+                    sampled.append([])
+                    continue
+                drafts = list(so.scheduled_spec_decode_tokens.get(rid, ()))
+                m = len(drafts)
+                cand = tok2[r, spec_k - m:]
+                emitted = []
+                for j in range(m):
+                    emitted.append(int(cand[j]))
+                    if int(cand[j]) != drafts[j]:
+                        break
+                else:
+                    emitted.append(int(cand[m]))  # all accepted: bonus token
+                sampled.append(emitted)
+                st.token_ids.extend(emitted)
+            return ModelRunnerOutput(req_ids=order,
+                                     sampled_token_ids=sampled)
         tokens_host = packed[0, :R].view(np.int32)
         lp_host = packed[1, :R]
         topk_v = (np.asarray(topk_v_d[:R]) if max_lp else None)
