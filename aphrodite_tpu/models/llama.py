@@ -233,14 +233,18 @@ class LlamaForCausalLM:
             x = x + apply_linear(o.reshape(T, nq * hd), lp["wo"], fmt=fmt)
             # -- MLP block
             h = rms_norm(x, lp["post_norm"], self.rms_eps)
-            gate = apply_linear(h, lp["w_gate"], fmt=fmt)
-            up = apply_linear(h, lp["w_up"], fmt=fmt)
-            x = x + apply_linear(self.act(gate, up), lp["w_down"], fmt=fmt)
+            x = x + self._mlp(h, lp)
             return x, kvc
 
         x, new_cache = jax.lax.scan(layer, x, (params["layers"], kv_cache))
         x = rms_norm(x, params["final_norm"], self.rms_eps)
         return x, new_cache
+
+    def _mlp(self, h: jax.Array, lp: dict) -> jax.Array:
+        fmt = self.quant_fmt
+        gate = apply_linear(h, lp["w_gate"], fmt=fmt)
+        up = apply_linear(h, lp["w_up"], fmt=fmt)
+        return apply_linear(self.act(gate, up), lp["w_down"], fmt=fmt)
 
     def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:
         head = params["embed"].T if self.tie_embeddings else params["lm_head"]

@@ -1,0 +1,153 @@
+"""Mixtral / Qwen2-MoE: sparse mixture-of-experts decoder.
+
+Parity: aphrodite/modeling/models/mixtral.py + layers/fused_moe (SURVEY.md
+§2.4 MoE row). The MoE block is computed as a scan over experts with a
+weighted dense combine — each expert's weights stream from HBM exactly once
+per step (bandwidth-optimal for decode, where most experts are hit anyway);
+a grouped-GEMM Pallas kernel for prefill FLOP-optimality is the documented
+follow-up. Expert tensors keep their intermediate dim sharded across `tp`
+like the dense MLP; expert-parallel placement (experts sharded across the
+mesh + all-to-all) is expressed by swapping the PartitionSpec on the
+expert dim.
+"""
+from __future__ import annotations
+
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from aphrodite_tpu.layers.common import rms_norm
+from aphrodite_tpu.models.llama import LlamaForCausalLM
+
+
+class MixtralForCausalLM(LlamaForCausalLM):
+
+    def __init__(self, config):
+        hf = config.text_config
+        self.num_experts = getattr(hf, "num_local_experts",
+                                   getattr(hf, "num_experts", 8))
+        self.top_k = getattr(hf, "num_experts_per_tok", 2)
+        self.norm_topk = getattr(hf, "norm_topk_prob", True)
+        super().__init__(config)
+        # MoE expert width (Qwen2-MoE uses a distinct moe_intermediate_size).
+        self.intermediate_size = getattr(hf, "moe_intermediate_size",
+                                         hf.intermediate_size)
+
+    # ------------------------------------------------------------------ params
+    def _layer_shapes(self) -> dict[str, tuple]:
+        shapes = super()._layer_shapes()
+        H, I, L, E = (self.hidden_size, self.intermediate_size,
+                      self.num_layers, self.num_experts)
+        for k in ("w_gate", "w_up", "w_down"):
+            del shapes[k]
+        shapes.update({
+            "router": (L, H, E),
+            "we_gate": (L, E, H, I),
+            "we_up": (L, E, H, I),
+            "we_down": (L, E, I, H),
+        })
+        return shapes
+
+    _HF_LAYER_MAP = dict(LlamaForCausalLM._HF_LAYER_MAP)
+    for _k in ("mlp.gate_proj.weight", "mlp.up_proj.weight",
+               "mlp.down_proj.weight"):
+        _HF_LAYER_MAP.pop(_k)
+
+    def load_weights(self, weights: Iterable[tuple[str, np.ndarray]]) -> dict:
+        """Route expert tensors into [L, E, ...] buffers; delegate the rest."""
+        expert_parts: list[tuple[str, np.ndarray]] = []
+
+        def split(ws):
+            for name, w in ws:
+                if ".block_sparse_moe." in name or ".mlp.experts." in name \
+                        or name.endswith("mlp.gate.weight") \
+                        or ".shared_expert" in name:
+                    expert_parts.append((name, np.asarray(w)))
+                else:
+                    yield name, w
+
+        params = super().load_weights(split(weights))
+        import ml_dtypes
+        target = params["embed"].dtype
+        L, E = self.num_layers, self.num_experts
+        H, I = self.hidden_size, self.intermediate_size
+        bufs = {
+            "router": np.zeros((L, H, E), target),
+            "we_gate": np.zeros((L, E, H, I), target),
+            "we_up": np.zeros((L, E, H, I), target),
+            "we_down": np.zeros((L, E, I, H), target),
+        }
+        # Mixtral: block_sparse_moe.gate / experts.N.w{1,2,3};
+        # Qwen2-MoE: mlp.gate / mlp.experts.N.{gate,up,down}_proj.
+        wmap = {"w1": "we_gate", "w3": "we_up", "w2": "we_down",
+                "gate_proj": "we_gate", "up_proj": "we_up",
+                "down_proj": "we_down"}
+        for name, w in expert_parts:
+            parts = name.split(".")
+            li = int(parts[2])
+            if name.endswith("gate.weight") and "experts" not in name:
+                bufs["router"][li] = w.T.astype(target)
+                continue
+            try:
+                ei = int(parts[parts.index("experts") + 1])
+            except ValueError:
+                continue  # shared experts: not supported yet
+            pkey = parts[-2]
+            key = wmap.get(pkey)
+            if key is not None:
+                bufs[key][li, ei] = w.T.astype(target)
+        params["layers"].update(bufs)
+        return params
+
+    def init_dummy_params(self, rng: jax.Array) -> dict:
+        params = super().init_dummy_params(rng)
+        return params
+
+    def param_specs(self) -> dict:
+        specs = super().param_specs()
+        for k in ("w_gate", "w_up", "w_down"):
+            specs["layers"].pop(k, None)
+        specs["layers"].update({
+            "router": P(),
+            "we_gate": P(None, None, None, "tp"),
+            "we_up": P(None, None, None, "tp"),
+            "we_down": P(None, None, "tp", None),
+        })
+        return specs
+
+    # ----------------------------------------------------------------- forward
+    def _mlp(self, h: jax.Array, lp: dict) -> jax.Array:
+        T = h.shape[0]
+        logits = jnp.dot(h, lp["router"],
+                         preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)  # [T, E]
+        topw, topi = jax.lax.top_k(probs, self.top_k)  # [T, k]
+        if self.norm_topk:
+            topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+        topw = topw.astype(h.dtype)
+
+        def expert(acc, xs):
+            wg, wu, wd, e = xs
+            y = self.act(jnp.dot(h, wg, preferred_element_type=jnp.float32)
+                         .astype(h.dtype),
+                         jnp.dot(h, wu, preferred_element_type=jnp.float32)
+                         .astype(h.dtype))
+            y = jnp.dot(y, wd, preferred_element_type=jnp.float32
+                        ).astype(h.dtype)
+            gate = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)  # [T]
+            return acc + gate[:, None] * y, None
+
+        E = self.num_experts
+        acc0 = jnp.zeros_like(h)
+        acc, _ = jax.lax.scan(
+            expert, acc0,
+            (lp["we_gate"], lp["we_up"], lp["we_down"],
+             jnp.arange(E, dtype=jnp.int32)))
+        return acc
+
+
+class Qwen2MoeForCausalLM(MixtralForCausalLM):
+    qkv_bias = True

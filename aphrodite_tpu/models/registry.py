@@ -13,6 +13,13 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     "LlamaForCausalLM": ("aphrodite_tpu.models.llama", "LlamaForCausalLM"),
     "MistralForCausalLM": ("aphrodite_tpu.models.llama", "MistralForCausalLM"),
     "Qwen2ForCausalLM": ("aphrodite_tpu.models.llama", "Qwen2ForCausalLM"),
+    "MixtralForCausalLM": ("aphrodite_tpu.models.mixtral",
+                           "MixtralForCausalLM"),
+    "Qwen2MoeForCausalLM": ("aphrodite_tpu.models.mixtral",
+                            "Qwen2MoeForCausalLM"),
+    "GemmaForCausalLM": ("aphrodite_tpu.models.gemma", "GemmaForCausalLM"),
+    "Gemma2ForCausalLM": ("aphrodite_tpu.models.gemma",
+                          "Gemma2ForCausalLM"),
 }
 
 MODEL_REGISTRY = dict(_TEXT_GENERATION)
