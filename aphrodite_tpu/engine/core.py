@@ -17,9 +17,16 @@ from aphrodite_tpu.worker.worker import Worker
 
 class EngineCore:
 
-    def __init__(self, config: EngineConfig) -> None:
+    def __init__(self, config: EngineConfig, tokenizer=None) -> None:
         self.config = config
         self.worker = Worker(config)
+        self.structured = None
+        if tokenizer is not None:
+            from aphrodite_tpu.structured_output import (
+                StructuredOutputManager)
+            self.structured = StructuredOutputManager(
+                tokenizer, self.worker.model.vocab_size,
+                tokenizer.eos_token_id)
         num_spec = (config.speculative_config.num_speculative_tokens
                     if config.speculative_config else 0)
         # Lookahead KV slots cover both speculative drafts and the in-graph
@@ -39,6 +46,12 @@ class EngineCore:
             self.worker.runner.spec_k = sc.num_speculative_tokens
 
     def add_request(self, request: Request) -> None:
+        gd = request.sampling_params.guided_decoding
+        if gd is not None and gd.num_constraints():
+            if self.structured is None:
+                raise ValueError(
+                    "guided decoding requires a tokenizer-backed engine")
+            self.structured.add_request(request.request_id, gd)
         self.scheduler.add_request(request)
 
     def abort_requests(self, request_ids: list[str]) -> None:
@@ -49,8 +62,34 @@ class EngineCore:
         if not self.scheduler.has_unfinished_requests():
             return []
         sched_out = self.scheduler.schedule()
+        if self.structured is not None and self.structured.requests:
+            import numpy as np
+            rows = {}
+            masks = []
+            for rid in sched_out.num_scheduled_tokens:
+                if self.structured.has(rid):
+                    req = self.scheduler.requests.get(rid)
+                    if req is None:
+                        continue
+                    n = sched_out.num_scheduled_tokens[rid]
+                    if req.num_computed_tokens + n >= req.num_tokens:
+                        rows[rid] = len(masks)
+                        masks.append(self.structured.bitmask_row(rid))
+            if masks:
+                sched_out.structured_output_request_ids = rows
+                sched_out.grammar_bitmask = np.stack(masks)
         runner_out = self.worker.execute_model(sched_out)
         outputs = self.scheduler.update_from_output(sched_out, runner_out)
+        if self.structured is not None and self.structured.requests:
+            for i, rid in enumerate(runner_out.req_ids):
+                if self.structured.has(rid):
+                    self.structured.advance(
+                        rid, runner_out.sampled_token_ids[i])
+            for eco in outputs:
+                if eco.finished:
+                    self.structured.remove_request(eco.req_id)
+            for rid in sched_out.finished_req_ids:
+                self.structured.remove_request(rid)
         if self.proposer is not None:
             for req in self.scheduler.running:
                 # Draft only for decode-ready requests (prompt fully done).
@@ -58,6 +97,7 @@ class EngineCore:
                 # context at every position — skip drafting for those.
                 p = req.sampling_params
                 if (req.num_computed_tokens + 1 == req.num_tokens
+                        and p.guided_decoding is None
                         and p.repetition_penalty == 1.0
                         and p.presence_penalty == 0.0
                         and p.frequency_penalty == 0.0

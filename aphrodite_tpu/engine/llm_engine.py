@@ -26,7 +26,7 @@ class LLMEngine:
                                       trust_remote_code=mc.trust_remote_code)
         self.tokenizer = tokenizer
         self.processor = Processor(config, tokenizer)
-        self.core = EngineCore(config)
+        self.core = EngineCore(config, tokenizer=tokenizer)
         self.output_processor = OutputProcessor(tokenizer)
         # parent request id -> expected child count (n>1 fan-out).
         self._fanout: dict[str, int] = {}

@@ -118,7 +118,7 @@ class ModelRunner:
 
     # -------------------------------------------------------------- jit step
     def _step(self, params, kv_cache, input_ids, md: AttentionMetadata,
-              smd, flags, max_logprobs, spec_k=0):
+              smd, flags, max_logprobs, spec_k=0, grammar_mask=None):
         """Fused forward + sample: ONE dispatch and one small d2h per engine
         step (the device round trip dominates decode latency on a tunneled
         chip; see bench notes). With spec_k>0, gathers spec_k+1 rows per
@@ -134,6 +134,14 @@ class ModelRunner:
         else:
             rows = jnp.take(hidden, ends, axis=0)
         logits = self.model.compute_logits(params, rows)
+        if grammar_mask is not None:
+            # Packed uint32 bitmask per row (structured output): unpack and
+            # mask in-graph (reference TPU structured_decode pattern).
+            R2, W = grammar_mask.shape
+            shifts = jnp.arange(32, dtype=jnp.uint32)
+            bits = (grammar_mask[:, :, None] >> shifts[None, None, :]) & 1
+            bits = bits.reshape(R2, W * 32)[:, :logits.shape[-1]]
+            logits = jnp.where(bits.astype(bool), logits, -jnp.inf)
         out = sample_tokens(logits, smd, flags, max_logprobs)
         # Pack (tokens, logprob) into one [2, R] f32 array -> single d2h.
         packed = jnp.stack([
@@ -333,9 +341,19 @@ class ModelRunner:
                 base_seed=self._base_seed)
             max_lp = 0
 
+        gmask = None
+        if so.grammar_bitmask is not None:
+            W = so.grammar_bitmask.shape[1]
+            full = np.full((R_pad, W), 0xFFFFFFFF, np.uint32)
+            for rid, row in so.structured_output_request_ids.items():
+                r = order.index(rid)
+                full[r] = so.grammar_bitmask[row]
+            gmask = jnp.asarray(full)
+
         packed, topk_v_d, topk_i_d, self.kv_cache = self._step_fn(
             self.params, self.kv_cache, jnp.asarray(input_ids), md, smd,
-            flags=flags, max_logprobs=max_lp, spec_k=spec_k)
+            flags=flags, max_logprobs=max_lp, spec_k=spec_k,
+            grammar_mask=gmask)
 
         packed = np.asarray(packed)  # single d2h
 

@@ -80,9 +80,11 @@ def make_prefill_metadata(prompts: list[list[int]], block_size: int,
 def build_tiny_tokenizer(save_dir, vocab_size=256):
     """Train a tiny byte-level BPE in-process (no network) and save it so
     AutoTokenizer.from_pretrained(save_dir) works."""
-    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+    from tokenizers import (Tokenizer, decoders, models, pre_tokenizers,
+                            trainers)
     tok = Tokenizer(models.BPE(unk_token="<unk>"))
     tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
     trainer = trainers.BpeTrainer(
         vocab_size=vocab_size,
         special_tokens=["<unk>", "<s>", "</s>"])
