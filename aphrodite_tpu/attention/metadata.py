@@ -50,6 +50,9 @@ class AttentionMetadata:
     # Static q-block size the work items were scheduled with.
     block_q: Optional[int] = field(default=None,
                                    metadata=dict(static=True))
+    # Per-token LoRA adapter slot ([T] int32; 0 = no adapter). Present only
+    # when LoRA serving is enabled.
+    lora_slots: Optional[jax.Array] = None
     # Pure-decode step (one token per request, token i belongs to request i):
     # routes to the decode-specialized kernel; metadata may be built in-graph.
     decode_mode: bool = field(default=False, metadata=dict(static=True))

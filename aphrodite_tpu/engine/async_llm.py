@@ -66,6 +66,7 @@ class AsyncLLM:
         prompt: PromptType,
         sampling_params: SamplingParams,
         request_id: str,
+        lora_name: Optional[str] = None,
     ) -> AsyncGenerator[RequestOutput, None]:
         """Yields incremental RequestOutputs (delta text/tokens) until
         finished."""
@@ -75,7 +76,8 @@ class AsyncLLM:
         q: asyncio.Queue = asyncio.Queue()
         self._streams[request_id] = q
         try:
-            self.engine.add_request(request_id, prompt, sampling_params)
+            self.engine.add_request(request_id, prompt, sampling_params,
+                                    lora_name=lora_name)
             self._wakeup.set()
             n_expect = sampling_params.n
             finished = 0

@@ -34,12 +34,20 @@ class LLMEngine:
     # ------------------------------------------------------------------ intake
     def add_request(self, request_id: str, prompt: PromptType,
                     params: Optional[SamplingParams] = None,
-                    arrival_time: Optional[float] = None) -> None:
+                    arrival_time: Optional[float] = None,
+                    lora_name: Optional[str] = None) -> None:
         params = params or SamplingParams()
+        if lora_name is not None:
+            # Validate at admission — a bad adapter name must reject THIS
+            # request, not poison the engine loop at dispatch time.
+            self.core.worker.lora_manager and \
+                self.core.worker.lora_manager.slot_of(lora_name)
+            if self.core.worker.lora_manager is None:
+                raise ValueError("LoRA is not enabled on this engine")
         n = params.n
         if n == 1:
             req = self.processor.process(request_id, prompt, params,
-                                         arrival_time)
+                                         arrival_time, lora_name=lora_name)
             self.core.add_request(req)
             self.output_processor.add_request(req)
             return

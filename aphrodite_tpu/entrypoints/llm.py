@@ -4,8 +4,8 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Union
 
 from aphrodite_tpu.config import (CacheConfig, DeviceConfig, EngineConfig,
-                                  LoadConfig, ModelConfig, ParallelConfig,
-                                  SchedulerConfig, TPUConfig)
+                                  LoadConfig, LoRAConfig, ModelConfig,
+                                  ParallelConfig, SchedulerConfig, TPUConfig)
 from aphrodite_tpu.engine.llm_engine import LLMEngine
 from aphrodite_tpu.engine.processor import PromptType
 from aphrodite_tpu.outputs import RequestOutput
@@ -36,6 +36,9 @@ def build_engine_config(
     load_format: str = "auto",
     enforce_eager: bool = False,
     speculative_config: Any = None,
+    enable_lora: bool = False,
+    max_loras: int = 4,
+    max_lora_rank: int = 16,
     **extra,
 ) -> EngineConfig:
     mc = ModelConfig(model=model, tokenizer=tokenizer, dtype=dtype,
@@ -62,6 +65,9 @@ def build_engine_config(
         device_config=DeviceConfig(device=device),
         load_config=LoadConfig(load_format=load_format),
         speculative_config=speculative_config,
+        lora_config=(LoRAConfig(max_loras=max_loras,
+                                max_lora_rank=max_lora_rank)
+                     if enable_lora else None),
         tpu_config=TPUConfig(**extra.pop("tpu_config", {})),
     )
 
@@ -77,12 +83,19 @@ class LLM:
     def get_tokenizer(self):
         return self.engine.tokenizer
 
+    def add_lora(self, name: str, path: str) -> int:
+        return self.engine.core.worker.add_lora(name, path)
+
+    def remove_lora(self, name: str) -> bool:
+        return self.engine.core.worker.remove_lora(name)
+
     def generate(
         self,
         prompts: Union[PromptType, Sequence[PromptType]],
         sampling_params: Union[SamplingParams, Sequence[SamplingParams],
                                None] = None,
         use_tqdm: bool = False,
+        lora_request: Union[str, None] = None,
     ) -> list[RequestOutput]:
         if isinstance(prompts, (str, dict)) or (
                 isinstance(prompts, list) and prompts
@@ -100,7 +113,8 @@ class LLM:
         for prompt, params in zip(prompts, sampling_params):
             rid = str(next(self._counter))
             order.append(rid)
-            self.engine.add_request(rid, prompt, params)
+            self.engine.add_request(rid, prompt, params,
+                                    lora_name=lora_request)
         agg = self._run(use_tqdm)
         return [self._finalize(agg[rid]) for rid in order]
 

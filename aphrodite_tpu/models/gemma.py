@@ -45,7 +45,11 @@ class GemmaForCausalLM(LlamaForCausalLM):
     def _norm(self, x, w):
         return rms_norm(x, w, self.rms_eps, offset=self.norm_offset)
 
-    def apply(self, params, input_ids, kv_cache, md, *, use_pallas=False):
+    def apply(self, params, input_ids, kv_cache, md, *, use_pallas=False,
+              lora=None):
+        if lora is not None:
+            raise NotImplementedError(
+                "LoRA is not wired into the Gemma forward yet")
         x = jnp.take(params["embed"], input_ids, axis=0)
         x = (x.astype(jnp.float32) * self.embed_scale).astype(x.dtype)
         cos, sin = compute_cos_sin(md.token_pos, self._inv_freq,

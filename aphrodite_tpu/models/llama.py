@@ -207,21 +207,33 @@ class LlamaForCausalLM:
 
     # ----------------------------------------------------------------- forward
     def apply(self, params: dict, input_ids: jax.Array, kv_cache: jax.Array,
-              md: AttentionMetadata, *, use_pallas: bool = False
+              md: AttentionMetadata, *, use_pallas: bool = False,
+              lora: dict | None = None
               ) -> tuple[jax.Array, jax.Array]:
         x = jnp.take(params["embed"], input_ids, axis=0)
         cos, sin = compute_cos_sin(md.token_pos, self._inv_freq,
                                    self._rope_mscale)
         nq, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        scan_layers = (params["layers"] if lora is None
+                       else {**params["layers"], **lora})
 
         def layer(x, xs):
             lp, kvc = xs
+
+            def lin(h, key, bias=None):
+                y = apply_linear(h, lp[key], bias, fmt=self.quant_fmt)
+                A = lp.get("lora_A_" + key)
+                if A is not None:
+                    from aphrodite_tpu.lora.models import lora_apply
+                    y = y + lora_apply(h, A, lp["lora_B_" + key],
+                                       md.lora_slots)
+                return y
+
             # -- attention block
             h = rms_norm(x, lp["input_norm"], self.rms_eps)
-            fmt = self.quant_fmt
-            q = apply_linear(h, lp["wq"], lp.get("bq"), fmt=fmt)
-            k = apply_linear(h, lp["wk"], lp.get("bk"), fmt=fmt)
-            v = apply_linear(h, lp["wv"], lp.get("bv"), fmt=fmt)
+            q = lin(h, "wq", lp.get("bq"))
+            k = lin(h, "wk", lp.get("bk"))
+            v = lin(h, "wv", lp.get("bv"))
             T = q.shape[0]
             q = apply_rope(q.reshape(T, nq, hd), cos, sin)
             k = apply_rope(k.reshape(T, nkv, hd), cos, sin)
@@ -230,21 +242,24 @@ class LlamaForCausalLM:
             o = paged_attention(q, kvc, md, self.scale,
                                 sliding_window=self.sliding_window,
                                 use_pallas=use_pallas)
-            x = x + apply_linear(o.reshape(T, nq * hd), lp["wo"], fmt=fmt)
+            x = x + lin(o.reshape(T, nq * hd), "wo")
             # -- MLP block
             h = rms_norm(x, lp["post_norm"], self.rms_eps)
-            x = x + self._mlp(h, lp)
+            x = x + self._mlp(h, lp, lin=lin)
             return x, kvc
 
-        x, new_cache = jax.lax.scan(layer, x, (params["layers"], kv_cache))
+        x, new_cache = jax.lax.scan(layer, x, (scan_layers, kv_cache))
         x = rms_norm(x, params["final_norm"], self.rms_eps)
         return x, new_cache
 
-    def _mlp(self, h: jax.Array, lp: dict) -> jax.Array:
-        fmt = self.quant_fmt
-        gate = apply_linear(h, lp["w_gate"], fmt=fmt)
-        up = apply_linear(h, lp["w_up"], fmt=fmt)
-        return apply_linear(self.act(gate, up), lp["w_down"], fmt=fmt)
+    def _mlp(self, h: jax.Array, lp: dict, lin=None) -> jax.Array:
+        if lin is None:
+            fmt = self.quant_fmt
+            lin = lambda hh, key, bias=None: apply_linear(  # noqa: E731
+                hh, lp[key], bias, fmt=fmt)
+        gate = lin(h, "w_gate")
+        up = lin(h, "w_up")
+        return lin(self.act(gate, up), "w_down")
 
     def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:
         head = params["embed"].T if self.tie_embeddings else params["lm_head"]

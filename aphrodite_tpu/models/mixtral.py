@@ -119,7 +119,7 @@ class MixtralForCausalLM(LlamaForCausalLM):
         return specs
 
     # ----------------------------------------------------------------- forward
-    def _mlp(self, h: jax.Array, lp: dict) -> jax.Array:
+    def _mlp(self, h: jax.Array, lp: dict, lin=None) -> jax.Array:
         T = h.shape[0]
         logits = jnp.dot(h, lp["router"],
                          preferred_element_type=jnp.float32)

@@ -65,6 +65,8 @@ class OpenAIServer:
         r.add_post("/v1/detokenize", self.detokenize)
         r.add_post("/v1/chat/completions", self.chat_completions)
         r.add_post("/v1/completions", self.completions)
+        r.add_post("/v1/load_lora_adapter", self.load_lora)
+        r.add_post("/v1/unload_lora_adapter", self.unload_lora)
         return app
 
     # --------------------------------------------------------------- admin
@@ -117,10 +119,44 @@ class OpenAIServer:
 
     # -------------------------------------------------------------- models
     async def list_models(self, request: web.Request) -> web.Response:
-        card = ModelCard(
-            id=self.model_name, root=self.model_name,
-            max_model_len=self.engine.config.scheduler_config.max_model_len)
-        return _json(ModelList(data=[card]))
+        mml = self.engine.config.scheduler_config.max_model_len
+        cards = [ModelCard(id=self.model_name, root=self.model_name,
+                           max_model_len=mml)]
+        for name in self._loras():
+            cards.append(ModelCard(id=name, root=self.model_name,
+                                   max_model_len=mml))
+        return _json(ModelList(data=cards))
+
+    def _loras(self) -> list[str]:
+        return self.engine.engine.core.worker.list_loras()
+
+    def _lora_for_model(self, model: Optional[str]):
+        """OpenAI 'model' field doubling as the adapter selector
+        (reference behavior for runtime LoRA)."""
+        if model and model in self._loras():
+            return model
+        return None
+
+    async def load_lora(self, request: web.Request) -> web.Response:
+        try:
+            body = await request.json()
+            name = body["lora_name"]
+            path = body.get("lora_path") or body.get("lora_local_path")
+            self.engine.engine.core.worker.add_lora(name, path)
+        except Exception as e:
+            return _err(str(e))
+        return web.json_response(
+            {"status": f"adapter {name!r} loaded"})
+
+    async def unload_lora(self, request: web.Request) -> web.Response:
+        try:
+            body = await request.json()
+            ok = self.engine.engine.core.worker.remove_lora(
+                body["lora_name"])
+        except Exception as e:
+            return _err(str(e))
+        return web.json_response({"status": "removed" if ok else
+                                  "not found"})
 
     # ------------------------------------------------------------ tokenize
     async def tokenize(self, request: web.Request) -> web.Response:
@@ -164,10 +200,11 @@ class OpenAIServer:
             return _err(str(e))
         request_id = f"chatcmpl-{random_uuid()}"
         model = req.model or self.model_name
+        lora = self._lora_for_model(req.model)
 
         if req.stream:
             return await self._stream_chat(request, req, request_id, model,
-                                           prompt, params)
+                                           prompt, params, lora)
 
         texts: dict[int, str] = {}
         toks: dict[int, int] = {}
@@ -177,7 +214,8 @@ class OpenAIServer:
         prompt_tokens = 0
         try:
             async for out in self.engine.generate(prompt, params,
-                                                  request_id):
+                                                  request_id,
+                                                  lora_name=lora):
                 prompt_tokens = len(out.prompt_token_ids)
                 for c in out.outputs:
                     texts[c.index] = texts.get(c.index, "") + c.text
@@ -227,7 +265,7 @@ class OpenAIServer:
                 total_tokens=prompt_tokens + completion_tokens)))
 
     async def _stream_chat(self, request, req, request_id, model, prompt,
-                           params) -> web.StreamResponse:
+                           params, lora=None) -> web.StreamResponse:
         resp = web.StreamResponse(
             headers={"Content-Type": "text/event-stream",
                      "Cache-Control": "no-cache"})
@@ -245,7 +283,8 @@ class OpenAIServer:
         n_prompt = n_gen = 0
         try:
             async for out in self.engine.generate(prompt, params,
-                                                  request_id):
+                                                  request_id,
+                                                  lora_name=lora):
                 n_prompt = len(out.prompt_token_ids)
                 choices = []
                 for c in out.outputs:
@@ -288,6 +327,7 @@ class OpenAIServer:
             prompts = [prompts]
         request_id = f"cmpl-{random_uuid()}"
         model = req.model or self.model_name
+        lora = self._lora_for_model(req.model)
 
         if req.stream:
             if len(prompts) != 1:
@@ -305,7 +345,8 @@ class OpenAIServer:
                 ntok: dict[int, int] = {}
                 prompt_len = 0
                 async for out in self.engine.generate(
-                        prompt, params, f"{request_id}-{pi}"):
+                        prompt, params, f"{request_id}-{pi}",
+                        lora_name=lora):
                     prompt_len = len(out.prompt_token_ids)
                     for c in out.outputs:
                         texts[c.index] = texts.get(c.index, "") + c.text

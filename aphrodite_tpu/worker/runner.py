@@ -39,6 +39,7 @@ class RequestState:
     num_computed: int
     block_ids: list[int]
     sampling_params: SamplingParams
+    lora_name: Optional[str] = None
     in_graph_sample_count: int = 0
 
     @property
@@ -54,7 +55,9 @@ class ModelRunner:
 
     def __init__(self, config: EngineConfig, model, params,
                  mesh: Optional[jax.sharding.Mesh] = None,
-                 use_pallas: Optional[bool] = None) -> None:
+                 use_pallas: Optional[bool] = None,
+                 lora_manager=None) -> None:
+        self.lora_manager = lora_manager
         self.config = config
         self.model = model
         self.params = params
@@ -118,14 +121,16 @@ class ModelRunner:
 
     # -------------------------------------------------------------- jit step
     def _step(self, params, kv_cache, input_ids, md: AttentionMetadata,
-              smd, flags, max_logprobs, spec_k=0, grammar_mask=None):
+              smd, flags, max_logprobs, spec_k=0, grammar_mask=None,
+              lora=None):
         """Fused forward + sample: ONE dispatch and one small d2h per engine
         step (the device round trip dominates decode latency on a tunneled
         chip; see bench notes). With spec_k>0, gathers spec_k+1 rows per
         request (the draft positions + bonus) for sample-and-match
         verification."""
         hidden, kv_cache = self.model.apply(params, input_ids, kv_cache, md,
-                                            use_pallas=self.use_pallas)
+                                            use_pallas=self.use_pallas,
+                                            lora=lora)
         ends = jnp.clip(md.query_start_loc[1:] - 1, 0)
         if spec_k > 0:
             offs = jnp.arange(spec_k + 1, dtype=jnp.int32) - spec_k
@@ -154,7 +159,8 @@ class ModelRunner:
 
     # ------------------------------------------------- multi-step decode scan
     def _multi_step(self, params, kv_cache, cur_tokens, seq_lens0,
-                    block_tables, smd, flags, num_steps, max_logprobs):
+                    block_tables, smd, flags, num_steps, max_logprobs,
+                    lora=None, lora_row_slots=None):
         """K decode steps in one dispatch: sampled token feeds the next step
         in-graph (scan carry); KV slots come from the block tables; RNG/
         min-tokens counters advance via step_offset."""
@@ -178,9 +184,11 @@ class ModelRunner:
                 block_tables=block_tables,
                 num_reqs=jnp.asarray(R, jnp.int32),
                 num_tokens=jnp.asarray(R, jnp.int32),
+                lora_slots=lora_row_slots,
                 decode_mode=True)
             hidden, kv = self.model.apply(params, toks, kv, md,
-                                          use_pallas=self.use_pallas)
+                                          use_pallas=self.use_pallas,
+                                          lora=lora)
             logits = self.model.compute_logits(params, hidden)
             out = sample_tokens(logits, smd, flags, max_logprobs,
                                 step_offset=i)
@@ -224,7 +232,8 @@ class ModelRunner:
                 prompt_len=len(nr.prompt_token_ids),
                 num_computed=nr.num_computed_tokens,
                 block_ids=list(nr.block_ids),
-                sampling_params=nr.sampling_params)
+                sampling_params=nr.sampling_params,
+                lora_name=nr.lora_name)
 
     # ------------------------------------------------------------- execution
     def execute_model(self, so: SchedulerOutput) -> ModelRunnerOutput:
@@ -341,6 +350,19 @@ class ModelRunner:
                 base_seed=self._base_seed)
             max_lp = 0
 
+        lora_arg = None
+        if self.lora_manager is not None and self.lora_manager.slots:
+            lora_slots = np.zeros((T_pad,), np.int32)
+            for r, rid in enumerate(order):
+                st = self.requests[rid]
+                if st.lora_name:
+                    slot = self.lora_manager.slot_of(st.lora_name)
+                    a, b = seg_starts[r], qsl[r + 1]
+                    lora_slots[a:b] = slot
+            md = __import__("dataclasses").replace(
+                md, lora_slots=jnp.asarray(lora_slots))
+            lora_arg = self.lora_manager.tensors
+
         gmask = None
         if so.grammar_bitmask is not None:
             W = so.grammar_bitmask.shape[1]
@@ -353,7 +375,7 @@ class ModelRunner:
         packed, topk_v_d, topk_i_d, self.kv_cache = self._step_fn(
             self.params, self.kv_cache, jnp.asarray(input_ids), md, smd,
             flags=flags, max_logprobs=max_lp, spec_k=spec_k,
-            grammar_mask=gmask)
+            grammar_mask=gmask, lora=lora_arg)
 
         packed = np.asarray(packed)  # single d2h
 
@@ -450,10 +472,20 @@ class ModelRunner:
             seq_lens0[r] = st.num_tokens
             block_tables[r, :len(st.block_ids)] = st.block_ids
 
+        lora_arg = lora_rows = None
+        if self.lora_manager is not None and self.lora_manager.slots:
+            rows = np.zeros((R_pad,), np.int32)
+            for r, rid in enumerate(order):
+                nm = self.requests[rid].lora_name
+                if nm:
+                    rows[r] = self.lora_manager.slot_of(nm)
+            lora_rows = jnp.asarray(rows)
+            lora_arg = self.lora_manager.tensors
         packed, topk_v_d, topk_i_d, self.kv_cache = self._multi_step_fn(
             self.params, self.kv_cache, jnp.asarray(cur_tokens),
             jnp.asarray(seq_lens0), jnp.asarray(block_tables), smd,
-            flags=flags, num_steps=num_steps, max_logprobs=max_lp)
+            flags=flags, num_steps=num_steps, max_logprobs=max_lp,
+            lora=lora_arg, lora_row_slots=lora_rows)
 
         packed = np.asarray(packed)  # [2, K, R_pad], single d2h
         tokens_k = packed[0, :, :R].view(np.int32)  # [K, R]

@@ -60,8 +60,34 @@ class Worker:
                 cc.num_blocks = self._determine_num_blocks()
         logger.info("KV pages: %d x %d tokens", cc.num_blocks, cc.block_size)
 
+        self.lora_manager = None
+        if config.lora_config is not None:
+            from aphrodite_tpu.lora import LoRAManager
+            from aphrodite_tpu.utils import jax_dtype
+            self.lora_manager = LoRAManager(
+                self.model, config.lora_config.max_loras,
+                config.lora_config.max_lora_rank,
+                dtype=jax_dtype(config.lora_config.lora_dtype
+                                if config.model_config.dtype != "float32"
+                                else "float32"))
+
         self.runner = ModelRunner(config, self.model, self.params,
-                                  mesh=self.mesh)
+                                  mesh=self.mesh,
+                                  lora_manager=self.lora_manager)
+
+    # ----------------------------------------------------------------- LoRA
+    def add_lora(self, name: str, path: str) -> int:
+        if self.lora_manager is None:
+            raise ValueError("LoRA is not enabled (pass enable_lora=True)")
+        return self.lora_manager.add_lora(name, path)
+
+    def remove_lora(self, name: str) -> bool:
+        if self.lora_manager is None:
+            return False
+        return self.lora_manager.remove_lora(name)
+
+    def list_loras(self) -> list[str]:
+        return self.lora_manager.list_loras() if self.lora_manager else []
 
     def _determine_num_blocks(self) -> int:
         """Size the KV pool from device memory stats (the reference's
