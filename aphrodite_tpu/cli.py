@@ -19,19 +19,71 @@ def main(argv=None) -> None:
     run_p.add_argument("--port", type=int, default=2242)
     run_p.add_argument("--served-model-name", default=None)
 
-    bench_p = sub.add_parser("bench", help="run the builtin benchmark")
-    bench_p.add_argument("bench_args", nargs="*")
+    bench_p = sub.add_parser(
+        "bench", help="benchmarks: latency | throughput | serve | perf")
+    bench_p.add_argument("kind",
+                         choices=["latency", "throughput", "serve", "perf"])
+    EngineArgs.add_cli_args(bench_p)
+    bench_p.add_argument("--num-prompts", type=int, default=32)
+    bench_p.add_argument("--input-len", type=int, default=128)
+    bench_p.add_argument("--output-len", type=int, default=64)
+    bench_p.add_argument("--batch-size", type=int, default=1)
+    bench_p.add_argument("--request-rate", type=float, default=float("inf"))
+    bench_p.add_argument("--num-iters", type=int, default=5)
 
     args = parser.parse_args(argv)
     if args.cmd == "run":
         serve(args)
     elif args.cmd == "bench":
-        import subprocess
+        bench(args)
+
+
+def bench(args) -> None:
+    import asyncio
+    import json
+
+    if args.kind == "perf":
+        # The repo-level regression bench (reference TPU CI workload).
         import os
+        import subprocess
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         sys.exit(subprocess.call(
-            [sys.executable, os.path.join(root, "bench.py")]
-            + args.bench_args))
+            [sys.executable, os.path.join(root, "bench.py")]))
+
+    from aphrodite_tpu.benchmarks.harness import (bench_latency,
+                                                  bench_serve_async,
+                                                  bench_throughput)
+    from aphrodite_tpu.engine.args import EngineArgs
+    engine_args = EngineArgs.from_cli_args(args)
+    if args.kind == "serve":
+        from aphrodite_tpu.engine.async_llm import AsyncLLM
+        engine = AsyncLLM(engine_args.create_engine_config())
+
+        async def run():
+            return await bench_serve_async(
+                engine, num_prompts=args.num_prompts,
+                input_len=args.input_len, output_len=args.output_len,
+                request_rate=args.request_rate)
+
+        result = asyncio.run(run())
+    else:
+        from aphrodite_tpu.engine.llm_engine import LLMEngine
+        from aphrodite_tpu.entrypoints.llm import LLM
+        from aphrodite_tpu.utils import Counter
+        llm = LLM.__new__(LLM)
+        llm.engine = LLMEngine(engine_args.create_engine_config())
+        llm._counter = Counter()
+        if args.kind == "latency":
+            result = bench_latency(llm,
+                                   input_len=args.input_len,
+                                   output_len=args.output_len,
+                                   batch_size=args.batch_size,
+                                   num_iters=args.num_iters)
+        else:
+            result = bench_throughput(llm, num_prompts=args.num_prompts,
+                                      input_len=args.input_len,
+                                      output_len=args.output_len)
+    print(json.dumps(result, indent=2))
 
 
 def serve(args) -> None:

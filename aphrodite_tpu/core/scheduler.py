@@ -56,6 +56,7 @@ class Scheduler:
 
         self.waiting: deque[Request] = deque()
         self.running: list[Request] = []
+        self.num_preemptions = 0
         self.requests: dict[str, Request] = {}
         # Finished/aborted since the last schedule() — runner purge list.
         self._finished_req_ids: set[str] = set()
@@ -198,6 +199,7 @@ class Scheduler:
             finished_req_ids=finished_ids)
 
     def _preempt(self, req: Request) -> None:
+        self.num_preemptions += 1
         self.running.remove(req)
         self.kv.free(req)
         req.status = RequestStatus.PREEMPTED

@@ -11,6 +11,7 @@ from typing import Optional
 from aphrodite_tpu.config import EngineConfig
 from aphrodite_tpu.core.request import Request, RequestStatus
 from aphrodite_tpu.core.scheduler import EngineCoreOutput, Scheduler
+from aphrodite_tpu.metrics import StatsAggregator
 from aphrodite_tpu.utils import logger
 from aphrodite_tpu.worker.worker import Worker
 
@@ -35,6 +36,7 @@ class EngineCore:
         self.scheduler = Scheduler(config.scheduler_config,
                                    config.cache_config,
                                    num_lookahead_tokens=lookahead)
+        self.stats = StatsAggregator()
         self.proposer = None
         sc = config.speculative_config
         if sc is not None and sc.method == "ngram" and \
@@ -46,6 +48,9 @@ class EngineCore:
             self.worker.runner.spec_k = sc.num_speculative_tokens
 
     def add_request(self, request: Request) -> None:
+        self.stats.on_request_arrival(request.request_id,
+                                      request.num_prompt_tokens,
+                                      request.metrics.arrival_time)
         gd = request.sampling_params.guided_decoding
         if gd is not None and gd.num_constraints():
             if self.structured is None:
@@ -62,6 +67,8 @@ class EngineCore:
         if not self.scheduler.has_unfinished_requests():
             return []
         sched_out = self.scheduler.schedule()
+        for rid in sched_out.num_scheduled_tokens:
+            self.stats.on_scheduled(rid)
         if self.structured is not None and self.structured.requests:
             import numpy as np
             rows = {}
@@ -80,6 +87,18 @@ class EngineCore:
                 sched_out.grammar_bitmask = np.stack(masks)
         runner_out = self.worker.execute_model(sched_out)
         outputs = self.scheduler.update_from_output(sched_out, runner_out)
+        for rid, drafts in sched_out.scheduled_spec_decode_tokens.items():
+            self.stats.spec_drafted += len(drafts)
+        if sched_out.scheduled_spec_decode_tokens:
+            for i, rid in enumerate(runner_out.req_ids):
+                if rid in sched_out.scheduled_spec_decode_tokens:
+                    self.stats.spec_accepted += max(
+                        0, len(runner_out.sampled_token_ids[i]) - 1)
+        for eco in outputs:
+            self.stats.on_tokens(eco.req_id, len(eco.new_token_ids))
+            if eco.finished:
+                self.stats.on_finished(eco.req_id)
+        self.stats.num_preemptions = self.scheduler.num_preemptions
         if self.structured is not None and self.structured.requests:
             for i, rid in enumerate(runner_out.req_ids):
                 if self.structured.has(rid):
@@ -112,3 +131,7 @@ class EngineCore:
 
     def reset_prefix_cache(self) -> bool:
         return self.scheduler.kv.reset_prefix_cache()
+
+    def metrics_text(self) -> str:
+        return "\n".join(
+            self.stats.prometheus_lines(self.scheduler)) + "\n" 

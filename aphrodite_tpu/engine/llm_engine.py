@@ -60,7 +60,8 @@ class LLMEngine:
             if params.seed is not None:
                 child.seed = params.seed + i
             req = self.processor.process(f"{request_id}-cld-{i}", prompt,
-                                         child, arrival_time)
+                                         child, arrival_time,
+                                         lora_name=lora_name)
             self.core.add_request(req)
             self.output_processor.add_request(req, parent_id=request_id,
                                               index=i)
@@ -94,3 +95,15 @@ class LLMEngine:
 
     def reset_prefix_cache(self) -> bool:
         return self.core.reset_prefix_cache()
+
+    def sleep(self, level: int = 1) -> None:
+        if self.core.has_unfinished_requests():
+            raise ValueError("cannot sleep with unfinished requests")
+        self.core.worker.sleep(level)
+
+    def wake_up(self) -> None:
+        self.core.worker.wake_up()
+
+    @property
+    def is_sleeping(self) -> bool:
+        return self.core.worker.is_sleeping

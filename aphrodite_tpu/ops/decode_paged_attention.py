@@ -36,7 +36,7 @@ def _decode_kernel(
     *, scale: float, chunk_pages: int, page_size: int,
     num_kv_heads: int, group: int, head_dim: int,
     sliding_window: Optional[int], logits_soft_cap: Optional[float],
-    max_pages: int,
+    max_pages: int, q_dtype=None,
 ):
     r = pl.program_id(0)
     chunk_kv = chunk_pages * page_size
@@ -82,6 +82,9 @@ def _decode_kernel(
             for h in range(num_kv_heads):
                 k_h = kv_vmem[slot, :, 0, h].reshape(chunk_kv, head_dim)
                 v_h = kv_vmem[slot, :, 1, h].reshape(chunk_kv, head_dim)
+                if k_h.dtype != q_dtype:  # fp8 KV cache: upcast for the MXU
+                    k_h = k_h.astype(q_dtype)
+                    v_h = v_h.astype(q_dtype)
                 q_h = q_ref[0, h]  # [group, hd]
                 s = jax.lax.dot_general(
                     q_h, k_h, (((1,), (1,)), ((), ())),
@@ -160,7 +163,7 @@ def decode_paged_attention(
         _decode_kernel, scale=scale, chunk_pages=chunk_pages,
         page_size=page_size, num_kv_heads=kvh, group=group, head_dim=hd,
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
-        max_pages=max_pages)
+        max_pages=max_pages, q_dtype=q.dtype)
 
     out = pl.pallas_call(
         kernel,

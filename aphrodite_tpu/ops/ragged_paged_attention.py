@@ -53,7 +53,7 @@ def _rpa_kernel(
     *, scale: float, block_q: int, chunk_pages: int, page_size: int,
     num_q_heads: int, num_kv_heads: int, head_dim: int,
     sliding_window: Optional[int], logits_soft_cap: Optional[float],
-    max_pages: int,
+    max_pages: int, q_dtype=None,
 ):
     it = pl.program_id(0)
     group = num_q_heads // num_kv_heads
@@ -120,6 +120,9 @@ def _rpa_kernel(
                 # Leading-dim slices only (Mosaic-friendly).
                 k_h = kv_vmem[slot, :, 0, h].reshape(chunk_kv, head_dim)
                 v_h = kv_vmem[slot, :, 1, h].reshape(chunk_kv, head_dim)
+                if k_h.dtype != q_dtype:  # fp8 KV cache: upcast for the MXU
+                    k_h = k_h.astype(q_dtype)
+                    v_h = v_h.astype(q_dtype)
                 q_h = q_vmem[h]  # [rows, hd]
                 s = jax.lax.dot_general(
                     q_h, k_h, (((1,), (1,)), ((), ())),
@@ -209,7 +212,7 @@ def ragged_paged_attention(
         _rpa_kernel, scale=scale, block_q=block_q, chunk_pages=chunk_pages,
         page_size=page_size, num_q_heads=nq, num_kv_heads=kvh, head_dim=hd,
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
-        max_pages=md.block_tables.shape[1])
+        max_pages=md.block_tables.shape[1], q_dtype=q.dtype)
 
     out_items = pl.pallas_call(
         kernel,

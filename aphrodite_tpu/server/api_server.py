@@ -67,7 +67,43 @@ class OpenAIServer:
         r.add_post("/v1/completions", self.completions)
         r.add_post("/v1/load_lora_adapter", self.load_lora)
         r.add_post("/v1/unload_lora_adapter", self.unload_lora)
+        r.add_post("/sleep", self.sleep)
+        r.add_post("/wake_up", self.wake_up)
+        r.add_get("/is_sleeping", self.is_sleeping)
+        r.add_post("/start_profile", self.start_profile)
+        r.add_post("/stop_profile", self.stop_profile)
         return app
+
+    # ---------------------------------------------------------- sleep / wake
+    async def sleep(self, request: web.Request) -> web.Response:
+        try:
+            level = int(request.query.get("level", "1"))
+            self.engine.engine.sleep(level)
+        except Exception as e:
+            return _err(str(e))
+        return web.Response(status=200)
+
+    async def wake_up(self, request: web.Request) -> web.Response:
+        self.engine.engine.wake_up()
+        return web.Response(status=200)
+
+    async def is_sleeping(self, request: web.Request) -> web.Response:
+        return web.json_response(
+            {"is_sleeping": self.engine.engine.is_sleeping})
+
+    async def start_profile(self, request: web.Request) -> web.Response:
+        try:
+            self.engine.engine.core.worker.start_profile()
+        except Exception as e:
+            return _err(str(e), 500, "InternalServerError")
+        return web.Response(status=200)
+
+    async def stop_profile(self, request: web.Request) -> web.Response:
+        try:
+            self.engine.engine.core.worker.stop_profile()
+        except Exception as e:
+            return _err(str(e), 500, "InternalServerError")
+        return web.Response(status=200)
 
     # --------------------------------------------------------------- admin
     async def health(self, request: web.Request) -> web.Response:
@@ -95,26 +131,7 @@ class OpenAIServer:
             {"success": bool(self.engine.reset_prefix_cache())})
 
     async def metrics(self, request: web.Request) -> web.Response:
-        s = self.engine.stats
-        lines = [
-            "# TYPE aphrodite_num_requests_running gauge",
-            f"aphrodite_num_requests_running {s['num_running']}",
-            "# TYPE aphrodite_num_requests_waiting gauge",
-            f"aphrodite_num_requests_waiting {s['num_waiting']}",
-            "# TYPE aphrodite_kv_cache_usage_perc gauge",
-            f"aphrodite_kv_cache_usage_perc {s['kv_usage']:.6f}",
-            "# TYPE aphrodite_prefix_cache_hit_rate gauge",
-            f"aphrodite_prefix_cache_hit_rate "
-            f"{s['prefix_cache_hit_rate']:.6f}",
-            "# TYPE aphrodite_request_success_total counter",
-            f"aphrodite_request_success_total {self.num_requests}",
-            "# TYPE aphrodite_prompt_tokens_total counter",
-            f"aphrodite_prompt_tokens_total {self.num_prompt_tokens}",
-            "# TYPE aphrodite_generation_tokens_total counter",
-            f"aphrodite_generation_tokens_total "
-            f"{self.num_generation_tokens}",
-        ]
-        return web.Response(text="\n".join(lines) + "\n",
+        return web.Response(text=self.engine.engine.core.metrics_text(),
                             content_type="text/plain")
 
     # -------------------------------------------------------------- models

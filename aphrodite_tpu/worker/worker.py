@@ -23,6 +23,24 @@ from aphrodite_tpu.worker.runner import ModelRunner
 _ACTIVATION_HEADROOM = 1 * 2**30
 
 
+def load_params_to_device(host_params, model, mesh):
+    """device_put a host pytree with the model's shardings (wake path)."""
+    import jax as _jax
+    if mesh is None:
+        return _jax.tree.map(_jax.device_put, host_params)
+    from jax.sharding import NamedSharding, PartitionSpec
+    specs = model.param_specs()
+
+    def rec(p, sp):
+        if isinstance(p, dict):
+            return {k: rec(v, sp.get(k) if isinstance(sp, dict) else None)
+                    for k, v in p.items()}
+        return _jax.device_put(
+            p, NamedSharding(mesh, sp if sp is not None
+                             else PartitionSpec()))
+    return rec(host_params, specs)
+
+
 class Worker:
 
     def __init__(self, config: EngineConfig) -> None:
@@ -118,3 +136,46 @@ class Worker:
 
     def execute_model(self, scheduler_output):
         return self.runner.execute_model(scheduler_output)
+
+    # ---------------------------------------------------------- sleep / wake
+    # Reference: cumem-based sleep levels (device_allocator/cumem.py,
+    # executor_base.py:197-232). TPU-native: level 1 frees the KV cache HBM;
+    # level 2 additionally offloads weights to host RAM via device_get.
+    def sleep(self, level: int = 1) -> None:
+        import jax.numpy as jnp
+        if self.runner.kv_cache is not None:
+            self._kv_shape = self.runner.kv_cache.shape
+            self._kv_dtype = self.runner.kv_cache.dtype
+            self.runner.kv_cache = None
+        if level >= 2 and not getattr(self, "_params_on_host", False):
+            self.params = jax.device_get(self.params)
+            self.runner.params = None
+            self._params_on_host = True
+        self.sleeping = True
+        logger.info("worker asleep (level %d)", level)
+
+    def wake_up(self) -> None:
+        import jax.numpy as jnp
+        if getattr(self, "_params_on_host", False):
+            self.params = load_params_to_device(
+                self.params, self.model, self.mesh)
+            self.runner.params = self.params
+            self._params_on_host = False
+        if self.runner.kv_cache is None:
+            self.runner.kv_cache = jnp.zeros(self._kv_shape, self._kv_dtype)
+        self.sleeping = False
+        logger.info("worker awake")
+
+    @property
+    def is_sleeping(self) -> bool:
+        return getattr(self, "sleeping", False)
+
+    # ------------------------------------------------------------- profiling
+    def start_profile(self, out_dir: str = "/tmp/aphrodite_tpu_profile"
+                      ) -> None:
+        jax.profiler.start_trace(out_dir)
+        logger.info("profiler started -> %s", out_dir)
+
+    def stop_profile(self) -> None:
+        jax.profiler.stop_trace()
+        logger.info("profiler stopped")
