@@ -138,6 +138,36 @@ class LLM:
             pbar.close()
         return agg
 
+    def embed(self, prompts, pooling: str = "last",
+              normalize: bool = True) -> list[list[float]]:
+        """Embedding/pooling path (reference: LLM.encode + Pooler,
+        aphrodite/modeling/layers/pooler.py): one forward over the prompt,
+        pooled final hidden states. No paged-KV persistence is needed for
+        single-shot embedding, so this runs outside the scheduler."""
+        import numpy as np
+        import jax.numpy as jnp
+        if isinstance(prompts, (str, dict)) or (
+                isinstance(prompts, list) and prompts
+                and isinstance(prompts[0], int)):
+            prompts = [prompts]
+        tok = self.engine.tokenizer
+        token_lists = []
+        for p in prompts:
+            if isinstance(p, str):
+                token_lists.append(tok.encode(p))
+            elif isinstance(p, dict):
+                token_lists.append(p.get("prompt_token_ids")
+                                   or tok.encode(p["prompt"]))
+            else:
+                token_lists.append(list(p))
+        worker = self.engine.core.worker
+        out = worker.runner.embed(token_lists, pooling=pooling)
+        out = np.asarray(out, np.float32)
+        if normalize:
+            out = out / np.maximum(
+                np.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+        return [row.tolist() for row in out]
+
     @staticmethod
     def _finalize(slot: dict[int, RequestOutput]) -> RequestOutput:
         """Merge per-index child outputs into one RequestOutput."""

@@ -21,7 +21,8 @@ from aphrodite_tpu.server.protocol import (
     ChatCompletionChoice, ChatCompletionRequest, ChatCompletionResponse,
     ChatCompletionStreamChoice, ChatCompletionStreamResponse, ChatMessage,
     CompletionChoice, CompletionRequest, CompletionResponse,
-    DeltaMessage, DetokenizeRequest, DetokenizeResponse, ErrorResponse,
+    DeltaMessage, DetokenizeRequest, DetokenizeResponse, EmbeddingData,
+    EmbeddingRequest, EmbeddingResponse, ErrorResponse,
     ModelCard, ModelList, TokenizeRequest, TokenizeResponse, UsageInfo,
     random_uuid)
 from aphrodite_tpu.utils import logger
@@ -67,12 +68,52 @@ class OpenAIServer:
         r.add_post("/v1/completions", self.completions)
         r.add_post("/v1/load_lora_adapter", self.load_lora)
         r.add_post("/v1/unload_lora_adapter", self.unload_lora)
+        r.add_post("/v1/embeddings", self.embeddings)
         r.add_post("/sleep", self.sleep)
         r.add_post("/wake_up", self.wake_up)
         r.add_get("/is_sleeping", self.is_sleeping)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
         return app
+
+    # ------------------------------------------------------------ embeddings
+    async def embeddings(self, request: web.Request) -> web.Response:
+        import asyncio as _asyncio
+        try:
+            req = EmbeddingRequest(**await request.json())
+        except Exception as e:
+            return _err(str(e))
+        inputs = req.input
+        if isinstance(inputs, str) or (
+                isinstance(inputs, list) and inputs
+                and isinstance(inputs[0], int)):
+            inputs = [inputs]
+        llm_engine = self.engine.engine
+        tok = llm_engine.tokenizer
+        token_lists = []
+        for p in inputs:
+            token_lists.append(tok.encode(p) if isinstance(p, str)
+                               else list(p))
+        loop = _asyncio.get_running_loop()
+        try:
+            vecs = await loop.run_in_executor(
+                None, lambda: llm_engine.core.worker.runner.embed(
+                    token_lists, pooling=req.pooling))
+        except Exception as e:
+            return _err(str(e), 500, "InternalServerError")
+        import numpy as _np
+        data = []
+        n_tok = 0
+        for i, v in enumerate(vecs):
+            v = _np.asarray(v, _np.float32)
+            v = v / max(float(_np.linalg.norm(v)), 1e-12)
+            if req.dimensions:
+                v = v[:req.dimensions]
+            data.append(EmbeddingData(index=i, embedding=v.tolist()))
+            n_tok += len(token_lists[i])
+        return _json(EmbeddingResponse(
+            data=data, model=req.model or self.model_name,
+            usage=UsageInfo(prompt_tokens=n_tok, total_tokens=n_tok)))
 
     # ---------------------------------------------------------- sleep / wake
     async def sleep(self, request: web.Request) -> web.Response:

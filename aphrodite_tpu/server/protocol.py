@@ -259,6 +259,27 @@ class CompletionResponse(BaseModel):
     usage: UsageInfo = Field(default_factory=UsageInfo)
 
 
+class EmbeddingRequest(BaseModel):
+    model: Optional[str] = None
+    input: Union[str, list[str], list[int], list[list[int]]]
+    encoding_format: str = "float"
+    dimensions: Optional[int] = None
+    pooling: str = "last"  # extension: last | mean
+
+
+class EmbeddingData(BaseModel):
+    object: str = "embedding"
+    index: int
+    embedding: list[float]
+
+
+class EmbeddingResponse(BaseModel):
+    object: str = "list"
+    data: list[EmbeddingData] = Field(default_factory=list)
+    model: str = ""
+    usage: UsageInfo = Field(default_factory=UsageInfo)
+
+
 class TokenizeRequest(BaseModel):
     model: Optional[str] = None
     prompt: Optional[str] = None

@@ -436,6 +436,85 @@ class ModelRunner:
             sampled_token_ids=sampled,
             logprobs=logprobs_out if any_lp else None)
 
+    # ---------------------------------------------------------------- pooling
+    def embed(self, token_lists: list[list[int]], pooling: str = "last"):
+        """One-shot pooled forward for embedding requests (no persistent
+        paged KV needed). pooling: "last" | "mean"."""
+        from aphrodite_tpu.attention.backend import kv_cache_shape
+        from aphrodite_tpu.attention.metadata import (Q_SEGMENT_ALIGN,
+                                                      build_work_items)
+        model = self.model
+        outs = []
+        align = Q_SEGMENT_ALIGN if self.use_pallas else 1
+        max_b = 8
+        for start in range(0, len(token_lists), max_b):
+            chunk = token_lists[start:start + max_b]
+            R = len(chunk)
+            R_pad = pick_bucket(self.req_buckets, R)
+            total = sum(round_up(len(tl), align) for tl in chunk)
+            T_pad = pick_bucket(self.token_buckets, total)
+            ids = np.zeros((T_pad,), np.int32)
+            token_req = np.zeros((T_pad,), np.int32)
+            token_pos = np.zeros((T_pad,), np.int32)
+            slots = np.full((T_pad,), -1, np.int32)
+            qsl = np.zeros((R_pad + 1,), np.int32)
+            seq_lens = np.zeros((R_pad,), np.int32)
+            seg_starts = np.zeros((R_pad,), np.int32)
+            npages = cdiv(max((len(tl) for tl in chunk), default=1),
+                          self.block_size)
+            bt = np.zeros((R_pad, npages + 1), np.int32)
+            t = 0
+            page = 1
+            for r, tl in enumerate(chunk):
+                t = round_up(t, align)
+                seg_starts[r] = t
+                pg = list(range(page, page + cdiv(len(tl),
+                                                  self.block_size)))
+                page += len(pg)
+                bt[r, :len(pg)] = pg
+                for i, tokid in enumerate(tl):
+                    ids[t] = tokid
+                    token_req[t] = r
+                    token_pos[t] = i
+                    slots[t] = pg[i // self.block_size] * self.block_size \
+                        + i % self.block_size
+                    t += 1
+                qsl[r + 1] = t
+                seq_lens[r] = len(tl)
+            qsl[R + 1:] = t
+            extra = {}
+            if self.use_pallas:
+                blk_q = min(128, T_pad)
+                items = build_work_items(
+                    seg_starts, qsl[1:R_pad + 1] - seg_starts[:R_pad],
+                    seq_lens, R, T_pad, blk_q, R_pad)
+                extra = {k: jnp.asarray(v) for k, v in items.items()}
+                extra["block_q"] = blk_q
+            md = AttentionMetadata(
+                token_req_idx=jnp.asarray(token_req),
+                token_pos=jnp.asarray(token_pos),
+                slot_mapping=jnp.asarray(slots),
+                query_start_loc=jnp.asarray(qsl),
+                seq_lens=jnp.asarray(seq_lens),
+                block_tables=jnp.asarray(bt),
+                num_reqs=jnp.asarray(R, jnp.int32),
+                num_tokens=jnp.asarray(t, jnp.int32),
+                **extra)
+            kv = jnp.zeros(
+                kv_cache_shape(page + 1, self.block_size,
+                               model.num_kv_heads, model.head_dim,
+                               pad_head_dim=self.use_pallas)[0:5],
+                self.kv_dtype)
+            kv = jnp.broadcast_to(kv, (model.num_layers,) + kv.shape).copy()
+            hidden, _ = jax.jit(model.apply, static_argnames=("use_pallas",)
+                                )(self.params, jnp.asarray(ids), kv, md,
+                                  use_pallas=self.use_pallas)
+            hidden = np.asarray(hidden.astype(jnp.float32))
+            for r, tl in enumerate(chunk):
+                seg = hidden[seg_starts[r]:seg_starts[r] + len(tl)]
+                outs.append(seg.mean(0) if pooling == "mean" else seg[-1])
+        return outs
+
     # --------------------------------------------------- multi-step machinery
     def _multi_step_eligibility(self, so: SchedulerOutput, order, flags
                                 ) -> int:

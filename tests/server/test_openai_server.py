@@ -135,3 +135,14 @@ def test_bad_request(server):
         "temperature": -1,
     }, timeout=30)
     assert r.status_code == 400
+
+
+def test_embeddings_route(server):
+    r = httpx.post(server.base_url + "/v1/embeddings",
+                   json={"input": "hello world"}, timeout=120)
+    assert r.status_code == 200, r.text
+    body = r.json()
+    assert body["object"] == "list"
+    assert len(body["data"]) == 1
+    emb = body["data"][0]["embedding"]
+    assert len(emb) == 64  # hidden size of the tiny model
