@@ -18,6 +18,9 @@ def main(argv=None) -> None:
     run_p.add_argument("--host", default="0.0.0.0")
     run_p.add_argument("--port", type=int, default=2242)
     run_p.add_argument("--served-model-name", default=None)
+    run_p.add_argument("--multiprocess-engine", action="store_true",
+                       help="run the engine core in an isolated process "
+                            "(ZMQ boundary)")
 
     bench_p = sub.add_parser(
         "bench", help="benchmarks: latency | throughput | serve | perf")
@@ -93,7 +96,8 @@ def serve(args) -> None:
     engine_args = EngineArgs.from_cli_args(args)
     config = engine_args.create_engine_config()
     run_server(config, args.served_model_name or engine_args.model,
-               host=args.host, port=args.port)
+               host=args.host, port=args.port,
+               multiprocess=getattr(args, "multiprocess_engine", False))
 
 
 if __name__ == "__main__":

@@ -1,9 +1,13 @@
 """Async engine frontend for serving.
 
 Analog of the reference v1 AsyncLLM (aphrodite/v1/engine/async_llm.py:41):
-per-request output streams fed by a background engine loop. The engine step
-(device-bound) runs in a thread executor so the event loop stays responsive;
-the process-separated ZMQ core can be swapped in behind the same interface.
+per-request output streams fed by a background engine loop. Two backends:
+
+- in-process (default): wraps the synchronous LLMEngine; the device-bound
+  step runs in a thread executor.
+- multiprocess: the scheduler+worker live in an isolated EngineCoreProc and
+  requests/outputs cross a ZMQ boundary (reference v1 architecture,
+  v1/engine/core.py:419); tokenization/detokenization stay in the frontend.
 """
 from __future__ import annotations
 
@@ -24,25 +28,53 @@ class EngineDeadError(RuntimeError):
 
 class AsyncLLM:
 
-    def __init__(self, config: EngineConfig) -> None:
-        self.engine = LLMEngine(config)
+    def __init__(self, config: EngineConfig,
+                 multiprocess: bool = False) -> None:
         self.config = config
+        self.multiprocess = multiprocess
         self._streams: dict[str, asyncio.Queue] = {}
+        self._fanout: dict[str, int] = {}
         self._loop_task: Optional[asyncio.Task] = None
         self._wakeup = asyncio.Event()
         self._dead: Optional[BaseException] = None
 
+        if multiprocess:
+            from aphrodite_tpu.engine.core_proc import MPEngineCoreClient
+            from aphrodite_tpu.engine.output_processor import OutputProcessor
+            from aphrodite_tpu.engine.processor import Processor
+            from aphrodite_tpu.tokenizer_utils import get_tokenizer
+            mc = config.model_config
+            tokenizer = (get_tokenizer(mc.tokenizer,
+                                       trust_remote_code=mc.trust_remote_code)
+                         if mc.tokenizer != "unused" else None)
+            self._tokenizer = tokenizer
+            self.client = MPEngineCoreClient(config)
+            self.processor = Processor(config, tokenizer)
+            self.output_processor = OutputProcessor(tokenizer)
+            self.engine = None
+        else:
+            self.engine = LLMEngine(config)
+            self._tokenizer = self.engine.tokenizer
+
     @property
     def tokenizer(self):
-        return self.engine.tokenizer
+        return self._tokenizer
 
     # ------------------------------------------------------------------ loop
     def _ensure_loop(self) -> None:
         if self._loop_task is None or self._loop_task.done():
+            target = (self._run_loop_mp if self.multiprocess
+                      else self._run_loop_inproc)
             self._loop_task = asyncio.get_running_loop().create_task(
-                self._run_loop())
+                target())
 
-    async def _run_loop(self) -> None:
+    def _route(self, outputs) -> None:
+        for out in outputs:
+            q = self._streams.get(out.request_id)
+            if q is not None:
+                q.put_nowait(out)
+
+    async def _run_loop_inproc(self) -> None:
         loop = asyncio.get_running_loop()
         try:
             while True:
@@ -50,17 +82,68 @@ class AsyncLLM:
                     self._wakeup.clear()
                     await self._wakeup.wait()
                 outputs = await loop.run_in_executor(None, self.engine.step)
-                for out in outputs:
-                    q = self._streams.get(out.request_id)
-                    if q is not None:
-                        q.put_nowait(out)
-        except Exception as e:  # engine death: fail all pending streams
+                self._route(outputs)
+        except Exception as e:
             logger.exception("engine loop died")
-            self._dead = e
-            for q in self._streams.values():
-                q.put_nowait(e)
+            self._die(e)
+
+    async def _run_loop_mp(self) -> None:
+        loop = asyncio.get_running_loop()
+        try:
+            while True:
+                eco = await loop.run_in_executor(None,
+                                                 self.client.get_outputs)
+                outputs, to_abort = self.output_processor.process_outputs(
+                    eco)
+                if to_abort:
+                    self.client.abort_requests(to_abort)
+                self._route(outputs)
+        except Exception as e:
+            logger.exception("engine core output loop died")
+            self._die(e)
+
+    def _die(self, e: BaseException) -> None:
+        self._dead = e
+        for q in self._streams.values():
+            q.put_nowait(e)
 
     # --------------------------------------------------------------- requests
+    def _add_request(self, request_id, prompt, params, lora_name) -> None:
+        if not self.multiprocess:
+            self.engine.add_request(request_id, prompt, params,
+                                    lora_name=lora_name)
+            self._wakeup.set()
+            return
+        n = params.n
+        if n == 1:
+            req = self.processor.process(request_id, prompt, params,
+                                         lora_name=lora_name)
+            self.client.add_request(req)
+            self.output_processor.add_request(req)
+            return
+        self._fanout[request_id] = n
+        for i in range(n):
+            child = params.clone()
+            child.n = 1
+            if params.seed is not None:
+                child.seed = params.seed + i
+            req = self.processor.process(f"{request_id}-cld-{i}", prompt,
+                                         child, lora_name=lora_name)
+            self.client.add_request(req)
+            self.output_processor.add_request(req, parent_id=request_id,
+                                              index=i)
+
+    def _abort(self, request_id: str) -> None:
+        if not self.multiprocess:
+            self.engine.abort_request(request_id)
+            return
+        n = self._fanout.pop(request_id, None)
+        ids = ([f"{request_id}-cld-{i}" for i in range(n)]
+               if n else [request_id])
+        self.client.abort_requests(ids)
+        for rid in ids:
+            self.output_processor.abort_request(rid)
+
     async def generate(
         self,
         prompt: PromptType,
@@ -76,9 +159,7 @@ class AsyncLLM:
         q: asyncio.Queue = asyncio.Queue()
         self._streams[request_id] = q
         try:
-            self.engine.add_request(request_id, prompt, sampling_params,
-                                    lora_name=lora_name)
-            self._wakeup.set()
+            self._add_request(request_id, prompt, sampling_params, lora_name)
             n_expect = sampling_params.n
             finished = 0
             while finished < n_expect:
@@ -91,23 +172,53 @@ class AsyncLLM:
         finally:
             self._streams.pop(request_id, None)
             try:
-                self.engine.abort_request(request_id)
+                self._abort(request_id)
             except Exception:
                 pass
 
     async def abort(self, request_id: str) -> None:
-        self.engine.abort_request(request_id)
+        self._abort(request_id)
         self._streams.pop(request_id, None)
 
     async def check_health(self) -> None:
         if self._dead:
             raise EngineDeadError() from self._dead
+        if self.multiprocess and self.client.dead is not None:
+            raise EngineDeadError(self.client.dead)
 
     def reset_prefix_cache(self) -> bool:
+        if self.multiprocess:
+            return self.client.call_utility("reset_prefix_cache")
         return self.engine.reset_prefix_cache()
+
+    def shutdown(self) -> None:
+        if self.multiprocess:
+            self.client.shutdown()
+
+    def metrics_text(self) -> str:
+        if self.multiprocess:
+            return self.client.call_utility("metrics_text")
+        return self.engine.core.metrics_text()
+
+    def worker_call(self, method: str, *args, **kwargs):
+        """Invoke a worker/core method across the process boundary when
+        running multiprocess (LoRA management, sleep/wake, profiling,
+        embeddings)."""
+        if self.multiprocess:
+            return self.client.call_utility(method, *args, **kwargs)
+        target = self.engine.core
+        if not hasattr(target, method):
+            target = self.engine.core.worker
+        return getattr(target, method)(*args, **kwargs)
 
     @property
     def stats(self):
+        if self.multiprocess:
+            try:
+                return self.client.call_utility("engine_stats", timeout=30)
+            except Exception:
+                return {"num_running": -1, "num_waiting": -1,
+                        "kv_usage": 0.0, "prefix_cache_hit_rate": 0.0}
         core = self.engine.core
         sched = core.scheduler
         return {

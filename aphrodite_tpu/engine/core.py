@@ -132,6 +132,15 @@ class EngineCore:
     def reset_prefix_cache(self) -> bool:
         return self.scheduler.kv.reset_prefix_cache()
 
+    def engine_stats(self) -> dict:
+        sched = self.scheduler
+        return {
+            "num_running": len(sched.running),
+            "num_waiting": len(sched.waiting),
+            "kv_usage": sched.kv.usage,
+            "prefix_cache_hit_rate": sched.kv.prefix_cache_hit_rate,
+        }
+
     def metrics_text(self) -> str:
         return "\n".join(
             self.stats.prometheus_lines(self.scheduler)) + "\n" 

@@ -1,0 +1,222 @@
+"""Process-isolated engine core over ZMQ.
+
+Parity: aphrodite/v1/engine/core.py:419 (EngineCoreProc.run_busy_loop) +
+core_client.py — the scheduler+worker live in their own process; the
+frontend talks over two ZMQ sockets (input PUSH->PULL, output PUSH->PULL).
+Crash isolation: the core sends ENGINE_CORE_DEAD with a traceback before
+exiting, and the client surfaces EngineDeadError to all streams.
+
+Serialization is pickle (msgspec is absent in this environment); requests
+with `logits_processors` callables are rejected at the client (same
+restriction as the reference's multiprocessing mode).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import queue
+import subprocess
+import sys
+import tempfile
+import threading
+import traceback
+from typing import Any, Optional
+
+from aphrodite_tpu.utils import logger
+
+ENGINE_CORE_DEAD = b"ENGINE_CORE_DEAD"
+
+
+def _core_main(config, input_addr: str, output_addr: str) -> None:
+    """Child process entry: build the EngineCore and busy-loop."""
+    import zmq
+
+    ctx = zmq.Context()
+    in_sock = ctx.socket(zmq.PULL)
+    in_sock.bind(input_addr)
+    out_sock = ctx.socket(zmq.PUSH)
+    out_sock.bind(output_addr)
+
+    try:
+        from aphrodite_tpu.engine.core import EngineCore
+        from aphrodite_tpu.tokenizer_utils import get_tokenizer
+        tokenizer = None
+        if config.model_config.tokenizer != "unused":
+            tokenizer = get_tokenizer(
+                config.model_config.tokenizer,
+                trust_remote_code=config.model_config.trust_remote_code)
+        core = EngineCore(config, tokenizer=tokenizer)
+        out_sock.send(pickle.dumps(("ready", None)))
+    except Exception:
+        out_sock.send(pickle.dumps(("dead", traceback.format_exc())))
+        return
+
+    poller = __import__("zmq").Poller()
+    poller.register(in_sock, __import__("zmq").POLLIN)
+
+    def drain(block: bool) -> bool:
+        handled = False
+        while True:
+            timeout = None if (block and not handled) else 0
+            events = dict(poller.poll(timeout))
+            if in_sock not in events:
+                return handled
+            kind, payload = pickle.loads(in_sock.recv())
+            handled = True
+            if kind == "add":
+                core.add_request(payload)
+            elif kind == "abort":
+                core.abort_requests(payload)
+            elif kind == "shutdown":
+                raise SystemExit
+            elif kind == "utility":
+                method, args, kwargs = payload
+                try:
+                    target = core
+                    if not hasattr(core, method):
+                        target = core.worker
+                    result = getattr(target, method)(*args, **kwargs)
+                    out_sock.send(pickle.dumps(("utility_result",
+                                                (method, result))))
+                except Exception as e:
+                    out_sock.send(pickle.dumps(("utility_error",
+                                                (method, str(e)))))
+
+    try:
+        while True:
+            drain(block=not core.has_unfinished_requests())
+            if core.has_unfinished_requests():
+                outputs = core.step()
+                if outputs:
+                    out_sock.send(pickle.dumps(("outputs", outputs)))
+    except SystemExit:
+        pass
+    except Exception:
+        logger.exception("engine core died")
+        out_sock.send(pickle.dumps(("dead", traceback.format_exc())))
+    finally:
+        in_sock.close(0)
+        out_sock.close(0)
+        ctx.term()
+
+
+class MPEngineCoreClient:
+    """Frontend-side client: same surface as EngineCore, but requests cross a
+    process boundary and outputs arrive via a background reader thread."""
+
+    def __init__(self, config, startup_timeout: float = 300.0) -> None:
+        import zmq
+
+        d = tempfile.mkdtemp(prefix="aphrodite_tpu_zmq_")
+        self.input_addr = f"ipc://{os.path.join(d, 'input')}"
+        self.output_addr = f"ipc://{os.path.join(d, 'output')}"
+        # Launch via `python -m` (not multiprocessing spawn): no __main__
+        # re-import, so unguarded user scripts can't fork-bomb themselves.
+        cfg_path = os.path.join(d, "config.pkl")
+        with open(cfg_path, "wb") as f:
+            pickle.dump(config, f)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.pathsep.join(sys.path[:1] + [
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))] +
+            env.get("PYTHONPATH", "").split(os.pathsep))
+        self.proc = subprocess.Popen(
+            [sys.executable, "-m", "aphrodite_tpu.engine.core_proc",
+             cfg_path, self.input_addr, self.output_addr], env=env)
+
+        self.ctx = zmq.Context()
+        self.in_sock = self.ctx.socket(zmq.PUSH)
+        self.in_sock.connect(self.input_addr)
+        self.out_sock = self.ctx.socket(zmq.PULL)
+        self.out_sock.connect(self.output_addr)
+
+        self.outputs_queue: "queue.Queue" = queue.Queue()
+        self.utility_results: "queue.Queue" = queue.Queue()
+        self.dead: Optional[str] = None
+
+        # Wait for ready.
+        if self.out_sock.poll(startup_timeout * 1000) == 0:
+            self.shutdown()
+            raise TimeoutError("engine core did not start")
+        kind, payload = pickle.loads(self.out_sock.recv())
+        if kind != "ready":
+            self.shutdown()
+            raise RuntimeError(f"engine core failed to start:\n{payload}")
+
+        self._reader = threading.Thread(target=self._read_loop, daemon=True)
+        self._reader.start()
+
+    def _read_loop(self) -> None:
+        while True:
+            try:
+                kind, payload = pickle.loads(self.out_sock.recv())
+            except Exception:
+                return
+            if kind == "outputs":
+                self.outputs_queue.put(payload)
+            elif kind in ("utility_result", "utility_error"):
+                self.utility_results.put((kind, payload))
+            elif kind == "dead":
+                self.dead = payload
+                self.outputs_queue.put(ENGINE_CORE_DEAD)
+                return
+
+    # ------------------------------------------------------------------- api
+    def add_request(self, request) -> None:
+        if request.sampling_params.logits_processors:
+            raise ValueError("logits_processors callables cannot cross the "
+                             "engine process boundary")
+        self._send(("add", request))
+
+    def abort_requests(self, request_ids: list[str]) -> None:
+        self._send(("abort", list(request_ids)))
+
+    def call_utility(self, method: str, *args, timeout: float = 120.0,
+                     **kwargs) -> Any:
+        self._send(("utility", (method, args, kwargs)))
+        kind, (m, result) = self.utility_results.get(timeout=timeout)
+        if kind == "utility_error":
+            raise RuntimeError(f"{m}: {result}")
+        return result
+
+    def get_outputs(self, timeout: Optional[float] = None):
+        """Blocking fetch of the next output batch (list[EngineCoreOutput]).
+        Raises if the core died."""
+        item = self.outputs_queue.get(timeout=timeout)
+        if item is ENGINE_CORE_DEAD or isinstance(item, bytes):
+            raise RuntimeError(f"engine core died:\n{self.dead}")
+        return item
+
+    def _send(self, msg) -> None:
+        if self.dead is not None:
+            raise RuntimeError(f"engine core died:\n{self.dead}")
+        self.in_sock.send(pickle.dumps(msg))
+
+    def shutdown(self) -> None:
+        try:
+            self.in_sock.send(pickle.dumps(("shutdown", None)),
+                              flags=__import__("zmq").NOBLOCK)
+        except Exception:
+            pass
+        if self.proc.poll() is None:
+            try:
+                self.proc.wait(5)
+            except Exception:
+                self.proc.terminate()
+
+
+def _cli_main() -> None:
+    cfg_path, input_addr, output_addr = sys.argv[1:4]
+    with open(cfg_path, "rb") as f:
+        config = pickle.load(f)
+    if config.device_config.device == "cpu":
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    _core_main(config, input_addr, output_addr)
+
+
+if __name__ == "__main__":
+    _cli_main()

@@ -88,8 +88,7 @@ class OpenAIServer:
                 isinstance(inputs, list) and inputs
                 and isinstance(inputs[0], int)):
             inputs = [inputs]
-        llm_engine = self.engine.engine
-        tok = llm_engine.tokenizer
+        tok = self.engine.tokenizer
         token_lists = []
         for p in inputs:
             token_lists.append(tok.encode(p) if isinstance(p, str)
@@ -97,8 +96,8 @@ class OpenAIServer:
         loop = _asyncio.get_running_loop()
         try:
             vecs = await loop.run_in_executor(
-                None, lambda: llm_engine.core.worker.runner.embed(
-                    token_lists, pooling=req.pooling))
+                None, lambda: self.engine.worker_call(
+                    "embed", token_lists, pooling=req.pooling))
         except Exception as e:
             return _err(str(e), 500, "InternalServerError")
         import numpy as _np
@@ -119,29 +118,29 @@ class OpenAIServer:
     async def sleep(self, request: web.Request) -> web.Response:
         try:
             level = int(request.query.get("level", "1"))
-            self.engine.engine.sleep(level)
+            self.engine.worker_call("sleep", level)
         except Exception as e:
             return _err(str(e))
         return web.Response(status=200)
 
     async def wake_up(self, request: web.Request) -> web.Response:
-        self.engine.engine.wake_up()
+        self.engine.worker_call("wake_up")
         return web.Response(status=200)
 
     async def is_sleeping(self, request: web.Request) -> web.Response:
         return web.json_response(
-            {"is_sleeping": self.engine.engine.is_sleeping})
+            {"is_sleeping": self.engine.worker_call("get_is_sleeping")})
 
     async def start_profile(self, request: web.Request) -> web.Response:
         try:
-            self.engine.engine.core.worker.start_profile()
+            self.engine.worker_call("start_profile")
         except Exception as e:
             return _err(str(e), 500, "InternalServerError")
         return web.Response(status=200)
 
     async def stop_profile(self, request: web.Request) -> web.Response:
         try:
-            self.engine.engine.core.worker.stop_profile()
+            self.engine.worker_call("stop_profile")
         except Exception as e:
             return _err(str(e), 500, "InternalServerError")
         return web.Response(status=200)
@@ -172,7 +171,7 @@ class OpenAIServer:
             {"success": bool(self.engine.reset_prefix_cache())})
 
     async def metrics(self, request: web.Request) -> web.Response:
-        return web.Response(text=self.engine.engine.core.metrics_text(),
+        return web.Response(text=self.engine.metrics_text(),
                             content_type="text/plain")
 
     # -------------------------------------------------------------- models
@@ -186,7 +185,10 @@ class OpenAIServer:
         return _json(ModelList(data=cards))
 
     def _loras(self) -> list[str]:
-        return self.engine.engine.core.worker.list_loras()
+        try:
+            return self.engine.worker_call("list_loras")
+        except Exception:
+            return []
 
     def _lora_for_model(self, model: Optional[str]):
         """OpenAI 'model' field doubling as the adapter selector
@@ -200,7 +202,7 @@ class OpenAIServer:
             body = await request.json()
             name = body["lora_name"]
             path = body.get("lora_path") or body.get("lora_local_path")
-            self.engine.engine.core.worker.add_lora(name, path)
+            self.engine.worker_call("add_lora", name, path)
         except Exception as e:
             return _err(str(e))
         return web.json_response(
@@ -209,8 +211,7 @@ class OpenAIServer:
     async def unload_lora(self, request: web.Request) -> web.Response:
         try:
             body = await request.json()
-            ok = self.engine.engine.core.worker.remove_lora(
-                body["lora_name"])
+            ok = self.engine.worker_call("remove_lora", body["lora_name"])
         except Exception as e:
             return _err(str(e))
         return web.json_response({"status": "removed" if ok else
@@ -467,8 +468,8 @@ def build_app(engine: AsyncLLM, model_name: str) -> web.Application:
 
 
 def run_server(config, model_name: str, host: str = "0.0.0.0",
-               port: int = 2242) -> None:
-    engine = AsyncLLM(config)
+               port: int = 2242, multiprocess: bool = False) -> None:
+    engine = AsyncLLM(config, multiprocess=multiprocess)
     app = build_app(engine, model_name)
     logger.info("serving %s on %s:%d", model_name, host, port)
     web.run_app(app, host=host, port=port)

@@ -170,6 +170,14 @@ class Worker:
     def is_sleeping(self) -> bool:
         return getattr(self, "sleeping", False)
 
+    def get_is_sleeping(self) -> bool:
+        return self.is_sleeping
+
+    def embed(self, token_lists, pooling: str = "last"):
+        out = self.runner.embed(token_lists, pooling=pooling)
+        import numpy as np
+        return [np.asarray(v).tolist() for v in out]
+
     # ------------------------------------------------------------- profiling
     def start_profile(self, out_dir: str = "/tmp/aphrodite_tpu_profile"
                       ) -> None:
