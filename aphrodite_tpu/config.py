@@ -213,6 +213,8 @@ class SpeculativeConfig:
 class ObservabilityConfig:
     collect_detailed_metrics: bool = False
     otlp_traces_endpoint: Optional[str] = None
+    # ZMQ PUB endpoint for KV cache events (None = disabled).
+    kv_events_endpoint: Optional[str] = None
 
 
 @dataclass

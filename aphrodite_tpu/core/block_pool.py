@@ -95,11 +95,13 @@ class FreeBlockQueue:
 
 class BlockPool:
 
-    def __init__(self, num_blocks: int, enable_caching: bool = True) -> None:
+    def __init__(self, num_blocks: int, enable_caching: bool = True,
+                 event_publisher=None) -> None:
         if num_blocks < 2:
             raise ValueError("need at least 2 blocks (one is the null block)")
         self.num_blocks = num_blocks
         self.enable_caching = enable_caching
+        self.events = event_publisher
         self.blocks = [KVCacheBlock(i) for i in range(num_blocks)]
         # Block 0 is the permanently-pinned null block.
         self.null_block = self.blocks[NULL_BLOCK_ID]
@@ -129,6 +131,8 @@ class BlockPool:
             cached = self.cached_hash_to_block.get(h)
             if cached is block:
                 del self.cached_hash_to_block[h]
+                if self.events is not None:
+                    self.events.blocks_removed([h])
             block.block_hash = None
 
     # ---------------------------------------------------------------- caching
@@ -151,11 +155,16 @@ class BlockPool:
         """Register content hashes for newly-filled full pages."""
         if not self.enable_caching:
             return
+        stored = []
         for i in range(num_cached_blocks, num_full_blocks):
             block = blocks[i]
             h = block_hashes[i]
             block.block_hash = h
+            if h not in self.cached_hash_to_block:
+                stored.append(h)
             self.cached_hash_to_block.setdefault(h, block)
+        if stored and self.events is not None:
+            self.events.blocks_stored(stored)
 
     # ------------------------------------------------------------------- free
     def free_blocks(self, ordered_blocks: list[KVCacheBlock]) -> None:
@@ -176,6 +185,8 @@ class BlockPool:
         self.cached_hash_to_block.clear()
         for b in self.blocks:
             b.block_hash = None
+        if self.events is not None:
+            self.events.all_cleared()
         return True
 
     @property

@@ -19,10 +19,11 @@ from aphrodite_tpu.utils import cdiv
 class KVCacheManager:
 
     def __init__(self, num_blocks: int, block_size: int,
-                 enable_caching: bool = True) -> None:
+                 enable_caching: bool = True, event_publisher=None) -> None:
         self.block_size = block_size
         self.enable_caching = enable_caching
-        self.pool = BlockPool(num_blocks, enable_caching)
+        self.pool = BlockPool(num_blocks, enable_caching,
+                              event_publisher=event_publisher)
         self.req_to_blocks: dict[str, list[KVCacheBlock]] = {}
         self.req_to_hashes: dict[str, list[int]] = {}
         # Cache-hit stats (prefix cache hit rate metric).

@@ -42,14 +42,16 @@ class Scheduler:
 
     def __init__(self, scheduler_config: SchedulerConfig,
                  cache_config: CacheConfig,
-                 num_lookahead_tokens: int = 0) -> None:
+                 num_lookahead_tokens: int = 0,
+                 kv_event_publisher=None) -> None:
         self.config = scheduler_config
         self.cache_config = cache_config
         assert cache_config.num_blocks is not None, \
             "cache_config.num_blocks must be set before scheduler creation"
         self.kv = KVCacheManager(cache_config.num_blocks,
                                  cache_config.block_size,
-                                 cache_config.enable_prefix_caching)
+                                 cache_config.enable_prefix_caching,
+                                 event_publisher=kv_event_publisher)
         self.block_size = cache_config.block_size
         # Extra empty slots to allocate per request per step (spec decode).
         self.num_lookahead_tokens = num_lookahead_tokens

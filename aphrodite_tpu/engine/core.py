@@ -33,9 +33,15 @@ class EngineCore:
         # Lookahead KV slots cover both speculative drafts and the in-graph
         # multi-step decode window.
         lookahead = max(num_spec, config.tpu_config.multi_step_decode - 1)
+        kv_events = None
+        ep = config.observability_config.kv_events_endpoint
+        if ep:
+            from aphrodite_tpu.kv_events import KVEventPublisher
+            kv_events = KVEventPublisher(ep)
         self.scheduler = Scheduler(config.scheduler_config,
                                    config.cache_config,
-                                   num_lookahead_tokens=lookahead)
+                                   num_lookahead_tokens=lookahead,
+                                   kv_event_publisher=kv_events)
         self.stats = StatsAggregator()
         self.proposer = None
         sc = config.speculative_config
