@@ -25,10 +25,12 @@ class EngineCoreOutput:
     """Per-request result of one engine step (token deltas + finish state)."""
 
     __slots__ = ("req_id", "new_token_ids", "finished", "finish_reason",
-                 "stop_reason", "logprobs", "num_cached_tokens")
+                 "stop_reason", "logprobs", "num_cached_tokens",
+                 "prompt_logprobs")
 
     def __init__(self, req_id, new_token_ids, finished, finish_reason=None,
-                 stop_reason=None, logprobs=None, num_cached_tokens=0):
+                 stop_reason=None, logprobs=None, num_cached_tokens=0,
+                 prompt_logprobs=None):
         self.req_id = req_id
         self.new_token_ids = new_token_ids
         self.finished = finished
@@ -36,6 +38,7 @@ class EngineCoreOutput:
         self.stop_reason = stop_reason
         self.logprobs = logprobs
         self.num_cached_tokens = num_cached_tokens
+        self.prompt_logprobs = prompt_logprobs
 
 
 class Scheduler:
@@ -249,6 +252,8 @@ class Scheduler:
                 lp = runner_out.logprobs[i]
                 if lp is not None:
                     lp = lp[:len(new_tokens)]
+            plp = (runner_out.prompt_logprobs.get(rid)
+                   if runner_out.prompt_logprobs else None)
             outputs.append(
                 EngineCoreOutput(
                     req_id=rid,
@@ -257,7 +262,8 @@ class Scheduler:
                     finish_reason=req.get_finish_reason(),
                     stop_reason=req.stop_reason,
                     logprobs=lp,
-                    num_cached_tokens=req.num_cached_tokens))
+                    num_cached_tokens=req.num_cached_tokens,
+                    prompt_logprobs=plp))
         return outputs
 
     def _append_and_check_stop(self, req: Request,

@@ -118,11 +118,17 @@ class OutputProcessor:
             if finished:
                 self.states.pop(eco.req_id, None)
 
+            plp_out = None
+            if getattr(eco, "prompt_logprobs", None):
+                plp_out = [None if d is None else
+                           {t: Logprob(logprob=v) for t, v in d.items()}
+                           for d in eco.prompt_logprobs]
             rid = st.parent_id or st.request_id
             outputs.append(RequestOutput(
                 request_id=rid,
                 prompt=st.prompt,
                 prompt_token_ids=st.prompt_token_ids,
+                prompt_logprobs=plp_out,
                 outputs=[CompletionOutput(
                     index=st.index,
                     text=delta_text,

@@ -176,6 +176,9 @@ class LLM:
             request_id=first.request_id,
             prompt=first.prompt,
             prompt_token_ids=first.prompt_token_ids,
+            prompt_logprobs=next(
+                (o.prompt_logprobs for o in slot.values()
+                 if o.prompt_logprobs), None),
             outputs=[slot[i].outputs[0] for i in sorted(slot)],
             finished=all(o.finished for o in slot.values()),
             num_cached_tokens=first.num_cached_tokens)

@@ -48,6 +48,8 @@ class RequestOutput:
     def add(self, other: "RequestOutput") -> None:
         """Merge a later incremental output into this one (offline API)."""
         self.finished = other.finished
+        if other.prompt_logprobs and not self.prompt_logprobs:
+            self.prompt_logprobs = other.prompt_logprobs
         for o, n in zip(self.outputs, other.outputs):
             o.text += n.text
             o.token_ids.extend(n.token_ids)

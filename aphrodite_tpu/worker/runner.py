@@ -41,6 +41,8 @@ class RequestState:
     sampling_params: SamplingParams
     lora_name: Optional[str] = None
     in_graph_sample_count: int = 0
+    # Accumulated prompt logprobs ([{token: (lp, rank?)}...], pos 0 = None).
+    prompt_lp: Optional[list] = None
 
     @property
     def num_tokens(self) -> int:
@@ -114,7 +116,7 @@ class ModelRunner:
 
         self._step_fn = jax.jit(
             self._step, donate_argnums=(1,),
-            static_argnames=("flags", "max_logprobs", "spec_k"))
+            static_argnames=("flags", "max_logprobs", "spec_k", "plp_k"))
         self._multi_step_fn = jax.jit(
             self._multi_step, donate_argnums=(1,),
             static_argnames=("flags", "num_steps", "max_logprobs"))
@@ -122,7 +124,7 @@ class ModelRunner:
     # -------------------------------------------------------------- jit step
     def _step(self, params, kv_cache, input_ids, md: AttentionMetadata,
               smd, flags, max_logprobs, spec_k=0, grammar_mask=None,
-              lora=None):
+              lora=None, plp_targets=None, plp_k=0):
         """Fused forward + sample: ONE dispatch and one small d2h per engine
         step (the device round trip dominates decode latency on a tunneled
         chip; see bench notes). With spec_k>0, gathers spec_k+1 rows per
@@ -148,14 +150,28 @@ class ModelRunner:
             bits = bits.reshape(R2, W * 32)[:, :logits.shape[-1]]
             logits = jnp.where(bits.astype(bool), logits, -jnp.inf)
         out = sample_tokens(logits, smd, flags, max_logprobs)
+        plp = None
+        if plp_targets is not None:
+            # Prompt logprobs: full-vocab log-softmax over every scheduled
+            # row; chosen = the actual next prompt token.
+            all_logits = self.model.compute_logits(params, hidden)
+            lsm = jax.nn.log_softmax(all_logits, axis=-1)
+            chosen = jnp.take_along_axis(
+                lsm, plp_targets[:, None], axis=1)[:, 0]
+            if plp_k:
+                tv, ti = jax.lax.top_k(lsm, plp_k)
+                plp = (chosen, tv, ti)
+            else:
+                plp = (chosen, None, None)
         # Pack (tokens, logprob) into one [2, R] f32 array -> single d2h.
         packed = jnp.stack([
             jax.lax.bitcast_convert_type(out["tokens"], jnp.float32),
             out["logprob"],
         ])
         if max_logprobs:
-            return packed, out["topk_values"], out["topk_indices"], kv_cache
-        return packed, None, None, kv_cache
+            return packed, out["topk_values"], out["topk_indices"], \
+                kv_cache, plp
+        return packed, None, None, kv_cache, plp
 
     # ------------------------------------------------- multi-step decode scan
     def _multi_step(self, params, kv_cache, cur_tokens, seq_lens0,
@@ -372,10 +388,57 @@ class ModelRunner:
                 full[r] = so.grammar_bitmask[row]
             gmask = jnp.asarray(full)
 
-        packed, topk_v_d, topk_i_d, self.kv_cache = self._step_fn(
+        # ---- prompt logprobs targets -------------------------------------
+        plp_targets = None
+        plp_k = 0
+        plp_reqs = [rid for rid in order
+                    if self.requests[rid].sampling_params.prompt_logprobs
+                    is not None
+                    and self.requests[rid].num_computed
+                    < self.requests[rid].prompt_len]
+        if plp_reqs and not spec_k:
+            targets = np.zeros((T_pad,), np.int32)
+            for r, rid in enumerate(order):
+                st = self.requests[rid]
+                n = so.num_scheduled_tokens[rid]
+                a = seg_starts[r]
+                for j in range(n):
+                    pos = st.num_computed + j + 1
+                    if pos < st.num_tokens:
+                        targets[a + j] = st.token_ids[pos]
+                plp_k = max(plp_k, st.sampling_params.prompt_logprobs or 0)
+            plp_targets = jnp.asarray(targets)
+            plp_k = next_power_of_2(plp_k) if plp_k else 0
+
+        packed, topk_v_d, topk_i_d, self.kv_cache, plp_d = self._step_fn(
             self.params, self.kv_cache, jnp.asarray(input_ids), md, smd,
             flags=flags, max_logprobs=max_lp, spec_k=spec_k,
-            grammar_mask=gmask, lora=lora_arg)
+            grammar_mask=gmask, lora=lora_arg, plp_targets=plp_targets,
+            plp_k=plp_k)
+
+        if plp_targets is not None:
+            chosen_h = np.asarray(plp_d[0])
+            tv_h = np.asarray(plp_d[1]) if plp_d[1] is not None else None
+            ti_h = np.asarray(plp_d[2]) if plp_d[2] is not None else None
+            for r, rid in enumerate(order):
+                st = self.requests[rid]
+                if st.sampling_params.prompt_logprobs is None:
+                    continue
+                if st.prompt_lp is None:
+                    st.prompt_lp = [None]  # first prompt token
+                n = so.num_scheduled_tokens[rid]
+                a = seg_starts[r]
+                k_req = st.sampling_params.prompt_logprobs
+                for j in range(n):
+                    pos = st.num_computed + j + 1
+                    if pos >= st.prompt_len:
+                        break
+                    d = {int(st.token_ids[pos]): float(chosen_h[a + j])}
+                    if k_req and tv_h is not None:
+                        for v, i in zip(tv_h[a + j][:k_req],
+                                        ti_h[a + j][:k_req]):
+                            d[int(i)] = float(v)
+                    st.prompt_lp.append(d)
 
         packed = np.asarray(packed)  # single d2h
 
@@ -431,10 +494,16 @@ class ModelRunner:
                 sampled.append([])
                 logprobs_out.append(None)
 
+        prompt_lps = {}
+        for r, rid in enumerate(order):
+            st = self.requests[rid]
+            if samples_expected[r] and st.prompt_lp is not None:
+                prompt_lps[rid] = st.prompt_lp
         return ModelRunnerOutput(
             req_ids=order,
             sampled_token_ids=sampled,
-            logprobs=logprobs_out if any_lp else None)
+            logprobs=logprobs_out if any_lp else None,
+            prompt_logprobs=prompt_lps or None)
 
     # ---------------------------------------------------------------- pooling
     def embed(self, token_lists: list[list[int]], pooling: str = "last"):
