@@ -138,6 +138,66 @@ class LLM:
             pbar.close()
         return agg
 
+    def beam_search(self, prompts, beam_width: int = 4,
+                    max_tokens: int = 16,
+                    ignore_eos: bool = False) -> list[dict]:
+        """Beam search (reference: v0 beam search / LLM.beam_search).
+        Runs breadth-first over the engine one token per round; the prefix
+        cache makes re-scoring shared prefixes nearly free. Score = sum of
+        token logprobs (no length normalization). Returns per prompt:
+        {"sequences": [token lists], "scores": [floats]} sorted best-first.
+        """
+        if isinstance(prompts, (str, dict)) or (
+                isinstance(prompts, list) and prompts
+                and isinstance(prompts[0], int)):
+            prompts = [prompts]
+        tok = self.engine.tokenizer
+        eos_id = tok.eos_token_id if tok is not None else None
+        results = []
+        for prompt in prompts:
+            if isinstance(prompt, str):
+                base = tok.encode(prompt)
+            elif isinstance(prompt, dict):
+                base = prompt.get("prompt_token_ids") or tok.encode(
+                    prompt["prompt"])
+            else:
+                base = list(prompt)
+            beams = [(list(base), 0.0)]
+            done: list[tuple[list[int], float]] = []
+            for _ in range(max_tokens):
+                if not beams:
+                    break
+                k = 2 * beam_width
+                params = SamplingParams(
+                    temperature=0.0, max_tokens=1, logprobs=k,
+                    ignore_eos=True, detokenize=False)
+                outs = self.generate([b[0] for b in beams], params)
+                cand: list[tuple[list[int], float]] = []
+                for (toks, score), out in zip(beams, outs):
+                    lps = out.outputs[0].logprobs[0]
+                    for t, lp in sorted(lps.items(),
+                                        key=lambda kv: -kv[1].logprob)[:k]:
+                        cand.append((toks + [int(t)],
+                                     score + float(lp.logprob)))
+                cand.sort(key=lambda c: -c[1])
+                beams = []
+                for toks, score in cand:
+                    if (not ignore_eos and eos_id is not None
+                            and toks[-1] == eos_id):
+                        done.append((toks, score))
+                    else:
+                        beams.append((toks, score))
+                    if len(beams) >= beam_width:
+                        break
+            done.extend(beams)
+            done.sort(key=lambda c: -c[1])
+            done = done[:beam_width]
+            results.append({
+                "sequences": [t[len(base):] for t, _ in done],
+                "scores": [s for _, s in done],
+            })
+        return results
+
     def embed(self, prompts, pooling: str = "last",
               normalize: bool = True) -> list[list[float]]:
         """Embedding/pooling path (reference: LLM.encode + Pooler,

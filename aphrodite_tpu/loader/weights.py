@@ -85,12 +85,19 @@ def load_model_params(model, model_config: ModelConfig,
     checkpoints (or dummy weights) are quantized on the fly."""
     fmt = load_config.load_format
     if fmt == "dummy":
-        params = model.init_dummy_params(jax.random.PRNGKey(rng_seed))
         if quant_config is not None:
+            # Initialize on the host CPU backend: quantization needs numpy,
+            # and pulling GBs back from a (possibly tunneled) accelerator is
+            # pathologically slow.
             from aphrodite_tpu.quantization.loader import (
                 quantize_stacked_params)
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu):
+                params = model.init_dummy_params(jax.random.PRNGKey(rng_seed))
             params = jax.tree.map(np.asarray, params)
             params = quantize_stacked_params(params, quant_config)
+        else:
+            params = model.init_dummy_params(jax.random.PRNGKey(rng_seed))
     elif quant_config is not None and quant_config.from_checkpoint:
         from aphrodite_tpu.quantization.loader import load_llama_quantized
         logger.info("loading %s-quantized weights from %s",

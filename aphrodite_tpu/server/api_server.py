@@ -245,6 +245,8 @@ class OpenAIServer:
     # ---------------------------------------------------- chat completions
     def _render_chat(self, req: ChatCompletionRequest) -> str:
         kwargs = req.chat_template_kwargs or {}
+        if req.tools:
+            kwargs.setdefault("tools", req.tools)
         return self.engine.tokenizer.apply_chat_template(
             req.messages, tokenize=False,
             add_generation_prompt=req.add_generation_prompt,
@@ -288,6 +290,8 @@ class OpenAIServer:
         except ValueError as e:
             return _err(str(e))
 
+        from aphrodite_tpu.server.tool_parser import (parse_reasoning,
+                                                      parse_tool_calls)
         tok = self.engine.tokenizer
         choices = []
         for i in sorted(texts):
@@ -305,11 +309,20 @@ class OpenAIServer:
                             for t, lp in items],
                     })
                 logprobs = {"content": content}
+            content = texts.get(i, "")
+            reasoning, content = parse_reasoning(content)
+            tool_calls = []
+            if req.tools:
+                tool_calls, content = parse_tool_calls(content)
             choices.append(ChatCompletionChoice(
                 index=i,
-                message=ChatMessage(role="assistant",
-                                    content=texts.get(i, "")),
-                finish_reason=finish.get(i) or "stop",
+                message=ChatMessage(
+                    role="assistant",
+                    content=content or None if tool_calls else content,
+                    tool_calls=tool_calls or None,
+                    reasoning_content=reasoning),
+                finish_reason=("tool_calls" if tool_calls
+                               else finish.get(i) or "stop"),
                 stop_reason=stop_reason.get(i),
                 logprobs=logprobs))
         completion_tokens = sum(toks.values())

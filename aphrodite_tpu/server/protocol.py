@@ -196,6 +196,7 @@ class ChatMessage(BaseModel):
     role: str
     content: Optional[str] = None
     tool_calls: Optional[list[dict]] = None
+    reasoning_content: Optional[str] = None
 
 
 class LogprobEntry(BaseModel):
