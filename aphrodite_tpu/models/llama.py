@@ -235,8 +235,13 @@ class LlamaForCausalLM:
             k = lin(h, "wk", lp.get("bk"))
             v = lin(h, "wv", lp.get("bv"))
             T = q.shape[0]
-            q = apply_rope(q.reshape(T, nq, hd), cos, sin)
-            k = apply_rope(k.reshape(T, nkv, hd), cos, sin)
+            q = q.reshape(T, nq, hd)
+            k = k.reshape(T, nkv, hd)
+            if "q_norm" in lp:  # per-head QK-norm (Qwen3 family)
+                q = rms_norm(q, lp["q_norm"], self.rms_eps)
+                k = rms_norm(k, lp["k_norm"], self.rms_eps)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
             v = v.reshape(T, nkv, hd)
             kvc = write_kv(kvc, k, v, md.slot_mapping)
             o = paged_attention(q, kvc, md, self.scale,

@@ -20,6 +20,10 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     "GemmaForCausalLM": ("aphrodite_tpu.models.gemma", "GemmaForCausalLM"),
     "Gemma2ForCausalLM": ("aphrodite_tpu.models.gemma",
                           "Gemma2ForCausalLM"),
+    "Phi3ForCausalLM": ("aphrodite_tpu.models.phi3_qwen3",
+                        "Phi3ForCausalLM"),
+    "Qwen3ForCausalLM": ("aphrodite_tpu.models.phi3_qwen3",
+                         "Qwen3ForCausalLM"),
 }
 
 MODEL_REGISTRY = dict(_TEXT_GENERATION)
