@@ -1,0 +1,183 @@
+"""BERT-family encoder for embedding/pooling serving.
+
+Parity: the reference's embedding-model category (BERT/RoBERTa/...,
+modeling/models/registry.py:119). Encoders are single-shot (no KV cache, no
+paging): one padded bidirectional forward, then pooling. Served through
+`LLM.embed` / the /v1/embeddings route.
+"""
+from __future__ import annotations
+
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from aphrodite_tpu.config import ModelConfig
+from aphrodite_tpu.utils import jax_dtype
+
+
+def layer_norm(x, w, b, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * w + b).astype(x.dtype)
+
+
+class BertModel:
+    """Encoder: params as stacked per-layer arrays, scan over layers."""
+
+    is_encoder = True
+
+    def __init__(self, config: ModelConfig):
+        self.config = config
+        hf = config.text_config
+        self.dtype = jax_dtype(config.dtype)
+        self.hidden_size = hf.hidden_size
+        self.num_layers = hf.num_hidden_layers
+        self.num_heads = hf.num_attention_heads
+        self.head_dim = self.hidden_size // self.num_heads
+        self.intermediate_size = hf.intermediate_size
+        self.vocab_size = hf.vocab_size
+        self.max_pos = hf.max_position_embeddings
+        self.type_vocab = getattr(hf, "type_vocab_size", 2)
+        self.eps = getattr(hf, "layer_norm_eps", 1e-12)
+        # For interface parity with decoder models.
+        self.num_kv_heads = self.num_heads
+
+    def _layer_shapes(self):
+        H, I, L = self.hidden_size, self.intermediate_size, self.num_layers
+        return {
+            "wq": (L, H, H), "bq2": (L, H),
+            "wk": (L, H, H), "bk2": (L, H),
+            "wv": (L, H, H), "bv2": (L, H),
+            "wo": (L, H, H), "bo": (L, H),
+            "attn_ln_w": (L, H), "attn_ln_b": (L, H),
+            "w_in": (L, H, I), "b_in": (L, I),
+            "w_out": (L, I, H), "b_out": (L, H),
+            "out_ln_w": (L, H), "out_ln_b": (L, H),
+        }
+
+    def init_dummy_params(self, rng):
+        keys = iter(jax.random.split(rng, 64))
+
+        def mk(shape):
+            return (0.02 * jax.random.normal(next(keys), shape, jnp.float32)
+                    ).astype(self.dtype)
+
+        layers = {}
+        for name, shape in self._layer_shapes().items():
+            if name.endswith(("ln_w",)):
+                layers[name] = jnp.ones(shape, self.dtype)
+            elif name.startswith("b") or name.endswith("ln_b"):
+                layers[name] = jnp.zeros(shape, self.dtype)
+            else:
+                layers[name] = mk(shape)
+        return {
+            "embed": mk((self.vocab_size, self.hidden_size)),
+            "pos_embed": mk((self.max_pos, self.hidden_size)),
+            "type_embed": mk((self.type_vocab, self.hidden_size)),
+            "embed_ln_w": jnp.ones((self.hidden_size,), self.dtype),
+            "embed_ln_b": jnp.zeros((self.hidden_size,), self.dtype),
+            "layers": layers,
+        }
+
+    _HF_MAP = {
+        "attention.self.query.weight": ("wq", True),
+        "attention.self.query.bias": ("bq2", False),
+        "attention.self.key.weight": ("wk", True),
+        "attention.self.key.bias": ("bk2", False),
+        "attention.self.value.weight": ("wv", True),
+        "attention.self.value.bias": ("bv2", False),
+        "attention.output.dense.weight": ("wo", True),
+        "attention.output.dense.bias": ("bo", False),
+        "attention.output.LayerNorm.weight": ("attn_ln_w", False),
+        "attention.output.LayerNorm.bias": ("attn_ln_b", False),
+        "intermediate.dense.weight": ("w_in", True),
+        "intermediate.dense.bias": ("b_in", False),
+        "output.dense.weight": ("w_out", True),
+        "output.dense.bias": ("b_out", False),
+        "output.LayerNorm.weight": ("out_ln_w", False),
+        "output.LayerNorm.bias": ("out_ln_b", False),
+    }
+
+    def load_weights(self, weights: Iterable[tuple[str, np.ndarray]]):
+        import ml_dtypes
+        target = (np.dtype("bfloat16") if self.dtype == jnp.bfloat16
+                  else np.dtype(jnp.dtype(self.dtype).name))
+        bufs = {k: np.zeros(s, target)
+                for k, s in self._layer_shapes().items()}
+        params = {"layers": bufs}
+        top = {
+            "embeddings.word_embeddings.weight": "embed",
+            "embeddings.position_embeddings.weight": "pos_embed",
+            "embeddings.token_type_embeddings.weight": "type_embed",
+            "embeddings.LayerNorm.weight": "embed_ln_w",
+            "embeddings.LayerNorm.bias": "embed_ln_b",
+        }
+        for name, w in weights:
+            name = name.removeprefix("bert.")
+            if name in top:
+                params[top[name]] = np.asarray(w).astype(target)
+                continue
+            if name.startswith("encoder.layer."):
+                rest = name[len("encoder.layer."):]
+                idx, sub = rest.split(".", 1)
+                mapped = self._HF_MAP.get(sub)
+                if mapped:
+                    key, t = mapped
+                    arr = np.asarray(w)
+                    bufs[key][int(idx)] = (arr.T if t else arr).astype(target)
+        if "embed" not in params:
+            raise ValueError("missing word embeddings")
+        return params
+
+    def param_specs(self):
+        layers = {k: P() for k in self._layer_shapes()}
+        for k in ("wq", "wk", "wv", "w_in"):
+            layers[k] = P(None, None, "tp")
+        for k in ("wo", "w_out"):
+            layers[k] = P(None, "tp", None)
+        return {"embed": P(), "pos_embed": P(), "type_embed": P(),
+                "embed_ln_w": P(), "embed_ln_b": P(), "layers": layers}
+
+    def encode(self, params, input_ids, attn_mask):
+        """input_ids [B, S], attn_mask [B, S] (1 = real) -> hidden [B, S, H].
+        """
+        B, S = input_ids.shape
+        x = jnp.take(params["embed"], input_ids, axis=0)
+        x = x + params["pos_embed"][None, :S]
+        x = x + params["type_embed"][0][None, None, :]
+        x = layer_norm(x, params["embed_ln_w"], params["embed_ln_b"],
+                       self.eps)
+        nh, hd = self.num_heads, self.head_dim
+        bias = jnp.where(attn_mask[:, None, None, :] > 0, 0.0, -1e9)
+
+        def layer(x, lp):
+            q = (jnp.einsum("bsh,hd->bsd", x, lp["wq"]) + lp["bq2"]) \
+                .reshape(B, S, nh, hd)
+            k = (jnp.einsum("bsh,hd->bsd", x, lp["wk"]) + lp["bk2"]) \
+                .reshape(B, S, nh, hd)
+            v = (jnp.einsum("bsh,hd->bsd", x, lp["wv"]) + lp["bv2"]) \
+                .reshape(B, S, nh, hd)
+            s = jnp.einsum("bqnd,bknd->bnqk", q, k) / jnp.sqrt(
+                jnp.float32(hd)).astype(x.dtype)
+            s = s.astype(jnp.float32) + bias
+            p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+            o = jnp.einsum("bnqk,bknd->bqnd", p, v).reshape(B, S, nh * hd)
+            o = jnp.einsum("bsh,hd->bsd", o, lp["wo"]) + lp["bo"]
+            x = layer_norm(x + o, lp["attn_ln_w"], lp["attn_ln_b"], self.eps)
+            h = jax.nn.gelu(
+                jnp.einsum("bsh,hi->bsi", x, lp["w_in"]) + lp["b_in"],
+                approximate=False)
+            h = jnp.einsum("bsi,ih->bsh", h, lp["w_out"]) + lp["b_out"]
+            x = layer_norm(x + h, lp["out_ln_w"], lp["out_ln_b"], self.eps)
+            return x, None
+
+        x, _ = jax.lax.scan(layer, x, params["layers"])
+        return x
+
+
+class BertEmbeddingModel(BertModel):
+    """Registered arch entry (BertModel / BertForMaskedLM checkpoints)."""

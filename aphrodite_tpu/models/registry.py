@@ -26,7 +26,16 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                          "Qwen3ForCausalLM"),
 }
 
+# Embedding/encoder architectures (served via LLM.embed / /v1/embeddings).
+_EMBEDDING: dict[str, tuple[str, str]] = {
+    "BertModel": ("aphrodite_tpu.models.bert", "BertEmbeddingModel"),
+    "BertForMaskedLM": ("aphrodite_tpu.models.bert", "BertEmbeddingModel"),
+    "RobertaModel": ("aphrodite_tpu.models.bert", "BertEmbeddingModel"),
+}
+_TEXT_GENERATION.update(_EMBEDDING)
+
 MODEL_REGISTRY = dict(_TEXT_GENERATION)
+EMBEDDING_ARCHS = set(_EMBEDDING)
 _OOT: dict[str, type] = {}
 
 

@@ -70,6 +70,15 @@ class Worker:
             mesh=self.mesh, rng_seed=config.model_config.seed,
             quant_config=self.quant_config)
 
+        if getattr(self.model, "is_encoder", False):
+            # Encoder/embedding models: no paged KV, no decode runner.
+            from aphrodite_tpu.worker.encoder_runner import EncoderRunner
+            self.lora_manager = None
+            self.runner = EncoderRunner(config, self.model, self.params)
+            config.cache_config.num_blocks = config.cache_config.num_blocks \
+                or 2
+            return
+
         cc = config.cache_config
         if cc.num_blocks is None:
             if cc.num_blocks_override is not None:
