@@ -17,43 +17,76 @@ from aphrodite_tpu.utils import logger
 
 def quantize_stacked_params(params: dict, qcfg: QuantizationConfig) -> dict:
     """Quantize an fp parameter tree's linear layers (stacked [L, in, out])
-    into quantized-weight dicts. Vectorized over the layer dim."""
-    layers = params["layers"]
-    for key in QUANTIZABLE:
-        w = layers.get(key)
-        if w is None:
-            continue
-        w = np.asarray(w, np.float32)  # [L, K, N]
+    into quantized-weight dicts.
+
+    Runs the math on the JAX *CPU* backend (jitted, multi-threaded) — plain
+    numpy with ml_dtypes bf16 conversion is ~20 minutes for an 8B-class
+    model on small hosts; this path is seconds."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    t0 = time.time()
+
+    @jax.jit
+    def q_int8(w):
+        w = w.astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=1) / 127.0, 1e-8)
+        q = jnp.clip(jnp.round(w / scale[:, None, :]), -128,
+                     127).astype(jnp.int8)
+        return q, scale
+
+    @jax.jit
+    def q_fp8(w):
+        w = w.astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=1) / 448.0, 1e-8)
+        q = (w / scale[:, None, :]).astype(jnp.float8_e4m3fn)
+        return q, scale
+
+    def q_int4(w, g):
         L, K, N = w.shape
-        if qcfg.method in ("int8", "w8a16"):
-            scale = np.maximum(np.abs(w).max(axis=1) / 127.0, 1e-8)  # [L, N]
-            q = np.clip(np.round(w / scale[:, None, :]), -128,
-                        127).astype(np.int8)
-            layers[key] = {"qweight": q,
-                           "scales": scale.astype(np.float32)}
-        elif qcfg.method == "fp8":
-            import ml_dtypes
-            scale = np.maximum(np.abs(w).max(axis=1) / 448.0, 1e-8)
-            q = (w / scale[:, None, :]).astype(ml_dtypes.float8_e4m3fn)
-            layers[key] = {"qweight": q,
-                           "weight_scale": scale.astype(np.float32)}
-        elif qcfg.method in ("gptq", "awq"):
-            g = qcfg.group_size if 0 < qcfg.group_size <= K else K
-            G = K // g
-            wg = w.reshape(L, G, g, N)
-            wmax = wg.max(axis=2)
-            wmin = wg.min(axis=2)
-            scale = np.maximum((wmax - wmin) / 15.0, 1e-8)  # [L, G, N]
-            zero = np.clip(np.round(-wmin / scale), 0, 15)
-            q = np.clip(np.round(wg / scale[:, :, None, :]) +
-                        zero[:, :, None, :], 0, 15).astype(np.int8)
-            layers[key] = {"qweight": q.reshape(L, K, N),
-                           "scales": scale.astype(np.float32),
-                           "zeros": zero.astype(np.float32)}
-        else:
-            raise ValueError(qcfg.method)
-    logger.info("quantized %s on the fly (%s)", list(QUANTIZABLE),
-                qcfg.method)
+        G = K // g
+
+        @jax.jit
+        def f(w):
+            wg = w.astype(jnp.float32).reshape(L, G, g, N)
+            wmax = jnp.max(wg, axis=2)
+            wmin = jnp.min(wg, axis=2)
+            scale = jnp.maximum((wmax - wmin) / 15.0, 1e-8)
+            zero = jnp.clip(jnp.round(-wmin / scale), 0, 15)
+            q = jnp.clip(jnp.round(wg / scale[:, :, None, :]) +
+                         zero[:, :, None, :], 0, 15).astype(jnp.int8)
+            return q.reshape(L, K, N), scale, zero
+        return f(w)
+
+    layers = params["layers"]
+    with jax.default_device(cpu):
+        for key in QUANTIZABLE:
+            w = layers.get(key)
+            if w is None:
+                continue
+            w = jnp.asarray(w)  # host cpu array (bf16 stays bf16)
+            L, K, N = w.shape
+            if qcfg.method in ("int8", "w8a16"):
+                q, scale = q_int8(w)
+                layers[key] = {"qweight": np.asarray(q),
+                               "scales": np.asarray(scale)}
+            elif qcfg.method == "fp8":
+                q, scale = q_fp8(w)
+                layers[key] = {"qweight": np.asarray(q),
+                               "weight_scale": np.asarray(scale)}
+            elif qcfg.method in ("gptq", "awq"):
+                g = qcfg.group_size if 0 < qcfg.group_size <= K else K
+                q, scale, zero = q_int4(w, g)
+                layers[key] = {"qweight": np.asarray(q),
+                               "scales": np.asarray(scale),
+                               "zeros": np.asarray(zero)}
+            else:
+                raise ValueError(qcfg.method)
+    logger.info("quantized %s on the fly (%s) in %.1fs", list(QUANTIZABLE),
+                qcfg.method, time.time() - t0)
     return params
 
 
