@@ -116,7 +116,8 @@ class ModelRunner:
 
         self._step_fn = jax.jit(
             self._step, donate_argnums=(1,),
-            static_argnames=("flags", "max_logprobs", "spec_k", "plp_k"))
+            static_argnames=("flags", "max_logprobs", "spec_k", "plp_k",
+                             "need_sample"))
         self._multi_step_fn = jax.jit(
             self._multi_step, donate_argnums=(1,),
             static_argnames=("flags", "num_steps", "max_logprobs"))
@@ -124,7 +125,7 @@ class ModelRunner:
     # -------------------------------------------------------------- jit step
     def _step(self, params, kv_cache, input_ids, md: AttentionMetadata,
               smd, flags, max_logprobs, spec_k=0, grammar_mask=None,
-              lora=None, plp_targets=None, plp_k=0):
+              lora=None, plp_targets=None, plp_k=0, need_sample=True):
         """Fused forward + sample: ONE dispatch and one small d2h per engine
         step (the device round trip dominates decode latency on a tunneled
         chip; see bench notes). With spec_k>0, gathers spec_k+1 rows per
@@ -133,6 +134,11 @@ class ModelRunner:
         hidden, kv_cache = self.model.apply(params, input_ids, kv_cache, md,
                                             use_pallas=self.use_pallas,
                                             lora=lora)
+        if not need_sample:
+            # Pure mid-prefill step: nothing to sample or fetch — the engine
+            # continues without a device round trip (the next step's inputs
+            # don't depend on this one's outputs).
+            return None, None, None, kv_cache, None
         ends = jnp.clip(md.query_start_loc[1:] - 1, 0)
         if spec_k > 0:
             offs = jnp.arange(spec_k + 1, dtype=jnp.int32) - spec_k
@@ -410,11 +416,17 @@ class ModelRunner:
             plp_targets = jnp.asarray(targets)
             plp_k = next_power_of_2(plp_k) if plp_k else 0
 
+        need_sample = (any(samples_expected) or plp_targets is not None
+                       or so.grammar_bitmask is not None)
         packed, topk_v_d, topk_i_d, self.kv_cache, plp_d = self._step_fn(
             self.params, self.kv_cache, jnp.asarray(input_ids), md, smd,
             flags=flags, max_logprobs=max_lp, spec_k=spec_k,
             grammar_mask=gmask, lora=lora_arg, plp_targets=plp_targets,
-            plp_k=plp_k)
+            plp_k=plp_k, need_sample=need_sample)
+
+        if not need_sample:
+            return ModelRunnerOutput(req_ids=order,
+                                     sampled_token_ids=[[] for _ in order])
 
         if plp_targets is not None:
             chosen_h = np.asarray(plp_d[0])
