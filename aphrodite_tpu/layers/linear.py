@@ -39,7 +39,10 @@ def apply_linear(x: jax.Array, w: Weight,
         else:
             raise ValueError(f"unknown quant format {fmt!r}")
     else:
-        out = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+        # preferred=x.dtype: the MXU still accumulates fp32 internally; this
+        # only sets the OUTPUT dtype, avoiding an f32 [T, N] intermediate
+        # that XLA may otherwise materialize in HBM between dot and cast.
+        out = jnp.dot(x, w, preferred_element_type=x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
