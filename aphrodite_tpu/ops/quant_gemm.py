@@ -13,15 +13,24 @@ W8A8 is dynamic per-token (reference: quantization/tpu_int8.py semantics).
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 
+def _use_pallas() -> bool:
+    return (jax.default_backend() != "cpu"
+            or os.environ.get("APHRODITE_PALLAS_INTERPRET", "0") == "1")
+
+
 def w8a16_matmul(x: jax.Array, qweight: jax.Array,
                  scales: jax.Array) -> jax.Array:
     """Weight-only int8: per-output-channel symmetric scales."""
+    if _use_pallas():
+        from aphrodite_tpu.ops.quant_matmul_pallas import w8a16_matmul_pallas
+        return w8a16_matmul_pallas(x, qweight, scales)
     acc = jnp.dot(x, qweight.astype(x.dtype),
                   preferred_element_type=jnp.float32)
     return (acc * scales.astype(jnp.float32)[None, :]).astype(x.dtype)
@@ -61,6 +70,9 @@ def w4a16_matmul(x: jax.Array, qweight: jax.Array, scales: jax.Array,
     """
     if input_perm is not None:
         x = jnp.take(x, input_perm, axis=-1)  # desc_act reorder
+    if zeros is not None and _use_pallas():
+        from aphrodite_tpu.ops.quant_matmul_pallas import w4a16_matmul_pallas
+        return w4a16_matmul_pallas(x, qweight, scales, zeros)
     k, n = qweight.shape
     G = scales.shape[-2]
     g = k // G

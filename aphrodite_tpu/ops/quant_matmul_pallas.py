@@ -1,0 +1,157 @@
+"""Pallas TPU kernel: fused dequant matmul (W8A16 / W4A16).
+
+The XLA path (`convert(int8->bf16); dot`) materializes a bf16 copy of the
+weights in HBM — worse than not quantizing. Here the int8 block is converted
+in VMEM on the way into the MXU, so HBM traffic is the packed weights only.
+This is the TPU replacement for the reference's marlin/machete dequant GEMMs
+(kernels/quantization/, SURVEY.md §2.7 "Quant GEMMs" row).
+
+Grid (N/bn, K/bk) with K innermost; fp32 accumulator in VMEM scratch; the
+per-output-channel (or per-group) scale and the W4 zero-point correction are
+applied in the epilogue at the final K step. Pallas pipelines the weight
+block DMAs automatically via the BlockSpecs.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aphrodite_tpu.utils import cdiv
+
+
+def _w8_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, nk: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    w = w_ref[...].astype(x_ref.dtype)  # int8 -> act dtype, VMEM-local
+    acc[...] += jax.lax.dot(x_ref[...], w,
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[...] = (acc[...] *
+                      s_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k",
+                                             "interpret"))
+def w8a16_matmul_pallas(x: jax.Array, qweight: jax.Array, scales: jax.Array,
+                        block_n: int = 512, block_k: int = 512,
+                        interpret: Optional[bool] = None) -> jax.Array:
+    """x [M, K] (bf16/f32) @ int8 [K, N] * scales [N] -> [M, N]."""
+    if interpret is None:
+        interpret = os.environ.get("APHRODITE_PALLAS_INTERPRET", "0") == "1"
+    M, K = x.shape
+    K2, N = qweight.shape
+    bn = min(block_n, N)
+    bk = min(block_k, K)
+    nk = cdiv(K, bk)
+    grid = (cdiv(N, bn), nk)
+
+    out = pl.pallas_call(
+        functools.partial(_w8_kernel, nk=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, bk), lambda n, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda n, k: (0, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda n, k: (0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x, qweight, scales.reshape(1, N))
+    return out
+
+
+def _w4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc, xsum, *, nk: int,
+               groups_per_bk: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+        xsum[...] = jnp.zeros_like(xsum)
+
+    # Scale folded per-group into the weight block before the dot: the block
+    # spans `groups_per_bk` whole groups, so s/z rows broadcast per group.
+    xb = x_ref[...]
+    w = w_ref[...].astype(x_ref.dtype)  # uint4-in-int8 -> act dtype
+    bk, bn = w.shape
+    g = bk // groups_per_bk
+    sblk = s_ref[...].astype(x_ref.dtype)  # [groups_per_bk, bn]
+    wg = w.reshape(groups_per_bk, g, bn) * sblk[:, None, :]
+    acc[...] += jax.lax.dot(xb, wg.reshape(bk, bn),
+                            preferred_element_type=jnp.float32)
+    # Zero-point correction needs per-group x sums: accumulate
+    # sum_g x[t, g] * (z[g, n] * s[g, n]) as a small dot.
+    xg = jnp.sum(xb.reshape(xb.shape[0], groups_per_bk, g).astype(
+        jnp.float32), axis=2)  # [M, groups_per_bk]
+    zs = (z_ref[...] * s_ref[...]).astype(jnp.float32)  # [gpb, bn]
+    xsum[...] += jax.lax.dot(xg.astype(x_ref.dtype), zs.astype(x_ref.dtype),
+                             preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[...] = (acc[...] - xsum[...]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k",
+                                             "interpret"))
+def w4a16_matmul_pallas(x: jax.Array, qweight: jax.Array, scales: jax.Array,
+                        zeros: jax.Array, block_n: int = 512,
+                        block_k: int = 512,
+                        interpret: Optional[bool] = None) -> jax.Array:
+    """x [M, K] @ ((uint4 [K, N] - z) * s), group-quantized.
+    scales/zeros: [G, N], G = K // group_size. block_k is rounded to a
+    multiple of the group size."""
+    if interpret is None:
+        interpret = os.environ.get("APHRODITE_PALLAS_INTERPRET", "0") == "1"
+    M, K = x.shape
+    _, N = qweight.shape
+    G = scales.shape[0]
+    group = K // G
+    bn = min(block_n, N)
+    bk = min(block_k, K)
+    bk = max((bk // group) * group, group)  # whole groups per block
+    nk = cdiv(K, bk)
+    gpb = bk // group
+
+    out = pl.pallas_call(
+        functools.partial(_w4_kernel, nk=nk, groups_per_bk=gpb),
+        grid=(cdiv(N, bn), nk),
+        in_specs=[
+            pl.BlockSpec((M, bk), lambda n, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bn), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bn), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda n, k: (0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32),
+                        pltpu.VMEM((M, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x, qweight, scales, zeros)
+    return out

@@ -1,0 +1,44 @@
+"""Pallas fused dequant GEMMs (interpret mode) vs numpy oracles."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from aphrodite_tpu.ops.quant_matmul_pallas import (w4a16_matmul_pallas,
+                                                   w8a16_matmul_pallas)
+
+RS = np.random.RandomState(0)
+
+
+@pytest.mark.parametrize("M,K,N,bn,bk", [
+    (8, 64, 128, 64, 32),
+    (32, 256, 192, 128, 128),
+    (5, 128, 64, 512, 512),  # blocks larger than dims
+])
+def test_w8a16_pallas(M, K, N, bn, bk):
+    x = RS.randn(M, K).astype(np.float32)
+    q = RS.randint(-127, 127, (K, N)).astype(np.int8)
+    s = (RS.rand(N) * 0.1).astype(np.float32)
+    got = np.asarray(w8a16_matmul_pallas(
+        jnp.asarray(x), jnp.asarray(q), jnp.asarray(s),
+        block_n=bn, block_k=bk, interpret=True))
+    exp = (x @ q.astype(np.float32)) * s[None, :]
+    np.testing.assert_allclose(got, exp, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("M,K,N,group,bn,bk", [
+    (8, 128, 64, 32, 64, 64),
+    (16, 256, 128, 64, 128, 128),
+    (4, 64, 96, 64, 512, 512),  # single group == K
+])
+def test_w4a16_pallas(M, K, N, group, bn, bk):
+    G = K // group
+    x = RS.randn(M, K).astype(np.float32)
+    q = RS.randint(0, 16, (K, N)).astype(np.int8)
+    s = (RS.rand(G, N) * 0.1).astype(np.float32)
+    z = RS.randint(0, 16, (G, N)).astype(np.float32)
+    got = np.asarray(w4a16_matmul_pallas(
+        jnp.asarray(x), jnp.asarray(q), jnp.asarray(s), jnp.asarray(z),
+        block_n=bn, block_k=bk, interpret=True))
+    wd = ((q.reshape(G, group, N).astype(np.float32) - z[:, None, :])
+          * s[:, None, :]).reshape(K, N)
+    np.testing.assert_allclose(got, x @ wd, rtol=5e-3, atol=5e-3)
