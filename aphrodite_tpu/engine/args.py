@@ -28,6 +28,8 @@ class EngineArgs:
     max_num_batched_tokens: int = 2048
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    pipeline_parallel_size: int = 1
+    enable_expert_parallel: bool = False
     device: str = "auto"
     load_format: str = "auto"
     enforce_eager: bool = False
@@ -60,6 +62,9 @@ class EngineArgs:
                             default=1)
         parser.add_argument("--data-parallel-size", "-dp", type=int,
                             default=1)
+        parser.add_argument("--pipeline-parallel-size", "-pp", type=int,
+                            default=1)
+        parser.add_argument("--enable-expert-parallel", action="store_true")
         parser.add_argument("--device", default="auto")
         parser.add_argument("--load-format", default="auto",
                             choices=["auto", "safetensors", "dummy"])
@@ -95,6 +100,8 @@ class EngineArgs:
             max_num_batched_tokens=args.max_num_batched_tokens,
             tensor_parallel_size=args.tensor_parallel_size,
             data_parallel_size=args.data_parallel_size,
+            pipeline_parallel_size=args.pipeline_parallel_size,
+            enable_expert_parallel=args.enable_expert_parallel,
             device=args.device, load_format=args.load_format,
             enforce_eager=args.enforce_eager)
 

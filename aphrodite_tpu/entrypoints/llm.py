@@ -32,6 +32,8 @@ def build_engine_config(
     max_num_batched_tokens: int = 2048,
     tensor_parallel_size: int = 1,
     data_parallel_size: int = 1,
+    pipeline_parallel_size: int = 1,
+    enable_expert_parallel: bool = False,
     device: str = "auto",
     load_format: str = "auto",
     enforce_eager: bool = False,
@@ -61,7 +63,9 @@ def build_engine_config(
             max_model_len=max_model_len or mc.max_model_len),
         parallel_config=ParallelConfig(
             tensor_parallel_size=tensor_parallel_size,
-            data_parallel_size=data_parallel_size),
+            data_parallel_size=data_parallel_size,
+            pipeline_parallel_size=pipeline_parallel_size,
+            enable_expert_parallel=enable_expert_parallel),
         device_config=DeviceConfig(device=device),
         load_config=LoadConfig(load_format=load_format),
         speculative_config=speculative_config,

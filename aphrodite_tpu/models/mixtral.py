@@ -25,6 +25,12 @@ from aphrodite_tpu.models.llama import LlamaForCausalLM
 
 class MixtralForCausalLM(LlamaForCausalLM):
 
+    # Set by the worker when ParallelConfig.enable_expert_parallel: experts
+    # are sharded across the `tp` mesh axis instead of each expert's
+    # intermediate dim, and the MoE math switches from scan-over-experts to
+    # a dense einsum over the (sharded) expert dim.
+    expert_parallel = False
+
     def __init__(self, config):
         hf = config.text_config
         self.num_experts = getattr(hf, "num_local_experts",
@@ -110,12 +116,23 @@ class MixtralForCausalLM(LlamaForCausalLM):
         specs = super().param_specs()
         for k in ("w_gate", "w_up", "w_down"):
             specs["layers"].pop(k, None)
-        specs["layers"].update({
-            "router": P(),
-            "we_gate": P(None, None, None, "tp"),
-            "we_up": P(None, None, None, "tp"),
-            "we_down": P(None, None, "tp", None),
-        })
+        if self.expert_parallel:
+            # EP: shard the expert dim E across tp; each device holds E/tp
+            # whole experts, computes their contribution locally, and GSPMD
+            # all-reduces the weighted combine (one psum per MoE block).
+            specs["layers"].update({
+                "router": P(),
+                "we_gate": P(None, "tp", None, None),
+                "we_up": P(None, "tp", None, None),
+                "we_down": P(None, "tp", None, None),
+            })
+        else:
+            specs["layers"].update({
+                "router": P(),
+                "we_gate": P(None, None, None, "tp"),
+                "we_up": P(None, None, None, "tp"),
+                "we_down": P(None, None, "tp", None),
+            })
         return specs
 
     # ----------------------------------------------------------------- forward
@@ -141,6 +158,21 @@ class MixtralForCausalLM(LlamaForCausalLM):
             return acc + gate[:, None] * y, None
 
         E = self.num_experts
+        if self.expert_parallel:
+            # Dense einsum over the expert dim: with we_* sharded P("tp")
+            # on E, each device computes only its local experts and the
+            # token-expert combine all-reduces across the ep(=tp) axis.
+            # [T,E] dense gates (zero for unrouted experts).
+            gates = jnp.sum(
+                topw[:, :, None] * jax.nn.one_hot(topi, E, dtype=h.dtype),
+                axis=1)
+            g = jnp.einsum("th,ehi->eti", h, lp["we_gate"],
+                           preferred_element_type=jnp.float32).astype(h.dtype)
+            u = jnp.einsum("th,ehi->eti", h, lp["we_up"],
+                           preferred_element_type=jnp.float32).astype(h.dtype)
+            y = jnp.einsum("eti,eio->eto", self.act(g, u), lp["we_down"],
+                           preferred_element_type=jnp.float32).astype(h.dtype)
+            return jnp.einsum("te,eto->to", gates, y)
         acc0 = jnp.zeros_like(h)
         acc, _ = jax.lax.scan(
             expert, acc0,

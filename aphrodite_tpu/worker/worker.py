@@ -57,6 +57,12 @@ class Worker:
         self.mesh = (build_mesh(pc) if pc.world_size > 1 else None)
 
         self.model = create_model(config.model_config)
+        if pc.enable_expert_parallel:
+            # EP shards the expert dim of MoE weights across the tp axis
+            # (reference: fused_moe/layer.py:432 routes experts across TP
+            # ranks); the model switches its MoE math to the einsum form so
+            # GSPMD partitions over experts and all-reduces the combine.
+            self.model.expert_parallel = True
         from aphrodite_tpu.quantization.base import get_quantization_config
         self.quant_config = get_quantization_config(config.model_config)
         if self.quant_config is not None:
