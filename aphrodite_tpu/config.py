@@ -164,6 +164,12 @@ class ParallelConfig:
     data_parallel_size: int = 1
     pipeline_parallel_size: int = 1
     enable_expert_parallel: bool = False
+    # Sequence parallelism: activations between blocks constrained to
+    # P("tp") on the token dim; GSPMD turns the TP all-reduces into
+    # reduce-scatter + all-gather around the (token-sharded) norms
+    # (reference: compilation/sequence_parallelism.py fx pass — here it is
+    # one sharding annotation).
+    sequence_parallel: bool = False
 
     @property
     def world_size(self) -> int:

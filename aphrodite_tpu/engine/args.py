@@ -30,6 +30,7 @@ class EngineArgs:
     data_parallel_size: int = 1
     pipeline_parallel_size: int = 1
     enable_expert_parallel: bool = False
+    sequence_parallel: bool = False
     device: str = "auto"
     load_format: str = "auto"
     enforce_eager: bool = False
@@ -65,6 +66,7 @@ class EngineArgs:
         parser.add_argument("--pipeline-parallel-size", "-pp", type=int,
                             default=1)
         parser.add_argument("--enable-expert-parallel", action="store_true")
+        parser.add_argument("--sequence-parallel", action="store_true")
         parser.add_argument("--device", default="auto")
         parser.add_argument("--load-format", default="auto",
                             choices=["auto", "safetensors", "dummy"])
@@ -102,6 +104,7 @@ class EngineArgs:
             data_parallel_size=args.data_parallel_size,
             pipeline_parallel_size=args.pipeline_parallel_size,
             enable_expert_parallel=args.enable_expert_parallel,
+            sequence_parallel=args.sequence_parallel,
             device=args.device, load_format=args.load_format,
             enforce_eager=args.enforce_eager)
 

@@ -34,6 +34,7 @@ def build_engine_config(
     data_parallel_size: int = 1,
     pipeline_parallel_size: int = 1,
     enable_expert_parallel: bool = False,
+    sequence_parallel: bool = False,
     device: str = "auto",
     load_format: str = "auto",
     enforce_eager: bool = False,
@@ -65,7 +66,8 @@ def build_engine_config(
             tensor_parallel_size=tensor_parallel_size,
             data_parallel_size=data_parallel_size,
             pipeline_parallel_size=pipeline_parallel_size,
-            enable_expert_parallel=enable_expert_parallel),
+            enable_expert_parallel=enable_expert_parallel,
+            sequence_parallel=sequence_parallel),
         device_config=DeviceConfig(device=device),
         load_config=LoadConfig(load_format=load_format),
         speculative_config=speculative_config,

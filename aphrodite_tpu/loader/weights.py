@@ -112,7 +112,8 @@ def load_model_params(model, model_config: ModelConfig,
                 quantize_stacked_params)
             params = quantize_stacked_params(params, quant_config)
 
-    specs = model.param_specs()
+    from aphrodite_tpu.parallel.mesh import model_param_specs
+    specs = model_param_specs(model)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 

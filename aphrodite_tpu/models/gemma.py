@@ -56,8 +56,10 @@ class GemmaForCausalLM(LlamaForCausalLM):
                                    self._rope_mscale)
         nq, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
 
-        def layer(x, xs):
+        def layer(x, xs, slots=None):
             lp, kvc = xs
+            if slots is None:
+                slots = md.slot_mapping
             fmt = self.quant_fmt
             h = self._norm(x, lp["input_norm"])
             q = apply_linear(h, lp["wq"], fmt=fmt)
@@ -67,7 +69,7 @@ class GemmaForCausalLM(LlamaForCausalLM):
             q = apply_rope(q.reshape(T, nq, hd), cos, sin)
             k = apply_rope(k.reshape(T, nkv, hd), cos, sin)
             v = v.reshape(T, nkv, hd)
-            kvc = write_kv(kvc, k, v, md.slot_mapping)
+            kvc = write_kv(kvc, k, v, slots)
 
             def attn(window):
                 return paged_attention(
@@ -98,7 +100,12 @@ class GemmaForCausalLM(LlamaForCausalLM):
             x = x + m
             return x, kvc
 
-        x, new_cache = jax.lax.scan(layer, x, (params["layers"], kv_cache))
+        if self.pp_size > 1:
+            x, new_cache = self._pipeline(layer, x, params["layers"],
+                                          kv_cache, md)
+        else:
+            x, new_cache = jax.lax.scan(layer, x,
+                                        (params["layers"], kv_cache))
         x = self._norm(x, params["final_norm"])
         return x, new_cache
 

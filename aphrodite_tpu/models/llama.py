@@ -36,6 +36,15 @@ class LlamaForCausalLM:
     qkv_bias: bool = False
     tie_embeddings_default: bool = False
 
+    # Pipeline parallelism (set by the worker): stages shard the [L, ...]
+    # layer stack / KV cache over the `pp` mesh axis; see _pipeline.
+    pp_size: int = 1
+    mesh = None
+    # Sequence parallelism (set by the worker): residual-stream activations
+    # constrained to P("tp") on the token dim; XLA then reduce-scatters the
+    # TP matmul outputs and runs norms/elementwise token-sharded.
+    sequence_parallel: bool = False
+
     def __init__(self, config: ModelConfig):
         self.config = config
         hf = config.text_config
@@ -217,8 +226,10 @@ class LlamaForCausalLM:
         scan_layers = (params["layers"] if lora is None
                        else {**params["layers"], **lora})
 
-        def layer(x, xs):
+        def layer(x, xs, slots=None):
             lp, kvc = xs
+            if slots is None:
+                slots = md.slot_mapping
 
             def lin(h, key, bias=None):
                 y = apply_linear(h, lp[key], bias, fmt=self.quant_fmt)
@@ -243,19 +254,90 @@ class LlamaForCausalLM:
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             v = v.reshape(T, nkv, hd)
-            kvc = write_kv(kvc, k, v, md.slot_mapping)
+            kvc = write_kv(kvc, k, v, slots)
             o = paged_attention(q, kvc, md, self.scale,
                                 sliding_window=self.sliding_window,
                                 use_pallas=use_pallas)
-            x = x + lin(o.reshape(T, nq * hd), "wo")
+            x = self._sp(x + lin(o.reshape(T, nq * hd), "wo"))
             # -- MLP block
             h = rms_norm(x, lp["post_norm"], self.rms_eps)
-            x = x + self._mlp(h, lp, lin=lin)
+            x = self._sp(x + self._mlp(h, lp, lin=lin))
             return x, kvc
 
-        x, new_cache = jax.lax.scan(layer, x, (scan_layers, kv_cache))
+        if self.pp_size > 1:
+            x, new_cache = self._pipeline(layer, x, scan_layers, kv_cache,
+                                          md)
+        else:
+            x, new_cache = jax.lax.scan(layer, x, (scan_layers, kv_cache))
         x = rms_norm(x, params["final_norm"], self.rms_eps)
         return x, new_cache
+
+    def _pipeline(self, layer, x, scan_layers, kv_cache, md):
+        """Pipeline parallelism over the `pp` mesh axis (reference: _PP
+        group + virtual engines, aphrodite/distributed/parallel_state.py:809;
+        redesigned for SPMD): the [L, ...] layer stack and KV cache are
+        sharded on L across pp stages; a shard_map circular pipeline scans
+        each stage's local layers and ppermutes the hidden between stages.
+
+        All stages run an identical program every iteration (data-dependent
+        `cond` around GSPMD-partitioned matmuls deadlocks — the tp
+        collectives inside the branch would only run on some devices), so
+        stage s's compute is only *valid* at iteration s; KV writes on
+        invalid iterations are masked via slot=-1 and the valid result is
+        harvested from the last stage with a masked psum. Per-step latency
+        is the sum of stages (inherent at one in-flight microbatch);
+        throughput pipelining comes from the engine dispatching the next
+        step while later stages still run this one (XLA async dispatch)."""
+        import jax.lax as lax
+        from jax.sharding import PartitionSpec as P
+        pp = self.pp_size
+        mesh = self.mesh
+        assert mesh is not None and "pp" in mesh.axis_names
+
+        def pipeline(scan_layers, kv_cache, x, slot_mapping):
+            stage = lax.axis_index("pp")
+            x = lax.pcast(x, "pp", to="varying")
+            slot_mapping = lax.pcast(slot_mapping, "pp", to="varying")
+            for s in range(pp):
+                slots = jnp.where(stage == s, slot_mapping, -1)
+                x, kv_cache = jax.lax.scan(
+                    lambda xx, xs: layer(xx, xs, slots=slots),
+                    x, (scan_layers, kv_cache))
+                if s < pp - 1:
+                    x = lax.ppermute(
+                        x, "pp", [(i, (i + 1) % pp) for i in range(pp)])
+            # Valid chain (started on stage 0) ends on stage pp-1. The
+            # masked psum broadcast runs in f32: bf16 all-reduce inside a
+            # partial-manual shard_map crashes XLA:CPU's SPMD partitioner
+            # ("Invalid binary instruction opcode copy"), and f32 is
+            # numerically safer for the residual stream anyway.
+            x = lax.psum(jnp.where(stage == pp - 1, x, 0)
+                         .astype(jnp.float32), "pp").astype(x.dtype)
+            return x, kv_cache
+
+        layers_specs = jax.tree.map(lambda _: P("pp"), scan_layers)
+        return jax.shard_map(
+            pipeline, mesh=mesh,
+            in_specs=(layers_specs, P("pp"), P(), P()),
+            out_specs=(P(), P("pp")),
+            axis_names={"pp"})(scan_layers, kv_cache, x, md.slot_mapping)
+
+    def _sp(self, x: jax.Array) -> jax.Array:
+        """Sequence-parallel activation constraint (no-op unless enabled).
+        Skipped inside the pp shard_map region: constraints on pp-varying
+        arrays are rejected there, and the pipeline already communicates
+        explicitly."""
+        if self.sequence_parallel and self.mesh is not None:
+            try:
+                am = jax.sharding.get_abstract_mesh()
+                if "pp" in getattr(am, "manual_axes", ()):
+                    return x
+            except Exception:
+                pass
+            from jax.sharding import NamedSharding
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, P("tp", None)))
+        return x
 
     def _mlp(self, h: jax.Array, lp: dict, lin=None) -> jax.Array:
         if lin is None:

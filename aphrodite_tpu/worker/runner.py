@@ -89,7 +89,8 @@ class ModelRunner:
         if mesh is not None:
             from jax.sharding import NamedSharding
             from aphrodite_tpu.parallel.mesh import kv_cache_pspec
-            sharding = NamedSharding(mesh, kv_cache_pspec())
+            sharding = NamedSharding(
+                mesh, kv_cache_pspec(pp=getattr(model, "pp_size", 1) > 1))
             self.kv_cache = jax.device_put(
                 jnp.zeros(kv_shape, kv_dtype), sharding)
         else:

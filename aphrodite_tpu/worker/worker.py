@@ -29,7 +29,8 @@ def load_params_to_device(host_params, model, mesh):
     if mesh is None:
         return _jax.tree.map(_jax.device_put, host_params)
     from jax.sharding import NamedSharding, PartitionSpec
-    specs = model.param_specs()
+    from aphrodite_tpu.parallel.mesh import model_param_specs
+    specs = model_param_specs(model)
 
     def rec(p, sp):
         if isinstance(p, dict):
@@ -57,6 +58,16 @@ class Worker:
         self.mesh = (build_mesh(pc) if pc.world_size > 1 else None)
 
         self.model = create_model(config.model_config)
+        self.model.mesh = self.mesh
+        if pc.sequence_parallel:
+            self.model.sequence_parallel = True
+        if pc.pipeline_parallel_size > 1:
+            if self.model.num_layers % pc.pipeline_parallel_size:
+                raise ValueError(
+                    f"num_layers={self.model.num_layers} not divisible by "
+                    f"pipeline_parallel_size={pc.pipeline_parallel_size}")
+            self.model.pp_size = pc.pipeline_parallel_size
+            self.model.mesh = self.mesh
         if pc.enable_expert_parallel:
             # EP shards the expert dim of MoE weights across the tp axis
             # (reference: fused_moe/layer.py:432 routes experts across TP

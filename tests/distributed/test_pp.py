@@ -1,0 +1,48 @@
+"""Pipeline-parallel correctness on the virtual 8-device CPU mesh: the
+layer stack + KV cache sharded across pp stages (shard_map circular
+pipeline, see LlamaForCausalLM._pipeline) must match single-device tokens.
+Reference inventory row: _PP group, aphrodite/distributed/parallel_state.py:809."""
+import pytest
+
+from aphrodite_tpu.sampling_params import SamplingParams
+
+from tests.utils import save_tiny_hf_checkpoint, tiny_llama_hf_config
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_pp")
+    hf_config = tiny_llama_hf_config(hidden=64, heads=4, kv_heads=4,
+                                     vocab_size=256, intermediate=128,
+                                     layers=4)
+    save_tiny_hf_checkpoint(d, hf_config)
+    return d
+
+
+def _generate(ckpt_dir, pp, tp=1):
+    from aphrodite_tpu.entrypoints.llm import LLM
+    llm = LLM(model=str(ckpt_dir), dtype="float32", block_size=16,
+              num_kv_blocks=128, max_num_batched_tokens=128, max_num_seqs=8,
+              max_model_len=256, pipeline_parallel_size=pp,
+              tensor_parallel_size=tp, tokenizer="unused")
+    prompts = [[1, 5, 9, 20, 3], [7, 8, 9, 10, 11, 12, 13], [100, 101]]
+    params = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    outs = llm.generate(prompts, params)
+    return [o.outputs[0].token_ids for o in outs]
+
+
+def test_pp_matches_single_device(ckpt):
+    single = _generate(ckpt, 1)
+    pp2 = _generate(ckpt, 2)
+    assert single == pp2
+
+
+def test_pp_with_tp(ckpt):
+    single = _generate(ckpt, 1)
+    pp2tp2 = _generate(ckpt, 2, tp=2)
+    assert single == pp2tp2
+
+
+def test_pp_rejects_indivisible_layers(ckpt):
+    with pytest.raises(ValueError, match="not divisible"):
+        _generate(ckpt, 3)

@@ -18,11 +18,12 @@ def ckpt(tmp_path_factory):
     return d
 
 
-def _generate(ckpt_dir, tp):
+def _generate(ckpt_dir, tp, sp=False):
     from aphrodite_tpu.entrypoints.llm import LLM
     llm = LLM(model=str(ckpt_dir), dtype="float32", block_size=16,
               num_kv_blocks=128, max_num_batched_tokens=128, max_num_seqs=8,
-              max_model_len=256, tensor_parallel_size=tp, tokenizer="unused")
+              max_model_len=256, tensor_parallel_size=tp,
+              sequence_parallel=sp, tokenizer="unused")
     prompts = [[1, 5, 9, 20, 3], [7, 8, 9, 10, 11, 12, 13], [100, 101]]
     params = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
     outs = llm.generate(prompts, params)
@@ -37,12 +38,17 @@ def test_tp_matches_single_device(ckpt):
     assert single == tp4
 
 
+def test_sequence_parallel_matches(ckpt):
+    """SP is a sharding-annotation choice: numerics must be unchanged."""
+    assert _generate(ckpt, 4) == _generate(ckpt, 4, sp=True)
+
+
 def test_mesh_build():
     import jax
     from aphrodite_tpu.config import ParallelConfig
     from aphrodite_tpu.parallel.mesh import build_mesh
     mesh = build_mesh(ParallelConfig(tensor_parallel_size=4,
                                      data_parallel_size=2))
-    assert mesh.shape == {"dp": 2, "tp": 4}
+    assert mesh.shape == {"dp": 2, "pp": 1, "tp": 4}
     with pytest.raises(ValueError):
         build_mesh(ParallelConfig(tensor_parallel_size=16))
