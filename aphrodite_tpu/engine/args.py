@@ -31,6 +31,9 @@ class EngineArgs:
     pipeline_parallel_size: int = 1
     enable_expert_parallel: bool = False
     sequence_parallel: bool = False
+    # JSON dict, e.g. '{"method": "ngram", "num_speculative_tokens": 4}' or
+    # '{"method": "draft_model", "draft_model": "/path", ...}' / "eagle".
+    speculative_config: Optional[dict] = None
     device: str = "auto"
     load_format: str = "auto"
     enforce_eager: bool = False
@@ -67,6 +70,10 @@ class EngineArgs:
                             default=1)
         parser.add_argument("--enable-expert-parallel", action="store_true")
         parser.add_argument("--sequence-parallel", action="store_true")
+        parser.add_argument("--speculative-config", default=None,
+                            help="JSON SpeculativeConfig, e.g. "
+                            '\'{"method": "ngram", '
+                            '"num_speculative_tokens": 4}\'')
         parser.add_argument("--device", default="auto")
         parser.add_argument("--load-format", default="auto",
                             choices=["auto", "safetensors", "dummy"])
@@ -105,6 +112,10 @@ class EngineArgs:
             pipeline_parallel_size=args.pipeline_parallel_size,
             enable_expert_parallel=args.enable_expert_parallel,
             sequence_parallel=args.sequence_parallel,
+            speculative_config=(
+                __import__("json").loads(args.speculative_config)
+                if isinstance(args.speculative_config, str)
+                else args.speculative_config),
             device=args.device, load_format=args.load_format,
             enforce_eager=args.enforce_eager)
 

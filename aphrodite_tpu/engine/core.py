@@ -45,13 +45,18 @@ class EngineCore:
         self.stats = StatsAggregator()
         self.proposer = None
         sc = config.speculative_config
-        if sc is not None and sc.method == "ngram" and \
-                sc.num_speculative_tokens > 0:
-            from aphrodite_tpu.spec_decode import NgramProposer
-            self.proposer = NgramProposer(
-                min_n=sc.prompt_lookup_min, max_n=sc.prompt_lookup_max,
-                num_speculative_tokens=sc.num_speculative_tokens)
-            self.worker.runner.spec_k = sc.num_speculative_tokens
+        if sc is not None and sc.num_speculative_tokens > 0:
+            if sc.method == "ngram":
+                from aphrodite_tpu.spec_decode import NgramProposer
+                self.proposer = NgramProposer(
+                    min_n=sc.prompt_lookup_min, max_n=sc.prompt_lookup_max,
+                    num_speculative_tokens=sc.num_speculative_tokens)
+            elif sc.method in ("draft_model", "eagle"):
+                # Drafts come from the runner's lockstep draft model; the
+                # sentinel routes the propose loop to runner.pending_drafts.
+                self.proposer = "draft"
+            if self.proposer is not None:
+                self.worker.runner.spec_k = sc.num_speculative_tokens
 
     def add_request(self, request: Request) -> None:
         self.stats.on_request_arrival(request.request_id,
@@ -116,6 +121,8 @@ class EngineCore:
             for rid in sched_out.finished_req_ids:
                 self.structured.remove_request(rid)
         if self.proposer is not None:
+            drafts_map = (self.worker.runner.pending_drafts_map()
+                          if self.proposer == "draft" else None)
             for req in self.scheduler.running:
                 # Draft only for decode-ready requests (prompt fully done).
                 # Token-history samplers (penalties/DRY/ngram-ban) need fresh
@@ -128,8 +135,12 @@ class EngineCore:
                         and p.frequency_penalty == 0.0
                         and p.dry_multiplier == 0.0
                         and p.no_repeat_ngram_size == 0):
-                    req.spec_token_ids = self.proposer.propose(
-                        req.all_token_ids)
+                    if drafts_map is not None:
+                        req.spec_token_ids = drafts_map.get(
+                            req.request_id, [])
+                    else:
+                        req.spec_token_ids = self.proposer.propose(
+                            req.all_token_ids)
         return outputs
 
     def has_unfinished_requests(self) -> bool:

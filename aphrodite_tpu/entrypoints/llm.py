@@ -5,7 +5,8 @@ from typing import Any, Optional, Sequence, Union
 
 from aphrodite_tpu.config import (CacheConfig, DeviceConfig, EngineConfig,
                                   LoadConfig, LoRAConfig, ModelConfig,
-                                  ParallelConfig, SchedulerConfig, TPUConfig)
+                                  ParallelConfig, SchedulerConfig,
+                                  SpeculativeConfig, TPUConfig)
 from aphrodite_tpu.engine.llm_engine import LLMEngine
 from aphrodite_tpu.engine.processor import PromptType
 from aphrodite_tpu.outputs import RequestOutput
@@ -70,7 +71,9 @@ def build_engine_config(
             sequence_parallel=sequence_parallel),
         device_config=DeviceConfig(device=device),
         load_config=LoadConfig(load_format=load_format),
-        speculative_config=speculative_config,
+        speculative_config=(
+            SpeculativeConfig(**speculative_config)
+            if isinstance(speculative_config, dict) else speculative_config),
         lora_config=(LoRAConfig(max_loras=max_loras,
                                 max_lora_rank=max_lora_rank)
                      if enable_lora else None),

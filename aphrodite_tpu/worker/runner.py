@@ -114,11 +114,14 @@ class ModelRunner:
         # >0 when an ngram/draft proposer is active (set by the engine core):
         # verification gathers spec_k+1 sample rows per request.
         self.spec_k = 0
+        # Draft-model proposer (spec_decode/draft_model.py), set by the
+        # worker. Runs in lockstep with the target step.
+        self.draft = None
 
         self._step_fn = jax.jit(
             self._step, donate_argnums=(1,),
             static_argnames=("flags", "max_logprobs", "spec_k", "plp_k",
-                             "need_sample"))
+                             "need_sample", "need_hidden"))
         self._multi_step_fn = jax.jit(
             self._multi_step, donate_argnums=(1,),
             static_argnames=("flags", "num_steps", "max_logprobs"))
@@ -126,7 +129,8 @@ class ModelRunner:
     # -------------------------------------------------------------- jit step
     def _step(self, params, kv_cache, input_ids, md: AttentionMetadata,
               smd, flags, max_logprobs, spec_k=0, grammar_mask=None,
-              lora=None, plp_targets=None, plp_k=0, need_sample=True):
+              lora=None, plp_targets=None, plp_k=0, need_sample=True,
+              need_hidden=False):
         """Fused forward + sample: ONE dispatch and one small d2h per engine
         step (the device round trip dominates decode latency on a tunneled
         chip; see bench notes). With spec_k>0, gathers spec_k+1 rows per
@@ -135,11 +139,12 @@ class ModelRunner:
         hidden, kv_cache = self.model.apply(params, input_ids, kv_cache, md,
                                             use_pallas=self.use_pallas,
                                             lora=lora)
+        h_out = hidden if need_hidden else None
         if not need_sample:
             # Pure mid-prefill step: nothing to sample or fetch — the engine
             # continues without a device round trip (the next step's inputs
             # don't depend on this one's outputs).
-            return None, None, None, kv_cache, None
+            return None, None, None, kv_cache, None, h_out
         ends = jnp.clip(md.query_start_loc[1:] - 1, 0)
         if spec_k > 0:
             offs = jnp.arange(spec_k + 1, dtype=jnp.int32) - spec_k
@@ -177,8 +182,8 @@ class ModelRunner:
         ])
         if max_logprobs:
             return packed, out["topk_values"], out["topk_indices"], \
-                kv_cache, plp
-        return packed, None, None, kv_cache, plp
+                kv_cache, plp, h_out
+        return packed, None, None, kv_cache, plp, h_out
 
     # ------------------------------------------------- multi-step decode scan
     def _multi_step(self, params, kv_cache, cur_tokens, seq_lens0,
@@ -227,6 +232,10 @@ class ModelRunner:
         packed = jnp.stack([
             jax.lax.bitcast_convert_type(tokens_k, jnp.float32), lp_k])
         return packed, topk_v, topk_i, kv_cache
+
+    def pending_drafts_map(self) -> dict[str, list[int]]:
+        """Draft-model proposals from the last step ({} without a draft)."""
+        return self.draft.pending_drafts if self.draft is not None else {}
 
     # --------------------------------------------------------- state updates
     def update_states(self, so: SchedulerOutput) -> None:
@@ -419,13 +428,22 @@ class ModelRunner:
 
         need_sample = (any(samples_expected) or plp_targets is not None
                        or so.grammar_bitmask is not None)
-        packed, topk_v_d, topk_i_d, self.kv_cache, plp_d = self._step_fn(
-            self.params, self.kv_cache, jnp.asarray(input_ids), md, smd,
-            flags=flags, max_logprobs=max_lp, spec_k=spec_k,
-            grammar_mask=gmask, lora=lora_arg, plp_targets=plp_targets,
-            plp_k=plp_k, need_sample=need_sample)
+        need_hidden = self.draft is not None and self.draft.needs_hidden
+        packed, topk_v_d, topk_i_d, self.kv_cache, plp_d, hidden_d = \
+            self._step_fn(
+                self.params, self.kv_cache, jnp.asarray(input_ids), md, smd,
+                flags=flags, max_logprobs=max_lp, spec_k=spec_k,
+                grammar_mask=gmask, lora=lora_arg, plp_targets=plp_targets,
+                plp_k=plp_k, need_sample=need_sample,
+                need_hidden=need_hidden)
 
         if not need_sample:
+            if self.draft is not None:
+                # Keep the draft KV in lockstep through chunked prefill.
+                self.draft.ingest_only(input_ids, md, hidden=hidden_d,
+                                       host_qsl=qsl,
+                                       host_seg_starts=seg_starts,
+                                       num_reqs=R)
             return ModelRunnerOutput(req_ids=order,
                                      sampled_token_ids=[[] for _ in order])
 
@@ -476,6 +494,13 @@ class ModelRunner:
                     emitted.append(int(cand[m]))  # all accepted: bonus token
                 sampled.append(emitted)
                 st.token_ids.extend(emitted)
+            if self.draft is not None:
+                self.draft.observe_and_propose(order, R_pad, input_ids, md,
+                                               samples_expected,
+                                               hidden=hidden_d,
+                                               host_qsl=qsl,
+                                               host_seg_starts=seg_starts,
+                                               host_slots=slots)
             return ModelRunnerOutput(req_ids=order,
                                      sampled_token_ids=sampled)
         tokens_host = packed[0, :R].view(np.int32)
@@ -507,6 +532,12 @@ class ModelRunner:
                 sampled.append([])
                 logprobs_out.append(None)
 
+        if self.draft is not None:
+            self.draft.observe_and_propose(order, R_pad, input_ids, md,
+                                           samples_expected, hidden=hidden_d,
+                                           host_qsl=qsl,
+                                           host_seg_starts=seg_starts,
+                                           host_slots=slots)
         prompt_lps = {}
         for r, rid in enumerate(order):
             st = self.requests[rid]
@@ -605,6 +636,10 @@ class ModelRunner:
         room for K tokens within max_model_len and allocated lookahead."""
         K = self.config.tpu_config.multi_step_decode
         if K <= 1 or not self.use_graph_multi_step:
+            return 1
+        if self.draft is not None:
+            # The draft must ingest every token to stay in lockstep; the
+            # multi-step scan samples K tokens without a draft ingest.
             return 1
         if so.scheduled_spec_decode_tokens or so.grammar_bitmask is not None:
             return 1

@@ -119,6 +119,45 @@ class Worker:
                                   mesh=self.mesh,
                                   lora_manager=self.lora_manager)
 
+        sc = config.speculative_config
+        if sc is not None and sc.method == "draft_model" \
+                and sc.num_speculative_tokens > 0:
+            from aphrodite_tpu.config import ModelConfig
+            from aphrodite_tpu.spec_decode.draft_model import \
+                DraftModelRunner
+            dmc = ModelConfig(
+                model=sc.draft_model, tokenizer="unused",
+                dtype=config.model_config.dtype,
+                max_model_len=config.model_config.max_model_len,
+                trust_remote_code=config.model_config.trust_remote_code)
+            dmodel = create_model(dmc)
+            dmodel.mesh = self.mesh
+            dparams = load_model_params(
+                dmodel, dmc, config.load_config, mesh=self.mesh,
+                rng_seed=config.model_config.seed)
+            self.runner.draft = DraftModelRunner(config, dmodel, dparams,
+                                                 self.runner)
+            logger.info("draft model for speculative decoding: %s "
+                        "(%d layers)", sc.draft_model, dmodel.num_layers)
+        elif sc is not None and sc.method == "eagle" \
+                and sc.num_speculative_tokens > 0:
+            import jax as _jax
+            from aphrodite_tpu.loader.weights import weights_iterator
+            from aphrodite_tpu.spec_decode.eagle import (EagleDraftHead,
+                                                         EagleProposer)
+            head = EagleDraftHead(self.model)
+            if sc.draft_model and config.load_config.load_format != "dummy":
+                eparams = head.load_weights(
+                    weights_iterator(sc.draft_model))
+            else:
+                eparams = head.init_dummy_params(
+                    _jax.random.PRNGKey(config.model_config.seed + 1))
+            eparams = _jax.tree.map(_jax.device_put, eparams)
+            self.runner.draft = EagleProposer(config, head, eparams,
+                                              self.runner, self.params)
+            logger.info("EAGLE draft head for speculative decoding "
+                        "(k=%d)", sc.num_speculative_tokens)
+
     # ----------------------------------------------------------------- LoRA
     def add_lora(self, name: str, path: str) -> int:
         if self.lora_manager is None:
