@@ -91,12 +91,24 @@ class ModelConfig:
         return self.text_config.num_attention_heads
 
     @property
+    def uses_mla(self) -> bool:
+        """DeepSeek-style multi-head latent attention: the KV cache stores
+        one compressed latent per token (kv_lora_rank + rope dims) instead
+        of per-head K/V (reference: v1/attention/backends/mla/common.py)."""
+        return getattr(self.text_config, "kv_lora_rank", None) is not None
+
+    @property
     def num_kv_heads(self) -> int:
+        if self.uses_mla:
+            return 1
         return getattr(self.text_config, "num_key_value_heads", None) \
             or self.num_attention_heads
 
     @property
     def head_dim(self) -> int:
+        if self.uses_mla:
+            return (self.text_config.kv_lora_rank +
+                    self.text_config.qk_rope_head_dim)
         hd = getattr(self.text_config, "head_dim", None)
         if hd is not None:
             return hd

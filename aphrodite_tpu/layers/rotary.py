@@ -102,7 +102,36 @@ def compute_inv_freq(cfg: RopeConfig) -> tuple[np.ndarray, float]:
         attn_factor = s.get("attn_factor", 1.0)
         if factor > 1.0:
             mscale = (0.1 * math.log(factor) + 1.0) * attn_factor
+    elif rope_type == "deepseek_yarn":
+        # DeepSeek V2/V3 YaRN (reference: DeepseekScalingRotaryEmbedding,
+        # aphrodite/modeling/layers/rotary_embedding.py:711-767): same
+        # frequency interpolation as plain YaRN but the cos/sin magnitude
+        # correction is the *ratio* of the mscale computed with the
+        # checkpoint's `mscale` vs `mscale_all_dim` knobs; the remaining
+        # mscale_all_dim^2 factor is folded into the attention softmax
+        # scale by the model (models/deepseek.py).
+        factor = s.get("factor", 1.0)
+        orig_max = s.get("original_max_position_embeddings", cfg.max_position)
+        beta_fast = s.get("beta_fast", 32)
+        beta_slow = s.get("beta_slow", 1)
+        low = math.floor(_yarn_find_dim(beta_fast, dim, base, orig_max))
+        high = math.ceil(_yarn_find_dim(beta_slow, dim, base, orig_max))
+        low, high = max(low, 0), min(high, dim - 1)
+        mask = 1 - _yarn_ramp(low / 2, high / 2, dim // 2)
+        inv_freq = inv_freq / factor * mask + inv_freq * (1 - mask)
+        attn_factor = s.get("attn_factor", 1.0)
+        mscale = float(
+            deepseek_yarn_mscale(factor, float(s.get("mscale", 1.0))) /
+            deepseek_yarn_mscale(factor, float(s.get("mscale_all_dim", 0.0)))
+            * attn_factor)
     return inv_freq.astype(np.float32), float(mscale)
+
+
+def deepseek_yarn_mscale(scale: float, mscale: float) -> float:
+    """yarn_get_mscale (reference deepseek_v2.py:179-183)."""
+    if scale <= 1.0:
+        return 1.0
+    return 0.1 * mscale * math.log(scale) + 1.0
 
 
 def compute_cos_sin(positions: jax.Array, inv_freq: jax.Array,
@@ -129,3 +158,16 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     if xt.shape[-1]:
         out = jnp.concatenate([out, xt], axis=-1)
     return out
+
+
+def apply_rope_interleaved(x: jax.Array, cos: jax.Array,
+                           sin: jax.Array) -> jax.Array:
+    """GPT-J / DeepSeek rotary convention (``is_neox_style=False`` in the
+    reference, rotary_embedding.py:99-107): pairs ``(x[2i], x[2i+1])`` rotate
+    by frequency ``i``. x: [T, heads, rot]; cos/sin: [T, rot//2]."""
+    T, heads, rot = x.shape
+    xf = x.astype(jnp.float32).reshape(T, heads, rot // 2, 2)
+    x1, x2 = xf[..., 0], xf[..., 1]
+    c, s = cos[:, None, :], sin[:, None, :]
+    out = jnp.stack([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    return out.reshape(T, heads, rot).astype(x.dtype)

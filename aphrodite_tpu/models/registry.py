@@ -24,6 +24,10 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                         "Phi3ForCausalLM"),
     "Qwen3ForCausalLM": ("aphrodite_tpu.models.phi3_qwen3",
                          "Qwen3ForCausalLM"),
+    "DeepseekV2ForCausalLM": ("aphrodite_tpu.models.deepseek",
+                              "DeepseekV2ForCausalLM"),
+    "DeepseekV3ForCausalLM": ("aphrodite_tpu.models.deepseek",
+                              "DeepseekV3ForCausalLM"),
 }
 
 # Embedding/encoder architectures (served via LLM.embed / /v1/embeddings).

@@ -50,10 +50,13 @@ def build_mesh(parallel_config: ParallelConfig,
     return mesh
 
 
-def kv_cache_pspec(pp: bool = False) -> P:
+def kv_cache_pspec(pp: bool = False, shard_kv: bool = True) -> P:
     """KV cache [L, pages, 2, kvh, page, hd]: layers across pp stages,
-    KV heads across tp."""
-    return P("pp" if pp else None, None, None, "tp", None, None)
+    KV heads across tp. shard_kv=False replicates the cache across tp —
+    required when kvh does not divide by the tp size (GQA with few heads,
+    and MLA's single latent head)."""
+    return P("pp" if pp else None, None, None,
+             "tp" if shard_kv else None, None, None)
 
 
 def model_param_specs(model) -> dict:

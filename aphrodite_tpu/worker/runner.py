@@ -89,8 +89,12 @@ class ModelRunner:
         if mesh is not None:
             from jax.sharding import NamedSharding
             from aphrodite_tpu.parallel.mesh import kv_cache_pspec
+            tp_size = dict(zip(mesh.axis_names, mesh.devices.shape)
+                           ).get("tp", 1)
             sharding = NamedSharding(
-                mesh, kv_cache_pspec(pp=getattr(model, "pp_size", 1) > 1))
+                mesh, kv_cache_pspec(pp=getattr(model, "pp_size", 1) > 1,
+                                     shard_kv=model.num_kv_heads % tp_size
+                                     == 0))
             self.kv_cache = jax.device_put(
                 jnp.zeros(kv_shape, kv_dtype), sharding)
         else:

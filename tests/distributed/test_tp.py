@@ -52,3 +52,22 @@ def test_mesh_build():
     assert mesh.shape == {"dp": 2, "pp": 1, "tp": 4}
     with pytest.raises(ValueError):
         build_mesh(ParallelConfig(tensor_parallel_size=16))
+
+
+def test_tp_deepseek_mla(tmp_path):
+    """MLA models: q heads shard across tp, the single latent KV head is
+    replicated (kv_cache_pspec shard_kv=False path)."""
+    import torch
+    from transformers import AutoModelForCausalLM, DeepseekV2Config
+    torch.manual_seed(0)
+    cfg = DeepseekV2Config(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4, intermediate_size=128,
+        kv_lora_rank=32, q_lora_rank=None, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, head_dim=8,
+        max_position_embeddings=512, tie_word_embeddings=False,
+        n_routed_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        n_shared_experts=1, first_k_dense_replace=1)
+    AutoModelForCausalLM.from_config(cfg).save_pretrained(
+        tmp_path, safe_serialization=True)
+    assert _generate(tmp_path, 1) == _generate(tmp_path, 2)
