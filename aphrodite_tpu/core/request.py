@@ -42,6 +42,7 @@ class Request:
         arrival_time: Optional[float] = None,
         prompt: Optional[str] = None,
         lora_name: Optional[str] = None,
+        mm_inputs=None,
     ) -> None:
         self.request_id = request_id
         self.prompt = prompt
@@ -49,6 +50,10 @@ class Request:
         self.sampling_params = sampling_params
         self.eos_token_id = eos_token_id
         self.lora_name = lora_name
+        # MMInputs (multimodal.py) or None; mm_hash feeds KV block hashing
+        # so images disambiguate otherwise-identical placeholder tokens.
+        self.mm_inputs = mm_inputs
+        self.mm_hash = mm_inputs.content_hash() if mm_inputs else None
         self.status = RequestStatus.WAITING
         self.stop_reason: Optional[object] = None
 

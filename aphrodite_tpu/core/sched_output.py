@@ -17,6 +17,8 @@ class NewRequestData:
     block_ids: list[int]
     num_computed_tokens: int  # prefix-cache hit length
     lora_name: Optional[str] = None
+    # MMInputs (multimodal.py): pixel tensors + placeholder spans.
+    mm_inputs: Optional[object] = None
 
 
 @dataclass

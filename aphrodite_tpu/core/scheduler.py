@@ -191,7 +191,8 @@ class Scheduler:
                         sampling_params=req.sampling_params,
                         block_ids=all_block_ids,
                         num_computed_tokens=num_computed,
-                        lora_name=req.lora_name))
+                        lora_name=req.lora_name,
+                        mm_inputs=req.mm_inputs))
 
         finished_ids = self._finished_req_ids
         self._finished_req_ids = set()

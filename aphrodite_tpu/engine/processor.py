@@ -23,6 +23,8 @@ class Processor:
         self.max_model_len = config.scheduler_config.max_model_len
         self.eos_token_id = (tokenizer.eos_token_id
                              if tokenizer is not None else None)
+        from aphrodite_tpu.multimodal import get_mm_adapter
+        self.mm_adapter = get_mm_adapter(config.model_config.hf_config)
 
     def process(self, request_id: str, prompt: PromptType,
                 params: SamplingParams,
@@ -41,6 +43,20 @@ class Processor:
             token_ids = self.tokenizer.encode(text)
         else:
             token_ids = list(prompt)
+
+        mm_inputs = None
+        mm_data = prompt.get("multi_modal_data") \
+            if isinstance(prompt, dict) else None
+        if mm_data:
+            if self.mm_adapter is None:
+                raise ValueError(
+                    f"request {request_id}: multi_modal_data given but "
+                    "model is not multimodal")
+            from aphrodite_tpu.multimodal import MMInputs
+            pv = self.mm_adapter.preprocess(mm_data["image"])
+            token_ids, spans = self.mm_adapter.expand_prompt(
+                token_ids, pv.shape[0])
+            mm_inputs = MMInputs(pixel_values=pv, spans=spans)
 
         if not token_ids:
             raise ValueError(f"request {request_id}: empty prompt")
@@ -65,4 +81,5 @@ class Processor:
             eos_token_id=self.eos_token_id,
             arrival_time=arrival_time or time.monotonic(),
             prompt=text,
-            lora_name=lora_name)
+            lora_name=lora_name,
+            mm_inputs=mm_inputs)

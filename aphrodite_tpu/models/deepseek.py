@@ -429,7 +429,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
 
     def apply(self, params: dict, input_ids: jax.Array, kv_cache: jax.Array,
               md: AttentionMetadata, *, use_pallas: bool = False,
-              lora: dict | None = None):
+              lora: dict | None = None, mm=None):
         if lora is not None:
             raise NotImplementedError("LoRA on DeepSeek: follow-up")
         if self.pp_size > 1:
@@ -437,6 +437,9 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 "pipeline parallelism for heterogeneous dense/MoE stacks: "
                 "follow-up")
         x = jnp.take(params["embed"], input_ids, axis=0)
+        if mm is not None:
+            mm_embeds, mm_idx = mm
+            x = x.at[mm_idx].set(mm_embeds.astype(x.dtype), mode="drop")
         cos, sin = compute_cos_sin(md.token_pos, self._inv_freq,
                                    self._rope_mscale)
 

@@ -46,11 +46,14 @@ class GemmaForCausalLM(LlamaForCausalLM):
         return rms_norm(x, w, self.rms_eps, offset=self.norm_offset)
 
     def apply(self, params, input_ids, kv_cache, md, *, use_pallas=False,
-              lora=None):
+              lora=None, mm=None):
         if lora is not None:
             raise NotImplementedError(
                 "LoRA is not wired into the Gemma forward yet")
         x = jnp.take(params["embed"], input_ids, axis=0)
+        if mm is not None:
+            mm_embeds, mm_idx = mm
+            x = x.at[mm_idx].set(mm_embeds.astype(x.dtype), mode="drop")
         x = (x.astype(jnp.float32) * self.embed_scale).astype(x.dtype)
         cos, sin = compute_cos_sin(md.token_pos, self._inv_freq,
                                    self._rope_mscale)

@@ -217,9 +217,16 @@ class LlamaForCausalLM:
     # ----------------------------------------------------------------- forward
     def apply(self, params: dict, input_ids: jax.Array, kv_cache: jax.Array,
               md: AttentionMetadata, *, use_pallas: bool = False,
-              lora: dict | None = None
+              lora: dict | None = None, mm=None
               ) -> tuple[jax.Array, jax.Array]:
         x = jnp.take(params["embed"], input_ids, axis=0)
+        if mm is not None:
+            # Multimodal merge: projected image embeddings overwrite the
+            # placeholder-token rows (scatter; pad rows carry index==T and
+            # drop). Reference: masked_scatter in llava.py, redesigned as
+            # an in-graph scatter so chunked prefill composes naturally.
+            mm_embeds, mm_idx = mm
+            x = x.at[mm_idx].set(mm_embeds.astype(x.dtype), mode="drop")
         cos, sin = compute_cos_sin(md.token_pos, self._inv_freq,
                                    self._rope_mscale)
         nq, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim

@@ -28,6 +28,13 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                               "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("aphrodite_tpu.models.deepseek",
                               "DeepseekV3ForCausalLM"),
+    # SSM (recurrent state, no paged KV).
+    "MambaForCausalLM": ("aphrodite_tpu.models.mamba", "MambaForCausalLM"),
+    "FalconMambaForCausalLM": ("aphrodite_tpu.models.mamba",
+                               "FalconMambaForCausalLM"),
+    # Multimodal (vision-language).
+    "LlavaForConditionalGeneration": ("aphrodite_tpu.models.llava",
+                                      "LlavaForConditionalGeneration"),
 }
 
 # Embedding/encoder architectures (served via LLM.embed / /v1/embeddings).
@@ -35,6 +42,9 @@ _EMBEDDING: dict[str, tuple[str, str]] = {
     "BertModel": ("aphrodite_tpu.models.bert", "BertEmbeddingModel"),
     "BertForMaskedLM": ("aphrodite_tpu.models.bert", "BertEmbeddingModel"),
     "RobertaModel": ("aphrodite_tpu.models.bert", "BertEmbeddingModel"),
+    # Cross-encoders (scoring/reranking via /score + /rerank).
+    "BertForSequenceClassification": ("aphrodite_tpu.models.bert",
+                                      "BertForSequenceClassification"),
 }
 _TEXT_GENERATION.update(_EMBEDDING)
 

@@ -1,0 +1,163 @@
+"""Multimodal input pipeline: images -> pixel tensors + placeholder spans.
+
+Reference surface: aphrodite/multimodal/{registry,processing}.py and the
+v1 encoder-cache design (aphrodite/v1/core/encoder_cache_manager.py). The
+TPU rebuild keeps the *mechanism* — per-architecture adapters that (a)
+preprocess raw images into model pixel tensors and (b) expand image
+placeholder tokens in the prompt, recording the span each image's
+embeddings occupy — but drives the merge with a device-side scatter in the
+jitted step instead of torch masked_scatter.
+
+Frontend-only: adapters need the HF config (geometry + token ids), never
+the model, so the processor works in the API process in MP mode.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import numpy as np
+
+
+@dataclass
+class MMInputs:
+    """Processed multimodal payload attached to a Request (pickled across
+    the ZMQ engine-core boundary in MP mode)."""
+    # Model-ready pixel tensor, [N_images, 3, S, S] float32.
+    pixel_values: np.ndarray
+    # Per image: (token_offset, num_tokens) span in the expanded prompt.
+    spans: list[tuple[int, int]]
+
+    @property
+    def num_images(self) -> int:
+        return int(self.pixel_values.shape[0])
+
+    def content_hash(self) -> int:
+        """Mixed into KV block hashes so identical placeholder token ids
+        with different images never alias in the prefix cache (reference:
+        mm extra keys, aphrodite/v1/core/kv_cache_utils.py:365)."""
+        return hash(self.pixel_values.tobytes())
+
+
+class LlavaAdapter:
+    """LLaVA-style VLMs: one flat grid of ViT patch tokens per image,
+    merged at ``image_token_index`` positions (reference:
+    aphrodite/modeling/models/llava.py)."""
+
+    def __init__(self, hf_config) -> None:
+        self.hf = hf_config
+        vc = hf_config.vision_config
+        self.image_token_id = hf_config.image_token_index
+        self.image_size = vc.image_size
+        self.patch_size = vc.patch_size
+        grid = vc.image_size // vc.patch_size
+        strategy = getattr(hf_config, "vision_feature_select_strategy",
+                           "default")
+        self.tokens_per_image = grid * grid + (1 if strategy == "full"
+                                               else 0)
+        self.image_mean = np.asarray(
+            getattr(vc, "image_mean", (0.48145466, 0.4578275, 0.40821073)),
+            np.float32)
+        self.image_std = np.asarray(
+            getattr(vc, "image_std", (0.26862954, 0.26130258, 0.27577711)),
+            np.float32)
+
+    # ------------------------------------------------------------ preprocess
+    def preprocess(self, images: Any) -> np.ndarray:
+        """images: one of, or a list of: PIL.Image, HWC uint8/float array,
+        or an already-normalized CHW float array (passed through)."""
+        if isinstance(images, np.ndarray) and images.ndim == 4:
+            images = list(images)  # already-batched NCHW pixel values
+        elif not isinstance(images, (list, tuple)):
+            images = [images]
+        out = []
+        for img in images:
+            arr = self._to_chw(img)
+            out.append(arr)
+        return np.stack(out).astype(np.float32)
+
+    def _to_chw(self, img) -> np.ndarray:
+        S = self.image_size
+        if hasattr(img, "resize") and not isinstance(img, np.ndarray):
+            # PIL image: bicubic resize to the square model resolution
+            # (CLIPImageProcessor semantics: resize shortest edge + center
+            # crop degenerate to a square resize for square inputs; we
+            # resize directly — standard serving practice).
+            img = img.convert("RGB").resize((S, S), resample=3)
+            img = np.asarray(img)
+        arr = np.asarray(img)
+        if arr.ndim != 3:
+            raise ValueError(f"image must be HWC or CHW, got {arr.shape}")
+        if arr.shape[0] == 3 and arr.shape[-1] != 3:
+            # CHW float: assume caller already normalized (e.g. HF
+            # pixel_values) — pass through after a size check.
+            if arr.shape[1] != S or arr.shape[2] != S:
+                raise ValueError(
+                    f"CHW pixel input must be [3,{S},{S}], got {arr.shape}")
+            return arr.astype(np.float32)
+        if arr.shape[1] != S or arr.shape[0] != S:
+            raise ValueError(
+                f"HWC image must be {S}x{S} (resize first or pass PIL), "
+                f"got {arr.shape}")
+        arr = arr.astype(np.float32)
+        if arr.max() > 1.5:  # uint8 range
+            arr = arr / 255.0
+        arr = (arr - self.image_mean) / self.image_std
+        return arr.transpose(2, 0, 1)
+
+    # --------------------------------------------------------------- expand
+    def expand_prompt(self, token_ids: list[int], num_images: int
+                      ) -> tuple[list[int], list[tuple[int, int]]]:
+        """Expand image placeholders to ``tokens_per_image`` repeats.
+
+        Accepts either one placeholder per image (expanded here) or an
+        already-expanded prompt (num_images * tokens_per_image placeholder
+        occurrences — e.g. from an HF processor); returns the expanded ids
+        plus per-image (offset, length) spans."""
+        tid, P = self.image_token_id, self.tokens_per_image
+        occurrences = [i for i, t in enumerate(token_ids) if t == tid]
+        spans: list[tuple[int, int]] = []
+        if len(occurrences) == num_images * P and num_images > 0:
+            # Pre-expanded: recover spans from runs of placeholder ids.
+            run_start = None
+            expanded = list(token_ids)
+            prev = -2
+            for i in occurrences + [-1]:
+                if i != prev + 1:
+                    if run_start is not None:
+                        spans.append((run_start, prev - run_start + 1))
+                    run_start = i
+                prev = i
+            if sum(n for _, n in spans) != num_images * P:
+                raise ValueError("placeholder runs do not tile images")
+            return expanded, spans
+        if len(occurrences) != num_images:
+            raise ValueError(
+                f"prompt has {len(occurrences)} image placeholders for "
+                f"{num_images} images")
+        expanded = []
+        for i, t in enumerate(token_ids):
+            if t == tid:
+                spans.append((len(expanded), P))
+                expanded.extend([tid] * P)
+            else:
+                expanded.append(t)
+        return expanded, spans
+
+
+_ADAPTERS = {
+    "LlavaForConditionalGeneration": LlavaAdapter,
+}
+
+
+def get_mm_adapter(hf_config) -> Optional[object]:
+    archs = getattr(hf_config, "architectures", None) or []
+    for a in archs:
+        cls = _ADAPTERS.get(a)
+        if cls is not None:
+            return cls(hf_config)
+    return None
+
+
+def register_mm_adapter(arch: str, cls) -> None:
+    _ADAPTERS[arch] = cls

@@ -28,6 +28,22 @@ from aphrodite_tpu.server.protocol import (
 from aphrodite_tpu.utils import logger
 
 
+def _decode_image_url(url: str):
+    """data:[mime];base64,... -> PIL image. http(s) URLs are rejected: the
+    serving process does not fetch external content."""
+    import base64
+    import io
+    if not isinstance(url, str) or not url.startswith("data:"):
+        raise ValueError(
+            "only data: image URLs are supported (no egress fetching)")
+    try:
+        payload = url.split(",", 1)[1]
+        from PIL import Image
+        return Image.open(io.BytesIO(base64.b64decode(payload)))
+    except Exception as e:
+        raise ValueError(f"invalid image data URL: {e}") from e
+
+
 def _err(msg: str, code: int = 400, etype: str = "BadRequestError"
          ) -> web.Response:
     return web.json_response(
@@ -49,6 +65,7 @@ class OpenAIServer:
         self.num_requests = 0
         self.num_prompt_tokens = 0
         self.num_generation_tokens = 0
+        self._mm_placeholder: Optional[str] = None
 
     # ----------------------------------------------------------------- app
     def build_app(self) -> web.Application:
@@ -69,6 +86,11 @@ class OpenAIServer:
         r.add_post("/v1/load_lora_adapter", self.load_lora)
         r.add_post("/v1/unload_lora_adapter", self.unload_lora)
         r.add_post("/v1/embeddings", self.embeddings)
+        r.add_post("/score", self.score)
+        r.add_post("/v1/score", self.score)
+        r.add_post("/rerank", self.rerank)
+        r.add_post("/v1/rerank", self.rerank)
+        r.add_post("/v2/rerank", self.rerank)
         r.add_post("/sleep", self.sleep)
         r.add_post("/wake_up", self.wake_up)
         r.add_get("/is_sleeping", self.is_sleeping)
@@ -113,6 +135,80 @@ class OpenAIServer:
         return _json(EmbeddingResponse(
             data=data, model=req.model or self.model_name,
             usage=UsageInfo(prompt_tokens=n_tok, total_tokens=n_tok)))
+
+    # --------------------------------------------------------- score/rerank
+    def _score_pairs(self, text_1, texts_2) -> tuple[list, list[float]]:
+        import math
+        tok = self.engine.tokenizer
+        pairs = []
+        for t2 in texts_2:
+            enc = tok(text_1, text_pair=t2)
+            pairs.append((enc["input_ids"],
+                          enc.get("token_type_ids")
+                          or [0] * len(enc["input_ids"])))
+        logits = self.engine.worker_call("score", pairs)
+        scores = []
+        for row in logits:
+            v = row[0] if len(row) == 1 else max(row)
+            scores.append(1.0 / (1.0 + math.exp(-v)) if len(row) == 1
+                          else v)
+        return pairs, scores
+
+    async def score(self, request: web.Request) -> web.Response:
+        """/score + /v1/score (reference api_server.py:620-639): sigmoid
+        cross-encoder relevance of (text_1, text_2) pairs."""
+        import asyncio as _asyncio
+        try:
+            body = await request.json()
+            text_1 = body["text_1"]
+            texts_2 = body["text_2"]
+            if isinstance(texts_2, str):
+                texts_2 = [texts_2]
+        except Exception as e:
+            return _err(str(e))
+        loop = _asyncio.get_running_loop()
+        try:
+            pairs, scores = await loop.run_in_executor(
+                None, self._score_pairs, text_1, texts_2)
+        except Exception as e:
+            return _err(str(e), 500, "InternalServerError")
+        n_tok = sum(len(p[0]) for p in pairs)
+        return web.json_response({
+            "id": f"score-{random_uuid()}", "object": "list",
+            "model": body.get("model") or self.model_name,
+            "data": [{"index": i, "object": "score", "score": s}
+                     for i, s in enumerate(scores)],
+            "usage": {"prompt_tokens": n_tok, "total_tokens": n_tok},
+        })
+
+    async def rerank(self, request: web.Request) -> web.Response:
+        """/rerank + /v1/rerank + /v2/rerank (Jina/Cohere-compatible,
+        reference api_server.py:675-706)."""
+        import asyncio as _asyncio
+        try:
+            body = await request.json()
+            query = body["query"]
+            documents = body["documents"]
+            top_n = body.get("top_n") or len(documents)
+        except Exception as e:
+            return _err(str(e))
+        loop = _asyncio.get_running_loop()
+        try:
+            pairs, scores = await loop.run_in_executor(
+                None, self._score_pairs, query, documents)
+        except Exception as e:
+            return _err(str(e), 500, "InternalServerError")
+        order = sorted(range(len(documents)), key=lambda i: -scores[i])
+        n_tok = sum(len(p[0]) for p in pairs)
+        return web.json_response({
+            "id": f"rerank-{random_uuid()}",
+            "model": body.get("model") or self.model_name,
+            "results": [{"index": i,
+                         "document": {"text": documents[i]},
+                         "relevance_score": scores[i]}
+                        for i in order[:top_n]],
+            "usage": {"total_tokens": n_tok},
+        })
 
     # ---------------------------------------------------------- sleep / wake
     async def sleep(self, request: web.Request) -> web.Response:
@@ -243,14 +339,60 @@ class OpenAIServer:
             prompt=self.engine.tokenizer.decode(req.tokens)))
 
     # ---------------------------------------------------- chat completions
-    def _render_chat(self, req: ChatCompletionRequest) -> str:
+    def _render_chat(self, req: ChatCompletionRequest):
+        """Render messages -> prompt. OpenAI-style content-part lists with
+        image_url entries become a multimodal prompt dict (reference:
+        endpoints/chat_utils.py image handling); plain string content stays
+        a str prompt."""
         kwargs = req.chat_template_kwargs or {}
         if req.tools:
             kwargs.setdefault("tools", req.tools)
-        return self.engine.tokenizer.apply_chat_template(
-            req.messages, tokenize=False,
+        messages, images = self._extract_mm(req.messages)
+        text = self.engine.tokenizer.apply_chat_template(
+            messages, tokenize=False,
             add_generation_prompt=req.add_generation_prompt,
             chat_template=req.chat_template, **kwargs)
+        if images:
+            return {"prompt": text, "multi_modal_data": {"image": images}}
+        return text
+
+    def _extract_mm(self, messages: list[dict]):
+        """Flatten content-part lists; image parts are replaced with the
+        model's image placeholder token text (data: URLs only — this server
+        does no egress fetching)."""
+        images, out = [], []
+        for m in messages:
+            content = m.get("content")
+            if not isinstance(content, list):
+                out.append(m)
+                continue
+            parts = []
+            for part in content:
+                kind = part.get("type")
+                if kind == "text":
+                    parts.append(part.get("text", ""))
+                elif kind == "image_url":
+                    url = part.get("image_url")
+                    url = url.get("url") if isinstance(url, dict) else url
+                    images.append(_decode_image_url(url))
+                    parts.append(self._image_placeholder())
+                else:
+                    raise ValueError(f"unsupported content part: {kind}")
+            out.append({**m, "content": "".join(parts)})
+        return out, images
+
+    def _image_placeholder(self) -> str:
+        if self._mm_placeholder is None:
+            from aphrodite_tpu.multimodal import get_mm_adapter
+            adapter = get_mm_adapter(self.engine.config.model_config
+                                     .hf_config)
+            if adapter is None:
+                raise ValueError("model does not accept image input")
+            tok = self.engine.tokenizer
+            s = tok.convert_ids_to_tokens(adapter.image_token_id) \
+                if hasattr(tok, "convert_ids_to_tokens") else None
+            self._mm_placeholder = s or tok.decode([adapter.image_token_id])
+        return self._mm_placeholder
 
     async def chat_completions(self, request: web.Request) -> web.Response:
         try:
@@ -476,13 +618,19 @@ class OpenAIServer:
         return resp
 
 
-def build_app(engine: AsyncLLM, model_name: str) -> web.Application:
-    return OpenAIServer(engine, model_name).build_app()
+def build_app(engine: AsyncLLM, model_name: str,
+              kobold_api: bool = False) -> web.Application:
+    app = OpenAIServer(engine, model_name).build_app()
+    if kobold_api:
+        from aphrodite_tpu.server.kobold import KoboldAPI
+        KoboldAPI(engine, model_name).add_routes(app)
+    return app
 
 
 def run_server(config, model_name: str, host: str = "0.0.0.0",
-               port: int = 2242, multiprocess: bool = False) -> None:
+               port: int = 2242, multiprocess: bool = False,
+               kobold_api: bool = False) -> None:
     engine = AsyncLLM(config, multiprocess=multiprocess)
-    app = build_app(engine, model_name)
+    app = build_app(engine, model_name, kobold_api=kobold_api)
     logger.info("serving %s on %s:%d", model_name, host, port)
     web.run_app(app, host=host, port=port)

@@ -43,6 +43,11 @@ class RequestState:
     in_graph_sample_count: int = 0
     # Accumulated prompt logprobs ([{token: (lp, rank?)}...], pos 0 = None).
     prompt_lp: Optional[list] = None
+    # Multimodal: MMInputs payload + the per-request encoder cache (flat
+    # [n_image_tokens, hidden] device array, computed lazily on first use,
+    # dropped once the prompt is fully prefilled).
+    mm: Optional[object] = None
+    mm_embeds: Optional[object] = None
 
     @property
     def num_tokens(self) -> int:
@@ -82,11 +87,29 @@ class ModelRunner:
                               else "float8_e4m3"))
         self.kv_dtype = kv_dtype
         assert cc.num_blocks is not None
+        # SSM (Mamba) models: a slot-indexed recurrent-state pytree replaces
+        # the paged KV cache; the scheduler's page accounting still runs but
+        # the model never touches pages.
+        self.is_ssm = getattr(model, "is_ssm", False)
+        if self.is_ssm:
+            sc0 = config.scheduler_config
+            tc0 = config.tpu_config
+            self.num_state_slots = next_power_of_2(sc0.max_num_seqs)
+            self._free_slots = list(range(self.num_state_slots))
+            self._slot_of: dict[str, int] = {}
         from aphrodite_tpu.attention.backend import kv_cache_shape
         kv_shape = (model.num_layers,) + kv_cache_shape(
             cc.num_blocks, cc.block_size, model.num_kv_heads, model.head_dim,
             pad_head_dim=self.use_pallas)
-        if mesh is not None:
+        if self.is_ssm:
+            self.kv_cache = model.init_cache(self.num_state_slots)
+            if mesh is not None:
+                from jax.sharding import NamedSharding
+                specs = model.cache_specs()
+                self.kv_cache = {
+                    k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+                    for k, v in self.kv_cache.items()}
+        elif mesh is not None:
             from jax.sharding import NamedSharding
             from aphrodite_tpu.parallel.mesh import kv_cache_pspec
             tp_size = dict(zip(mesh.axis_names, mesh.devices.shape)
@@ -134,7 +157,7 @@ class ModelRunner:
     def _step(self, params, kv_cache, input_ids, md: AttentionMetadata,
               smd, flags, max_logprobs, spec_k=0, grammar_mask=None,
               lora=None, plp_targets=None, plp_k=0, need_sample=True,
-              need_hidden=False):
+              need_hidden=False, mm=None):
         """Fused forward + sample: ONE dispatch and one small d2h per engine
         step (the device round trip dominates decode latency on a tunneled
         chip; see bench notes). With spec_k>0, gathers spec_k+1 rows per
@@ -142,7 +165,7 @@ class ModelRunner:
         verification."""
         hidden, kv_cache = self.model.apply(params, input_ids, kv_cache, md,
                                             use_pallas=self.use_pallas,
-                                            lora=lora)
+                                            lora=lora, mm=mm)
         h_out = hidden if need_hidden else None
         if not need_sample:
             # Pure mid-prefill step: nothing to sample or fetch — the engine
@@ -237,6 +260,61 @@ class ModelRunner:
             jax.lax.bitcast_convert_type(tokens_k, jnp.float32), lp_k])
         return packed, topk_v, topk_i, kv_cache
 
+    # ------------------------------------------------------------- multimodal
+    def _mm_embeds(self, st: RequestState):
+        """Per-request encoder cache: run the vision tower once per request
+        (image-count-bucketed jit), keep the projected embeddings on device
+        (reference: v1 encoder cache, aphrodite/v1/core/encoder_cache_manager.py)."""
+        if st.mm_embeds is None:
+            pv = np.asarray(st.mm.pixel_values)
+            N = pv.shape[0]
+            N_pad = next_power_of_2(N)
+            if N_pad != N:
+                pv = np.concatenate(
+                    [pv, np.zeros((N_pad - N,) + pv.shape[1:], pv.dtype)])
+            if not hasattr(self, "_encode_fn"):
+                self._encode_fn = jax.jit(self.model.encode_images)
+            flat = self._encode_fn(self.params, jnp.asarray(pv))
+            per_img = flat.shape[0] // N_pad
+            st.mm_embeds = flat[:N * per_img]
+        return st.mm_embeds
+
+    def _build_mm_arg(self, so: SchedulerOutput, order, seg_starts, T_pad):
+        """Gather the image-embedding rows covered by this step's scheduled
+        token ranges + their scatter targets in the padded batch (pad rows
+        scatter to T_pad and drop)."""
+        if not getattr(self.model, "is_multimodal", False):
+            return None
+        pieces, idx_parts = [], []
+        for r, rid in enumerate(order):
+            st = self.requests[rid]
+            if st.mm is None or st.num_computed >= st.prompt_len:
+                continue
+            start = st.num_computed
+            n = so.num_scheduled_tokens[rid]
+            base = 0
+            for off, ln in st.mm.spans:
+                lo, hi = max(off, start), min(off + ln, start + n)
+                if lo < hi:
+                    emb = self._mm_embeds(st)
+                    pieces.append(emb[base + lo - off:base + hi - off])
+                    t0 = int(seg_starts[r]) + (lo - start)
+                    idx_parts.append(np.arange(t0, t0 + hi - lo, dtype=np.int32))
+                base += ln
+        if not pieces:
+            return None
+        M = sum(int(p.shape[0]) for p in pieces)
+        M_pad = next_power_of_2(max(M, 8))
+        embeds = jnp.concatenate(pieces) if len(pieces) > 1 else pieces[0]
+        if M_pad != M:
+            embeds = jnp.concatenate(
+                [embeds, jnp.zeros((M_pad - M, embeds.shape[1]),
+                                   embeds.dtype)])
+        idx = np.full((M_pad,), T_pad, np.int32)
+        if M:
+            idx[:M] = np.concatenate(idx_parts)
+        return embeds, jnp.asarray(idx)
+
     def pending_drafts_map(self) -> dict[str, list[int]]:
         """Draft-model proposals from the last step ({} without a draft)."""
         return self.draft.pending_drafts if self.draft is not None else {}
@@ -245,6 +323,10 @@ class ModelRunner:
     def update_states(self, so: SchedulerOutput) -> None:
         for rid in so.finished_req_ids:
             self.requests.pop(rid, None)
+            if self.is_ssm:
+                slot = self._slot_of.pop(rid, None)
+                if slot is not None:
+                    self._free_slots.append(slot)
         cr = so.scheduled_cached_reqs
         for i, rid in enumerate(cr.req_ids):
             st = self.requests.get(rid)
@@ -257,7 +339,8 @@ class ModelRunner:
                                 len(cr.all_token_ids[i])),
                     num_computed=cr.num_computed_tokens[i],
                     block_ids=list(cr.new_block_ids[i]),
-                    sampling_params=st.sampling_params if st else None)
+                    sampling_params=st.sampling_params if st else None,
+                    mm=st.mm if st else None)
             else:
                 st.block_ids.extend(cr.new_block_ids[i])
                 st.num_computed = cr.num_computed_tokens[i]
@@ -269,7 +352,8 @@ class ModelRunner:
                 num_computed=nr.num_computed_tokens,
                 block_ids=list(nr.block_ids),
                 sampling_params=nr.sampling_params,
-                lora_name=nr.lora_name)
+                lora_name=nr.lora_name,
+                mm=getattr(nr, "mm_inputs", None))
 
     # ------------------------------------------------------------- execution
     def execute_model(self, so: SchedulerOutput) -> ModelRunnerOutput:
@@ -399,6 +483,28 @@ class ModelRunner:
                 md, lora_slots=jnp.asarray(lora_slots))
             lora_arg = self.lora_manager.tensors
 
+        if self.is_ssm:
+            state_slots = np.zeros((R_pad,), np.int32)
+            for r, rid in enumerate(order):
+                slot = self._slot_of.get(rid)
+                if slot is None:
+                    if not self._free_slots:
+                        # All slots held: steal one from a preempted request
+                        # (not scheduled now; it recomputes from scratch on
+                        # resume, so its state is disposable).
+                        sched = set(order)
+                        victim = next(r2 for r2 in self._slot_of
+                                      if r2 not in sched)
+                        self._free_slots.append(self._slot_of.pop(victim))
+                    slot = self._free_slots.pop()
+                    self._slot_of[rid] = slot
+                state_slots[r] = slot
+            md = __import__("dataclasses").replace(
+                md, state_slots=jnp.asarray(state_slots),
+                seg_starts=jnp.asarray(seg_starts))
+
+        mm_arg = self._build_mm_arg(so, order, seg_starts, T_pad)
+
         gmask = None
         if so.grammar_bitmask is not None:
             W = so.grammar_bitmask.shape[1]
@@ -439,7 +545,17 @@ class ModelRunner:
                 flags=flags, max_logprobs=max_lp, spec_k=spec_k,
                 grammar_mask=gmask, lora=lora_arg, plp_targets=plp_targets,
                 plp_k=plp_k, need_sample=need_sample,
-                need_hidden=need_hidden)
+                need_hidden=need_hidden, mm=mm_arg)
+
+        # Encoder-cache eviction: embeddings are only consumed during
+        # prefill; drop them once every prompt token is computed (pixel
+        # values stay in the state for preemption-recompute).
+        if mm_arg is not None:
+            for rid in order:
+                st = self.requests[rid]
+                if st.mm_embeds is not None and st.num_computed \
+                        + so.num_scheduled_tokens[rid] >= st.prompt_len:
+                    st.mm_embeds = None
 
         if not need_sample:
             if self.draft is not None:
@@ -639,7 +755,7 @@ class ModelRunner:
         token-history samplers (penalties/DRY/ngram need fresh context) and
         room for K tokens within max_model_len and allocated lookahead."""
         K = self.config.tpu_config.multi_step_decode
-        if K <= 1 or not self.use_graph_multi_step:
+        if K <= 1 or not self.use_graph_multi_step or self.is_ssm:
             return 1
         if self.draft is not None:
             # The draft must ingest every token to stay in lockstep; the
