@@ -87,8 +87,15 @@ class ModelConfig:
         return self.text_config.num_hidden_layers
 
     @property
+    def is_attention_free(self) -> bool:
+        """Recurrent-state models (Mamba family): no KV cache at all."""
+        return getattr(self.text_config, "num_attention_heads", None) in (
+            None, 0) or self.text_config.model_type in ("mamba",
+                                                        "falcon_mamba")
+
+    @property
     def num_attention_heads(self) -> int:
-        return self.text_config.num_attention_heads
+        return getattr(self.text_config, "num_attention_heads", None) or 1
 
     @property
     def uses_mla(self) -> bool:
@@ -109,6 +116,8 @@ class ModelConfig:
         if self.uses_mla:
             return (self.text_config.kv_lora_rank +
                     self.text_config.qk_rope_head_dim)
+        if self.is_attention_free:
+            return getattr(self.text_config, "state_size", 16)
         hd = getattr(self.text_config, "head_dim", None)
         if hd is not None:
             return hd
@@ -219,7 +228,8 @@ class LoRAConfig:
 
 @dataclass
 class SpeculativeConfig:
-    method: Optional[str] = None  # ngram | draft_model | eagle
+    # ngram | draft_model | eagle | medusa | mlp_speculator
+    method: Optional[str] = None
     num_speculative_tokens: int = 0
     draft_model: Optional[str] = None
     # ngram proposer window (reference: aphrodite/v1/spec_decode/ngram_proposer.py:9)

@@ -51,7 +51,8 @@ class EngineCore:
                 self.proposer = NgramProposer(
                     min_n=sc.prompt_lookup_min, max_n=sc.prompt_lookup_max,
                     num_speculative_tokens=sc.num_speculative_tokens)
-            elif sc.method in ("draft_model", "eagle"):
+            elif sc.method in ("draft_model", "eagle", "medusa",
+                               "mlp_speculator"):
                 # Drafts come from the runner's lockstep draft model; the
                 # sentinel routes the propose loop to runner.pending_drafts.
                 self.proposer = "draft"

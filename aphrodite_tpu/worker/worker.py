@@ -115,6 +115,12 @@ class Worker:
                                 if config.model_config.dtype != "float32"
                                 else "float32"))
 
+        if getattr(self.model, "is_ssm", False):
+            # Recurrent-state models have no reusable KV pages: computed
+            # prefixes cannot be "hit" (reference: attention-free models
+            # force-disable prefix caching, platforms/interface.py).
+            config.cache_config.enable_prefix_caching = False
+
         self.runner = ModelRunner(config, self.model, self.params,
                                   mesh=self.mesh,
                                   lora_manager=self.lora_manager)
@@ -157,6 +163,13 @@ class Worker:
                                               self.runner, self.params)
             logger.info("EAGLE draft head for speculative decoding "
                         "(k=%d)", sc.num_speculative_tokens)
+        elif sc is not None and sc.method in ("medusa", "mlp_speculator") \
+                and sc.num_speculative_tokens > 0:
+            from aphrodite_tpu.spec_decode.heads import (
+                MedusaProposer, MLPSpeculatorProposer)
+            cls = MedusaProposer if sc.method == "medusa" \
+                else MLPSpeculatorProposer
+            self.runner.draft = cls(config, self.runner, sc.draft_model)
 
     # ----------------------------------------------------------------- LoRA
     def add_lora(self, name: str, path: str) -> int:
@@ -242,6 +255,9 @@ class Worker:
         out = self.runner.embed(token_lists, pooling=pooling)
         import numpy as np
         return [np.asarray(v).tolist() for v in out]
+
+    def score(self, pairs):
+        return self.runner.score(pairs)
 
     # ------------------------------------------------------------- profiling
     def start_profile(self, out_dir: str = "/tmp/aphrodite_tpu_profile"
