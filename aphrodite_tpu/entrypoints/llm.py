@@ -237,6 +237,37 @@ class LLM:
                 np.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
         return [row.tolist() for row in out]
 
+    def score(self, text_1, texts_2, *, activation: bool = True
+              ) -> list[float]:
+        """Cross-encoder relevance scores for (text_1, candidate) pairs
+        (reference: LLM.score, endpoints/llm.py + /score route). With one
+        label, scores are sigmoid probabilities (activation=False for raw
+        logits)."""
+        import math as _math
+        if isinstance(texts_2, str):
+            texts_2 = [texts_2]
+        tok = self.engine.tokenizer
+        pairs = []
+        for t2 in texts_2:
+            enc = tok(text_1, text_pair=t2)
+            pairs.append((enc["input_ids"],
+                          enc.get("token_type_ids")
+                          or [0] * len(enc["input_ids"])))
+        logits = self.engine.core.worker.runner.score(pairs)
+        out = []
+        for row in logits:
+            v = row[0] if len(row) == 1 else max(row)
+            out.append(1.0 / (1.0 + _math.exp(-v)) if activation and
+                       len(row) == 1 else v)
+        return out
+
+    def rerank(self, query: str, documents: list[str]) -> list[dict]:
+        """Rank documents by cross-encoder score, best first."""
+        scores = self.score(query, documents)
+        order = sorted(range(len(documents)), key=lambda i: -scores[i])
+        return [{"index": i, "document": documents[i],
+                 "relevance_score": scores[i]} for i in order]
+
     @staticmethod
     def _finalize(slot: dict[int, RequestOutput]) -> RequestOutput:
         """Merge per-index child outputs into one RequestOutput."""

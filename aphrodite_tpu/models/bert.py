@@ -142,13 +142,17 @@ class BertModel:
         return {"embed": P(), "pos_embed": P(), "type_embed": P(),
                 "embed_ln_w": P(), "embed_ln_b": P(), "layers": layers}
 
-    def encode(self, params, input_ids, attn_mask):
+    def encode(self, params, input_ids, attn_mask, type_ids=None):
         """input_ids [B, S], attn_mask [B, S] (1 = real) -> hidden [B, S, H].
-        """
+        type_ids [B, S] segment ids for sentence pairs (cross-encoders);
+        None = all segment 0."""
         B, S = input_ids.shape
         x = jnp.take(params["embed"], input_ids, axis=0)
         x = x + params["pos_embed"][None, :S]
-        x = x + params["type_embed"][0][None, None, :]
+        if type_ids is None:
+            x = x + params["type_embed"][0][None, None, :]
+        else:
+            x = x + jnp.take(params["type_embed"], type_ids, axis=0)
         x = layer_norm(x, params["embed_ln_w"], params["embed_ln_b"],
                        self.eps)
         nh, hd = self.num_heads, self.head_dim
@@ -181,3 +185,70 @@ class BertModel:
 
 class BertEmbeddingModel(BertModel):
     """Registered arch entry (BertModel / BertForMaskedLM checkpoints)."""
+
+
+class BertForSequenceClassification(BertModel):
+    """Cross-encoder scoring/reranking: pooler (dense+tanh over [CLS]) +
+    classifier head. Reference: cross-encoder registry entries
+    (aphrodite/modeling/models/registry.py:158) + bert.py scoring path;
+    served through LLM.score and the /score + /rerank routes."""
+
+    is_cross_encoder = True
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        hf = config.text_config
+        self.num_labels = getattr(hf, "num_labels", None) or 1
+
+    def init_dummy_params(self, rng):
+        params = super().init_dummy_params(rng)
+        H = self.hidden_size
+        k1, k2 = jax.random.split(rng)
+        params["pooler_w"] = (0.02 * jax.random.normal(
+            k1, (H, H), jnp.float32)).astype(self.dtype)
+        params["pooler_b"] = jnp.zeros((H,), self.dtype)
+        params["cls_w"] = (0.02 * jax.random.normal(
+            k2, (H, self.num_labels), jnp.float32)).astype(self.dtype)
+        params["cls_b"] = jnp.zeros((self.num_labels,), self.dtype)
+        return params
+
+    def load_weights(self, weights: Iterable[tuple[str, np.ndarray]]):
+        import ml_dtypes  # noqa: F401
+        target = (np.dtype("bfloat16") if self.dtype == jnp.bfloat16
+                  else np.dtype(jnp.dtype(self.dtype).name))
+        extra = {}
+
+        def route(ws):
+            for name, w in ws:
+                short = name.removeprefix("bert.")
+                if short == "pooler.dense.weight":
+                    extra["pooler_w"] = np.asarray(w).T.astype(target)
+                elif short == "pooler.dense.bias":
+                    extra["pooler_b"] = np.asarray(w).astype(target)
+                elif name == "classifier.weight":
+                    extra["cls_w"] = np.asarray(w).T.astype(target)
+                elif name == "classifier.bias":
+                    extra["cls_b"] = np.asarray(w).astype(target)
+                else:
+                    yield name, w
+
+        params = super().load_weights(route(weights))
+        if "cls_w" not in extra:
+            raise ValueError("checkpoint missing classifier head")
+        params.update(extra)
+        return params
+
+    def param_specs(self):
+        specs = super().param_specs()
+        specs.update(pooler_w=P(), pooler_b=P(), cls_w=P(), cls_b=P())
+        return specs
+
+    def classify(self, params, input_ids, attn_mask, type_ids):
+        """-> logits [B, num_labels] (pooler tanh over [CLS], classifier)."""
+        hidden = self.encode(params, input_ids, attn_mask, type_ids)
+        cls = hidden[:, 0]
+        pooled = jnp.tanh(jnp.dot(cls, params["pooler_w"])
+                          + params["pooler_b"])
+        return (jnp.dot(pooled, params["cls_w"],
+                        preferred_element_type=jnp.float32)
+                + params["cls_b"].astype(jnp.float32))

@@ -42,6 +42,34 @@ class EncoderRunner:
                     outs.append(seg.mean(0))
         return outs
 
+    def score(self, pairs: list[tuple[list[int], list[int]]]
+              ) -> list[list[float]]:
+        """Cross-encoder scoring: pairs of (token_ids, token_type_ids) ->
+        per-pair classifier logits."""
+        if not getattr(self.model, "is_cross_encoder", False):
+            raise ValueError("model has no classification head; /score and "
+                             "/rerank need a *ForSequenceClassification "
+                             "checkpoint")
+        if not hasattr(self, "_classify"):
+            self._classify = jax.jit(self.model.classify)
+        outs = []
+        max_b = 16
+        for start in range(0, len(pairs), max_b):
+            chunk = pairs[start:start + max_b]
+            B = len(chunk)
+            S = next_power_of_2(max(len(t) for t, _ in chunk))
+            ids = np.zeros((B, S), np.int32)
+            mask = np.zeros((B, S), np.int32)
+            types = np.zeros((B, S), np.int32)
+            for i, (t, ty) in enumerate(chunk):
+                ids[i, :len(t)] = t
+                mask[i, :len(t)] = 1
+                types[i, :len(ty)] = ty
+            logits = self._classify(self.params, jnp.asarray(ids),
+                                    jnp.asarray(mask), jnp.asarray(types))
+            outs.extend(np.asarray(logits, np.float32)[:B].tolist())
+        return outs
+
     def execute_model(self, scheduler_output):
         raise ValueError("encoder models do not support generation; use "
                          "LLM.embed / /v1/embeddings")
