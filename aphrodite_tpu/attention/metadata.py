@@ -56,6 +56,12 @@ class AttentionMetadata:
     # Pure-decode step (one token per request, token i belongs to request i):
     # routes to the decode-specialized kernel; metadata may be built in-graph.
     decode_mode: bool = field(default=False, metadata=dict(static=True))
+    # ---- SSM (Mamba) state routing. ----
+    # [R] int32: recurrent-state slot per request (models/mamba.py).
+    state_slots: Optional[jax.Array] = None
+    # [R] int32: flat-layout index of each request's first scheduled token
+    # (segments have alignment gaps, so this is not query_start_loc[:-1]).
+    seg_starts: Optional[jax.Array] = None
 
 
 # Flat-layout alignment of each request's q segment. The Pallas kernel's
