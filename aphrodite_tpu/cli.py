@@ -21,6 +21,8 @@ def main(argv=None) -> None:
     run_p.add_argument("--multiprocess-engine", action="store_true",
                        help="run the engine core in an isolated process "
                             "(ZMQ boundary)")
+    run_p.add_argument("--launch-kobold-api", action="store_true",
+                       help="also mount the KoboldAI legacy API under /api")
 
     bench_p = sub.add_parser(
         "bench", help="benchmarks: latency | throughput | serve | perf")
@@ -34,11 +36,27 @@ def main(argv=None) -> None:
     bench_p.add_argument("--request-rate", type=float, default=float("inf"))
     bench_p.add_argument("--num-iters", type=int, default=5)
 
+    batch_p = sub.add_parser(
+        "run-batch",
+        help="run an OpenAI batch-format JSONL file offline "
+             "(reference: endpoints/openai/run_batch.py)")
+    EngineArgs.add_cli_args(batch_p)
+    batch_p.add_argument("-i", "--input-file", required=True)
+    batch_p.add_argument("-o", "--output-file", required=True)
+    batch_p.add_argument("--served-model-name", default=None)
+
     args = parser.parse_args(argv)
     if args.cmd == "run":
         serve(args)
     elif args.cmd == "bench":
         bench(args)
+    elif args.cmd == "run-batch":
+        from aphrodite_tpu.engine.args import EngineArgs as _EA
+        from aphrodite_tpu.entrypoints.run_batch import run_batch
+        engine_args = _EA.from_cli_args(args)
+        run_batch(engine_args.create_engine_config(),
+                  args.served_model_name or engine_args.model,
+                  args.input_file, args.output_file)
 
 
 def bench(args) -> None:
@@ -97,7 +115,8 @@ def serve(args) -> None:
     config = engine_args.create_engine_config()
     run_server(config, args.served_model_name or engine_args.model,
                host=args.host, port=args.port,
-               multiprocess=getattr(args, "multiprocess_engine", False))
+               multiprocess=getattr(args, "multiprocess_engine", False),
+               kobold_api=getattr(args, "launch_kobold_api", False))
 
 
 if __name__ == "__main__":
