@@ -49,12 +49,21 @@ class ModelConfig:
         if self.tokenizer is None:
             self.tokenizer = self.model
         if self.hf_config is None:
-            from transformers import AutoConfig
-            self.hf_config = AutoConfig.from_pretrained(
-                self.model,
-                trust_remote_code=self.trust_remote_code,
-                revision=self.revision,
-            )
+            if str(self.model).endswith(".gguf"):
+                from aphrodite_tpu.loader.gguf import (GGUFFile,
+                                                       gguf_to_hf_config)
+                g = GGUFFile(self.model)
+                try:
+                    self.hf_config = gguf_to_hf_config(g)
+                finally:
+                    g.close()
+            else:
+                from transformers import AutoConfig
+                self.hf_config = AutoConfig.from_pretrained(
+                    self.model,
+                    trust_remote_code=self.trust_remote_code,
+                    revision=self.revision,
+                )
         hf = self.hf_config
         if self.architecture is None:
             archs = getattr(hf, "architectures", None) or []

@@ -60,6 +60,9 @@ def pt_iterator(files: list[str]) -> Iterator[tuple[str, np.ndarray]]:
 
 
 def weights_iterator(path: str) -> Iterator[tuple[str, np.ndarray]]:
+    if str(path).endswith(".gguf"):
+        from aphrodite_tpu.loader.gguf import gguf_weights_iterator
+        return gguf_weights_iterator(path)
     files, fmt = _checkpoint_files(path)
     it = safetensors_iterator(files) if fmt == "safetensors" \
         else pt_iterator(files)
