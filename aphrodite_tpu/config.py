@@ -285,6 +285,8 @@ class EngineConfig:
     observability_config: ObservabilityConfig = field(
         default_factory=ObservabilityConfig)
     tpu_config: TPUConfig = field(default_factory=TPUConfig)
+    # Disaggregated prefill (distributed/kv_transfer.py); None = disabled.
+    kv_transfer_config: Optional[object] = None
 
     def __post_init__(self) -> None:
         # Cross-validation mirroring Platform.check_and_update_config

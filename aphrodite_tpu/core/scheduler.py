@@ -85,7 +85,14 @@ class Scheduler:
             req.status = status
             self._free_request(req)
 
+    # Optional hook(request, block_ids) invoked before a finished request's
+    # pages are released (disaggregated-prefill producer ships KV here).
+    finish_callback = None
+
     def _free_request(self, request: Request) -> None:
+        if self.finish_callback is not None:
+            self.finish_callback(
+                request, self.kv.get_block_ids(request.request_id))
         self.kv.free(request)
         if request in self.running:
             self.running.remove(request)

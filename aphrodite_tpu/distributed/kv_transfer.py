@@ -1,0 +1,142 @@
+"""Disaggregated prefill: KV transfer between engine instances.
+
+Parity: aphrodite/distributed/kv_transfer/ — KVConnectorBase +
+SimpleConnector over PyNcclPipe/MooncakePipe with a lookup buffer
+(kv_lookup_buffer/simple_buffer.py). The TPU redesign ships KV pages over
+ZMQ (the data plane between *hosts* is a network hop either way; the
+device<->host copy uses one gather per request) and reuses the prefix
+cache as the injection mechanism: a consumer seeds received pages into its
+BlockPool as content-hashed cached blocks, after which normal scheduling
+treats them as prefix-cache hits — no special-cased request state.
+
+Roles (KVTransferConfig.kv_role):
+- "kv_producer": after each request finishes, its full prompt pages are
+  pushed into an in-process lookup buffer served over a ZMQ REP socket.
+- "kv_consumer": at admission, a ZMQ REQ lookup keyed by the page-aligned
+  prompt-token hash chain fetches pages (drop-on-read) and seeds them.
+"""
+from __future__ import annotations
+
+import pickle
+import threading
+from collections import OrderedDict
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from aphrodite_tpu.utils import logger
+
+
+@dataclass
+class KVTransferConfig:
+    """(reference: KVTransferConfig, aphrodite/common/config.py:3546)"""
+    kv_role: Optional[str] = None  # kv_producer | kv_consumer
+    # ZMQ endpoint of the producer's lookup service.
+    kv_endpoint: str = "tcp://127.0.0.1:21455"
+    # Producer-side lookup buffer cap (entries evict LRU beyond this).
+    buffer_size_bytes: int = 2 << 30
+    # Drop entries when read (one-shot handoff, the SimpleBuffer default).
+    drop_on_read: bool = True
+
+
+def _key(token_ids: list[int], block_size: int) -> Optional[bytes]:
+    n_full = len(token_ids) // block_size
+    if n_full == 0:
+        return None
+    return pickle.dumps(tuple(token_ids[:n_full * block_size]))
+
+
+class ProducerBuffer:
+    """Bounded LRU store served over ZMQ REP (runs in the producer)."""
+
+    def __init__(self, cfg: KVTransferConfig) -> None:
+        import zmq
+        self.cfg = cfg
+        self._store: OrderedDict[bytes, bytes] = OrderedDict()
+        self._bytes = 0
+        self._lock = threading.Lock()
+        self._ctx = zmq.Context.instance()
+        sock = self._ctx.socket(zmq.REP)
+        sock.bind(cfg.kv_endpoint)
+        self._sock = sock
+        self._alive = True
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+        logger.info("KV producer lookup service on %s", cfg.kv_endpoint)
+
+    def put(self, token_ids: list[int], block_size: int,
+            kv_pages: np.ndarray) -> None:
+        key = _key(token_ids, block_size)
+        if key is None:
+            return
+        payload = pickle.dumps(
+            {"kv": kv_pages, "n_tokens":
+             len(token_ids) // block_size * block_size}, protocol=4)
+        with self._lock:
+            self._store.pop(key, None)
+            self._store[key] = payload
+            self._bytes += len(payload)
+            while self._bytes > self.cfg.buffer_size_bytes and \
+                    len(self._store) > 1:
+                _, old = self._store.popitem(last=False)
+                self._bytes -= len(old)
+
+    def _serve(self) -> None:
+        import zmq
+        while self._alive:
+            try:
+                if not self._sock.poll(200):
+                    continue
+                key = self._sock.recv()
+                with self._lock:
+                    if self.cfg.drop_on_read:
+                        payload = self._store.pop(key, None)
+                        if payload is not None:
+                            self._bytes -= len(payload)
+                    else:
+                        payload = self._store.get(key)
+                self._sock.send(payload if payload is not None else b"")
+            except zmq.ZMQError:
+                break
+            except Exception:
+                if self._alive:
+                    logger.exception("KV lookup service error")
+
+    def close(self) -> None:
+        self._alive = False
+        self._thread.join(timeout=2)
+        self._sock.close(0)
+
+
+class ConsumerClient:
+    """ZMQ REQ lookup client (runs in the consumer's engine core)."""
+
+    def __init__(self, cfg: KVTransferConfig) -> None:
+        import zmq
+        self._ctx = zmq.Context.instance()
+        self._sock = self._ctx.socket(zmq.REQ)
+        self._sock.setsockopt(zmq.RCVTIMEO, 2000)
+        self._sock.setsockopt(zmq.SNDTIMEO, 2000)
+        self._sock.setsockopt(zmq.LINGER, 0)
+        self._sock.connect(cfg.kv_endpoint)
+        self._lock = threading.Lock()
+
+    def lookup(self, token_ids: list[int], block_size: int
+               ) -> Optional[dict]:
+        key = _key(token_ids, block_size)
+        if key is None:
+            return None
+        try:
+            with self._lock:
+                self._sock.send(key)
+                payload = self._sock.recv()
+        except Exception:
+            logger.warning("KV transfer lookup failed (producer down?)")
+            return None
+        if not payload:
+            return None
+        return pickle.loads(payload)
+
+    def close(self) -> None:
+        self._sock.close(0)

@@ -34,6 +34,8 @@ class EngineArgs:
     # JSON dict, e.g. '{"method": "ngram", "num_speculative_tokens": 4}' or
     # '{"method": "draft_model", "draft_model": "/path", ...}' / "eagle".
     speculative_config: Optional[dict] = None
+    # JSON dict, e.g. '{"kv_role": "kv_producer", "kv_endpoint": "tcp://..."}'
+    kv_transfer_config: Optional[dict] = None
     device: str = "auto"
     load_format: str = "auto"
     enforce_eager: bool = False
@@ -74,6 +76,9 @@ class EngineArgs:
                             help="JSON SpeculativeConfig, e.g. "
                             '\'{"method": "ngram", '
                             '"num_speculative_tokens": 4}\'')
+        parser.add_argument("--kv-transfer-config", default=None,
+                            help="JSON KVTransferConfig for disaggregated "
+                            'prefill, e.g. \'{"kv_role": "kv_producer"}\'')
         parser.add_argument("--device", default="auto")
         parser.add_argument("--load-format", default="auto",
                             choices=["auto", "safetensors", "dummy"])
@@ -116,6 +121,10 @@ class EngineArgs:
                 __import__("json").loads(args.speculative_config)
                 if isinstance(args.speculative_config, str)
                 else args.speculative_config),
+            kv_transfer_config=(
+                __import__("json").loads(args.kv_transfer_config)
+                if isinstance(args.kv_transfer_config, str)
+                else args.kv_transfer_config),
             device=args.device, load_format=args.load_format,
             enforce_eager=args.enforce_eager)
 

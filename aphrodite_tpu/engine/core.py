@@ -59,6 +59,35 @@ class EngineCore:
             if self.proposer is not None:
                 self.worker.runner.spec_k = sc.num_speculative_tokens
 
+        # Disaggregated prefill (reference: distributed/kv_transfer/):
+        # producer ships finished requests' prompt pages into a ZMQ lookup
+        # buffer; consumer seeds fetched pages into its prefix cache so
+        # scheduling treats them as ordinary cache hits.
+        self.kv_connector = None
+        self._kv_role = None
+        ktc = config.kv_transfer_config
+        if ktc is not None and ktc.kv_role:
+            from aphrodite_tpu.distributed.kv_transfer import (
+                ConsumerClient, ProducerBuffer)
+            bs = config.cache_config.block_size
+            self._kv_role = ktc.kv_role
+            if ktc.kv_role == "kv_producer":
+                self.kv_connector = ProducerBuffer(ktc)
+
+                def _ship(request, block_ids, _bs=bs):
+                    n_full = request.num_prompt_tokens // _bs
+                    if n_full == 0 or len(block_ids) < n_full:
+                        return
+                    kv = self.worker.runner.extract_pages(
+                        block_ids[:n_full])
+                    self.kv_connector.put(request.prompt_token_ids, _bs, kv)
+
+                self.scheduler.finish_callback = _ship
+            elif ktc.kv_role == "kv_consumer":
+                self.kv_connector = ConsumerClient(ktc)
+            else:
+                raise ValueError(f"unknown kv_role: {ktc.kv_role}")
+
     def add_request(self, request: Request) -> None:
         self.stats.on_request_arrival(request.request_id,
                                       request.num_prompt_tokens,
@@ -69,7 +98,38 @@ class EngineCore:
                 raise ValueError(
                     "guided decoding requires a tokenizer-backed engine")
             self.structured.add_request(request.request_id, gd)
+        if self._kv_role == "kv_consumer" and request.mm_inputs is None:
+            self._try_kv_fetch(request)
         self.scheduler.add_request(request)
+
+    def _try_kv_fetch(self, request: Request) -> None:
+        """Consumer-side disaggregated prefill: fetch remote prompt pages
+        and seed them as cached prefix blocks (only the hashes missing
+        locally, so no duplicate cache entries are created)."""
+        bs = self.config.cache_config.block_size
+        mgr = self.scheduler.kv
+        if not mgr.enable_caching:
+            return
+        data = self.kv_connector.lookup(request.prompt_token_ids, bs)
+        if data is None:
+            return
+        from aphrodite_tpu.core.block_pool import hash_request_tokens
+        n = int(data["kv"].shape[1])
+        hashes = hash_request_tokens(
+            bs, request.prompt_token_ids[:data["n_tokens"]],
+            extra_key=request.mm_hash)[:n]
+        missing = [i for i, h in enumerate(hashes)
+                   if mgr.pool.get_cached_block(h) is None]
+        if not missing or mgr.pool.get_num_free_blocks() <= len(missing):
+            return
+        blocks = mgr.pool.get_new_blocks(len(missing))
+        self.worker.runner.seed_pages(
+            [b.block_id for b in blocks], data["kv"][:, missing])
+        mgr.pool.cache_full_blocks(blocks, [hashes[i] for i in missing],
+                                   0, len(missing))
+        mgr.pool.free_blocks(blocks)
+        self.stats.kv_transfer_pages = getattr(
+            self.stats, "kv_transfer_pages", 0) + len(missing)
 
     def abort_requests(self, request_ids: list[str]) -> None:
         self.scheduler.finish_requests(request_ids,

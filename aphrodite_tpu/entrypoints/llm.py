@@ -43,8 +43,12 @@ def build_engine_config(
     enable_lora: bool = False,
     max_loras: int = 4,
     max_lora_rank: int = 16,
+    kv_transfer_config: Any = None,
     **extra,
 ) -> EngineConfig:
+    if isinstance(kv_transfer_config, dict):
+        from aphrodite_tpu.distributed.kv_transfer import KVTransferConfig
+        kv_transfer_config = KVTransferConfig(**kv_transfer_config)
     mc = ModelConfig(model=model, tokenizer=tokenizer, dtype=dtype,
                      seed=seed, max_model_len=max_model_len,
                      quantization=quantization,
@@ -78,6 +82,7 @@ def build_engine_config(
                                 max_lora_rank=max_lora_rank)
                      if enable_lora else None),
         tpu_config=TPUConfig(**extra.pop("tpu_config", {})),
+        kv_transfer_config=kv_transfer_config,
     )
 
 

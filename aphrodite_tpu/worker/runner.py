@@ -260,6 +260,26 @@ class ModelRunner:
             jax.lax.bitcast_convert_type(tokens_k, jnp.float32), lp_k])
         return packed, topk_v, topk_i, kv_cache
 
+    # ------------------------------------------------------- KV page transfer
+    def extract_pages(self, page_ids: list[int]) -> np.ndarray:
+        """Gather KV pages to host (disaggregated-prefill producer side):
+        -> [L, n, 2, kvh, page, hd] in the cache dtype's bit pattern
+        (fp8 ships as raw uint8)."""
+        pages = self.kv_cache[:, np.asarray(page_ids, np.int32)]
+        if self.kv_dtype in (jnp.float8_e4m3, jnp.float8_e5m2):
+            pages = jax.lax.bitcast_convert_type(pages, jnp.uint8)
+        elif self.kv_dtype == jnp.bfloat16:
+            pages = jax.lax.bitcast_convert_type(pages, jnp.uint16)
+        return np.asarray(pages)
+
+    def seed_pages(self, page_ids: list[int], data: np.ndarray) -> None:
+        """Write received KV pages into the local cache (consumer side)."""
+        pages = jnp.asarray(data)
+        if pages.dtype != jnp.dtype(self.kv_dtype):
+            pages = jax.lax.bitcast_convert_type(pages, self.kv_dtype)
+        self.kv_cache = self.kv_cache.at[
+            :, np.asarray(page_ids, np.int32)].set(pages)
+
     # ------------------------------------------------------------- multimodal
     def _mm_embeds(self, st: RequestState):
         """Per-request encoder cache: run the vision tower once per request
