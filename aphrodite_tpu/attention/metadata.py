@@ -86,6 +86,24 @@ def build_work_items(seg_starts: np.ndarray, seg_counts: np.ndarray,
     item_pos = np.zeros((max_items,), np.int32)
     token_item = np.zeros((num_tokens_pad,), np.int32)
     token_row = np.zeros((num_tokens_pad,), np.int32)
+    from aphrodite_tpu._native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        n = lib.build_work_items(
+            np.ascontiguousarray(seg_starts[:num_reqs], np.int32),
+            np.ascontiguousarray(seg_counts[:num_reqs], np.int32),
+            np.ascontiguousarray(seq_lens[:num_reqs], np.int32),
+            num_reqs, block_q, item_req, item_qstart, item_qlen,
+            item_pos, token_item, token_row)
+        return {
+            "item_req": item_req,
+            "item_qstart": item_qstart,
+            "item_qlen": item_qlen,
+            "item_pos": item_pos,
+            "num_items_arr": np.array([n], np.int32),
+            "token_item": token_item,
+            "token_item_row": token_row,
+        }
     n = 0
     for r in range(num_reqs):
         qs = int(seg_starts[r])

@@ -26,6 +26,11 @@ class NgramProposer:
         L = len(token_ids)
         if L < self.min_n + 1:
             return []
+        from aphrodite_tpu._native import ngram_propose
+        drafted = ngram_propose(np.asarray(token_ids, np.int32),
+                                self.min_n, self.max_n, self.k)
+        if drafted is not None:  # C fast path (None = no compiler)
+            return drafted
         arr = np.asarray(token_ids, dtype=np.int64)
         for n in range(min(self.max_n, L - 1), self.min_n - 1, -1):
             suffix = arr[L - n:]

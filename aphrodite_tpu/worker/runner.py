@@ -438,10 +438,9 @@ class ModelRunner:
             input_ids[t:t + len(toks)] = toks
             token_req[t:t + n] = r
             token_pos[t:t + n] = np.arange(start, start + n)
-            for j in range(n):
-                p = start + j
-                slots[t + j] = (st.block_ids[p // self.block_size] *
-                                self.block_size + p % self.block_size)
+            from aphrodite_tpu._native import fill_slots
+            fill_slots(slots, t, start, n,
+                       np.asarray(st.block_ids, np.int32), self.block_size)
             t += n
             # qsl[r+1] marks the END of request r's segment (the last-token
             # gather reads qsl[1:]-1); segments may have alignment gaps.
