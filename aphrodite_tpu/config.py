@@ -68,7 +68,8 @@ class ModelConfig:
         if self.architecture is None:
             archs = getattr(hf, "architectures", None) or []
             self.architecture = archs[0] if archs else None
-        derived_max = getattr(hf, "max_position_embeddings", 2048)
+        derived_max = getattr(hf, "max_position_embeddings", None) \
+            or getattr(hf, "max_target_positions", None) or 2048
         if self.max_model_len is None:
             self.max_model_len = derived_max
         elif self.max_model_len > derived_max:
@@ -92,7 +93,13 @@ class ModelConfig:
         return self.text_config.hidden_size
 
     @property
+    def is_encoder_decoder(self) -> bool:
+        return self.text_config.model_type == "whisper"
+
+    @property
     def num_layers(self) -> int:
+        if self.is_encoder_decoder:  # KV cache serves the decoder
+            return self.text_config.decoder_layers
         return self.text_config.num_hidden_layers
 
     @property
@@ -117,6 +124,8 @@ class ModelConfig:
     def num_kv_heads(self) -> int:
         if self.uses_mla:
             return 1
+        if self.is_encoder_decoder:
+            return self.text_config.decoder_attention_heads
         return getattr(self.text_config, "num_key_value_heads", None) \
             or self.num_attention_heads
 
@@ -127,6 +136,9 @@ class ModelConfig:
                     self.text_config.qk_rope_head_dim)
         if self.is_attention_free:
             return getattr(self.text_config, "state_size", 16)
+        if self.is_encoder_decoder:
+            return (self.text_config.d_model //
+                    self.text_config.decoder_attention_heads)
         hd = getattr(self.text_config, "head_dim", None)
         if hd is not None:
             return hd
@@ -304,8 +316,18 @@ class EngineConfig:
                 f"{mc.num_kv_heads} KV heads")
 
     @property
+    def max_lookahead_tokens(self) -> int:
+        """KV slots allocated past the sampled token (speculative drafts /
+        the in-graph multi-step decode window)."""
+        num_spec = (self.speculative_config.num_speculative_tokens
+                    if self.speculative_config else 0)
+        return max(num_spec, self.tpu_config.multi_step_decode - 1)
+
+    @property
     def max_blocks_per_req(self) -> int:
-        return cdiv(self.scheduler_config.max_model_len,
+        # Lookahead slots can spill one page past max_model_len.
+        return cdiv(self.scheduler_config.max_model_len
+                    + self.max_lookahead_tokens,
                     self.cache_config.block_size)
 
     def compute_hash(self) -> str:

@@ -28,11 +28,14 @@ class EngineCore:
             self.structured = StructuredOutputManager(
                 tokenizer, self.worker.model.vocab_size,
                 tokenizer.eos_token_id)
-        num_spec = (config.speculative_config.num_speculative_tokens
-                    if config.speculative_config else 0)
         # Lookahead KV slots cover both speculative drafts and the in-graph
-        # multi-step decode window.
-        lookahead = max(num_spec, config.tpu_config.multi_step_decode - 1)
+        # multi-step decode window (0 when the runner disables multi-step:
+        # SSM and encoder-decoder models).
+        lookahead = config.max_lookahead_tokens
+        if getattr(self.worker.model, "is_ssm", False) or \
+                getattr(self.worker.model, "is_encoder_decoder", False):
+            lookahead = (config.speculative_config.num_speculative_tokens
+                         if config.speculative_config else 0)
         kv_events = None
         ep = config.observability_config.kv_events_endpoint
         if ep:

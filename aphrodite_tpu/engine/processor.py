@@ -53,7 +53,12 @@ class Processor:
                     f"request {request_id}: multi_modal_data given but "
                     "model is not multimodal")
             from aphrodite_tpu.multimodal import MMInputs
-            pv = self.mm_adapter.preprocess(mm_data["image"])
+            media = mm_data.get(self.mm_adapter.media_key)
+            if media is None:
+                raise ValueError(
+                    f"request {request_id}: model expects "
+                    f"'{self.mm_adapter.media_key}' in multi_modal_data")
+            pv = self.mm_adapter.preprocess(media)
             token_ids, spans = self.mm_adapter.expand_prompt(
                 token_ids, pv.shape[0])
             mm_inputs = MMInputs(pixel_values=pv, spans=spans)

@@ -35,6 +35,9 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     # Multimodal (vision-language).
     "LlavaForConditionalGeneration": ("aphrodite_tpu.models.llava",
                                       "LlavaForConditionalGeneration"),
+    # Encoder-decoder (speech-to-text).
+    "WhisperForConditionalGeneration": ("aphrodite_tpu.models.whisper",
+                                        "WhisperForConditionalGeneration"),
 }
 
 # Embedding/encoder architectures (served via LLM.embed / /v1/embeddings).

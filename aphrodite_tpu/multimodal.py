@@ -39,6 +39,46 @@ class MMInputs:
         return hash(self.pixel_values.tobytes())
 
 
+class WhisperAdapter:
+    """Audio -> padded log-mel features (reference: whisper transcription
+    inputs). Accepts a 16 kHz float waveform, an (array, sample_rate)
+    tuple (linear resample), or precomputed [n_mels, 3000] features."""
+
+    media_key = "audio"
+
+    def __init__(self, hf_config) -> None:
+        self.n_mels = hf_config.num_mel_bins
+        # conv2 halves time: mel frames = 2 * max_source_positions, and the
+        # extractor produces 100 frames/s.
+        chunk_s = hf_config.max_source_positions * 2 // 100
+        from transformers import WhisperFeatureExtractor
+        self.fe = WhisperFeatureExtractor(feature_size=self.n_mels,
+                                          chunk_length=max(chunk_s, 1))
+
+    def preprocess(self, audio: Any) -> np.ndarray:
+        if isinstance(audio, np.ndarray) and audio.ndim == 2 \
+                and audio.shape[0] == self.n_mels:
+            return audio[None].astype(np.float32)  # precomputed features
+        if isinstance(audio, tuple):
+            wav, sr = audio
+            wav = np.asarray(wav, np.float32).reshape(-1)
+            if sr != 16000:
+                n_out = int(round(len(wav) * 16000 / sr))
+                wav = np.interp(
+                    np.linspace(0, len(wav) - 1, n_out),
+                    np.arange(len(wav)), wav).astype(np.float32)
+        else:
+            wav = np.asarray(audio, np.float32).reshape(-1)
+        feats = self.fe(wav, sampling_rate=16000,
+                        return_tensors="np")["input_features"]
+        return feats.astype(np.float32)  # [1, n_mels, 3000]
+
+    def expand_prompt(self, token_ids: list[int], num_items: int
+                      ) -> tuple[list[int], list[tuple[int, int]]]:
+        # Cross-attention consumption: no placeholder tokens in the prompt.
+        return list(token_ids), []
+
+
 class LlavaAdapter:
     """LLaVA-style VLMs: one flat grid of ViT patch tokens per image,
     merged at ``image_token_index`` positions (reference:
@@ -145,8 +185,11 @@ class LlavaAdapter:
         return expanded, spans
 
 
+LlavaAdapter.media_key = "image"
+
 _ADAPTERS = {
     "LlavaForConditionalGeneration": LlavaAdapter,
+    "WhisperForConditionalGeneration": WhisperAdapter,
 }
 
 

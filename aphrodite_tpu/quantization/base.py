@@ -36,6 +36,9 @@ class QuantizationConfig:
     # True when the checkpoint itself holds packed tensors (HF
     # quantization_config) vs on-the-fly quantization of an fp checkpoint.
     from_checkpoint: bool = False
+    # Packed-tensor naming scheme: "gptq_awq" (qweight/qzeros/scales) or
+    # "compressed_tensors" (weight int8|f8 + weight_scale).
+    checkpoint_layout: str = "gptq_awq"
 
     # ------------------------------------------------------------- detection
     @staticmethod
@@ -59,6 +62,30 @@ class QuantizationConfig:
             return QuantizationConfig(method="fp8")
         if m in ("int8", "tpu_int8", "w8a8"):
             return QuantizationConfig(method="int8")
+        if m == "compressed-tensors":
+            # llm-compressor checkpoints (reference:
+            # quantization/compressed_tensors/): map the weight/activation
+            # scheme onto the native TPU formats. Supported: W8A8 int8
+            # (dynamic per-token acts), W8A16 int8 weight-only, FP8.
+            groups = hf_quant_cfg.get("config_groups") or {}
+            spec = next(iter(groups.values()), {})
+            w = spec.get("weights") or {}
+            acts = spec.get("input_activations")
+            bits = w.get("num_bits", 8)
+            wtype = (w.get("type") or "int").lower()
+            if wtype == "float" and bits == 8:
+                return QuantizationConfig(
+                    method="fp8", from_checkpoint=True,
+                    checkpoint_layout="compressed_tensors")
+            if wtype == "int" and bits == 8:
+                return QuantizationConfig(
+                    method="int8" if acts else "w8a16",
+                    from_checkpoint=True,
+                    checkpoint_layout="compressed_tensors")
+            raise ValueError(
+                f"compressed-tensors scheme not supported yet: "
+                f"{bits}-bit {wtype} weights (pack-quantized wNa16 is a "
+                "planned follow-up)")
         raise ValueError(f"unsupported quantization method {m!r}")
 
     @staticmethod

@@ -100,7 +100,29 @@ _PROJ_MAP = {
     "mlp.up_proj": "w_up",
     "mlp.down_proj": "w_down",
 }
-_QPARTS = ("qweight", "qzeros", "scales", "g_idx", "bias")
+_QPARTS = ("qweight", "qzeros", "scales", "g_idx", "bias",
+           # compressed-tensors naming (llm-compressor checkpoints)
+           "weight", "weight_scale", "weight_zero_point", "input_scale")
+
+
+def _unpack_compressed(parts: dict, method: str, out_dtype) -> dict:
+    """compressed-tensors int8/fp8 tensors -> native format dicts
+    (weight [out, in] + weight_scale [out,1]|scalar)."""
+    w = parts["weight"]
+    scale = np.asarray(parts.get("weight_scale", 1.0), np.float32)
+    out = w.shape[0]
+    scale = np.broadcast_to(scale.reshape(-1), (out,)) \
+        if scale.size in (1, out) else scale.reshape(out)
+    zp = parts.get("weight_zero_point")
+    if zp is not None and np.any(np.asarray(zp)):
+        raise ValueError("asymmetric compressed-tensors weights are not "
+                         "supported (symmetric int8/fp8 only)")
+    if method == "fp8":
+        import ml_dtypes
+        return {"qweight": w.T.astype(ml_dtypes.float8_e4m3fn),
+                "weight_scale": scale.astype(np.float32)}
+    return {"qweight": w.T.astype(np.int8),
+            "scales": scale.astype(np.float32)}
 
 
 def load_llama_quantized(model, weights: Iterable[tuple[str, np.ndarray]],
@@ -158,7 +180,9 @@ def load_llama_quantized(model, weights: Iterable[tuple[str, np.ndarray]],
             if parts is None:
                 raise ValueError(f"missing quantized tensors for layer {li} "
                                  f"{key}")
-            if qcfg.method == "gptq":
+            if qcfg.checkpoint_layout == "compressed_tensors":
+                unpacked = _unpack_compressed(parts, qcfg.method, target)
+            elif qcfg.method == "gptq":
                 unpacked = unpack_gptq(parts["qweight"], parts["qzeros"],
                                        parts["scales"],
                                        bits=qcfg.weight_bits,
@@ -168,11 +192,12 @@ def load_llama_quantized(model, weights: Iterable[tuple[str, np.ndarray]],
                                       parts["scales"],
                                       bits=qcfg.weight_bits)
             per_layer.append(unpacked)
-        stacked = {
-            "qweight": np.stack([u["qweight"] for u in per_layer]),
-            "scales": np.stack([u["scales"] for u in per_layer]),
-            "zeros": np.stack([u["zeros"] for u in per_layer]),
-        }
+        common_keys = set(per_layer[0])
+        for u in per_layer[1:]:
+            common_keys &= set(u)
+        stacked = {k: np.stack([u[k] for u in per_layer])
+                   for k in common_keys
+                   if isinstance(per_layer[0][k], np.ndarray)}
         if any("input_perm" in u for u in per_layer):
             stacked["input_perm"] = np.stack(
                 [u.get("input_perm",

@@ -44,6 +44,30 @@ def _decode_image_url(url: str):
         raise ValueError(f"invalid image data URL: {e}") from e
 
 
+def _decode_wav(data: bytes):
+    """WAV bytes -> (mono float32 waveform, sample_rate) via stdlib."""
+    import io
+    import wave
+    import numpy as np
+    with wave.open(io.BytesIO(data)) as w:
+        sr = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width == 2:
+        arr = np.frombuffer(frames, np.int16).astype(np.float32) / 32768.0
+    elif width == 4:
+        arr = np.frombuffer(frames, np.int32).astype(np.float32) / 2**31
+    elif width == 1:
+        arr = (np.frombuffer(frames, np.uint8).astype(np.float32)
+               - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if n_ch > 1:
+        arr = arr.reshape(-1, n_ch).mean(axis=1)
+    return arr, sr
+
+
 def _err(msg: str, code: int = 400, etype: str = "BadRequestError"
          ) -> web.Response:
     return web.json_response(
@@ -86,6 +110,7 @@ class OpenAIServer:
         r.add_post("/v1/load_lora_adapter", self.load_lora)
         r.add_post("/v1/unload_lora_adapter", self.unload_lora)
         r.add_post("/v1/embeddings", self.embeddings)
+        r.add_post("/v1/audio/transcriptions", self.transcriptions)
         r.add_post("/score", self.score)
         r.add_post("/v1/score", self.score)
         r.add_post("/rerank", self.rerank)
@@ -135,6 +160,55 @@ class OpenAIServer:
         return _json(EmbeddingResponse(
             data=data, model=req.model or self.model_name,
             usage=UsageInfo(prompt_tokens=n_tok, total_tokens=n_tok)))
+
+    # -------------------------------------------------------- transcriptions
+    async def transcriptions(self, request: web.Request) -> web.Response:
+        """/v1/audio/transcriptions (reference api_server.py:650):
+        multipart form with a WAV `file` (stdlib decode; no codec deps in
+        this environment) served by an encoder-decoder (Whisper) model."""
+        try:
+            form = await request.post()
+            up = form.get("file")
+            if up is None:
+                return _err("missing 'file' form field")
+            wav, sr = _decode_wav(up.file.read())
+            temperature = float(form.get("temperature", 0) or 0)
+            language = form.get("language")
+        except Exception as e:
+            return _err(f"bad transcription request: {e}")
+        tok = self.engine.tokenizer
+        prompt_ids = []
+        for t in ("<|startoftranscript|>",
+                  f"<|{language}|>" if language else None,
+                  "<|transcribe|>", "<|notimestamps|>"):
+            if t is None:
+                continue
+            tid = tok.convert_tokens_to_ids(t) \
+                if hasattr(tok, "convert_tokens_to_ids") else None
+            if tid is not None and tid >= 0 and \
+                    tid != getattr(tok, "unk_token_id", None):
+                prompt_ids.append(tid)
+        if not prompt_ids:
+            dsid = getattr(self.engine.config.model_config.hf_config,
+                           "decoder_start_token_id", None)
+            prompt_ids = [dsid if dsid is not None else
+                          (tok.bos_token_id or 0)]
+        from aphrodite_tpu.sampling_params import SamplingParams as SP
+        params = SP(temperature=temperature, max_tokens=None)
+        request_id = f"trsc-{random_uuid()}"
+        text = ""
+        try:
+            async for out in self.engine.generate(
+                    {"prompt_token_ids": prompt_ids,
+                     "multi_modal_data": {"audio": (wav, sr)}},
+                    params, request_id):
+                for c in out.outputs:
+                    text += c.text
+        except EngineDeadError:
+            return _err("engine is dead", 500, "InternalServerError")
+        except ValueError as e:
+            return _err(str(e))
+        return web.json_response({"text": text})
 
     # --------------------------------------------------------- score/rerank
     def _score_pairs(self, text_1, texts_2) -> tuple[list, list[float]]:

@@ -293,7 +293,9 @@ class ModelRunner:
                 pv = np.concatenate(
                     [pv, np.zeros((N_pad - N,) + pv.shape[1:], pv.dtype)])
             if not hasattr(self, "_encode_fn"):
-                self._encode_fn = jax.jit(self.model.encode_images)
+                enc = getattr(self.model, "encode_audio", None) \
+                    or self.model.encode_images
+                self._encode_fn = jax.jit(enc)
             flat = self._encode_fn(self.params, jnp.asarray(pv))
             per_img = flat.shape[0] // N_pad
             st.mm_embeds = flat[:N * per_img]
@@ -305,6 +307,31 @@ class ModelRunner:
         scatter to T_pad and drop)."""
         if not getattr(self.model, "is_multimodal", False):
             return None
+        if getattr(self.model, "mm_kind", "scatter") == "cross_attn":
+            # Encoder-decoder: every step cross-attends, so ship the whole
+            # batch's encoder states [R_pad, S, D] (+ validity mask).
+            S = self.model.mm_rows_per_item
+            R_pad = len(seg_starts)
+            valid = np.zeros((R_pad,), bool)
+            rows = {}
+            for r, rid in enumerate(order):
+                st = self.requests[rid]
+                if st.mm is not None:
+                    valid[r] = True
+                    rows[r] = self._mm_embeds(st)[:S]
+            if not rows:
+                return None
+            D = self.model.hidden_size
+            zero = None
+            stack = []
+            for r in range(R_pad):
+                if r in rows:
+                    stack.append(rows[r])
+                else:
+                    if zero is None:
+                        zero = jnp.zeros((S, D), self.params["embed"].dtype)
+                    stack.append(zero)
+            return jnp.stack(stack), jnp.asarray(valid)
         pieces, idx_parts = [], []
         for r, rid in enumerate(order):
             st = self.requests[rid]
@@ -566,10 +593,12 @@ class ModelRunner:
                 plp_k=plp_k, need_sample=need_sample,
                 need_hidden=need_hidden, mm=mm_arg)
 
-        # Encoder-cache eviction: embeddings are only consumed during
-        # prefill; drop them once every prompt token is computed (pixel
-        # values stay in the state for preemption-recompute).
-        if mm_arg is not None:
+        # Encoder-cache eviction: scatter-merged embeddings are only
+        # consumed during prefill; drop them once every prompt token is
+        # computed (pixel values stay in the state for preemption-
+        # recompute). Cross-attn models keep states until the request ends.
+        if mm_arg is not None and \
+                getattr(self.model, "mm_kind", "scatter") == "scatter":
             for rid in order:
                 st = self.requests[rid]
                 if st.mm_embeds is not None and st.num_computed \
@@ -774,7 +803,8 @@ class ModelRunner:
         token-history samplers (penalties/DRY/ngram need fresh context) and
         room for K tokens within max_model_len and allocated lookahead."""
         K = self.config.tpu_config.multi_step_decode
-        if K <= 1 or not self.use_graph_multi_step or self.is_ssm:
+        if K <= 1 or not self.use_graph_multi_step or self.is_ssm \
+                or getattr(self.model, "is_encoder_decoder", False):
             return 1
         if self.draft is not None:
             # The draft must ingest every token to stay in lockstep; the
