@@ -59,6 +59,9 @@ class MambaForCausalLM:
         self.use_bias = getattr(hf, "use_bias", False)
         self.rms_eps = getattr(hf, "layer_norm_epsilon", 1e-5)
         self.tie_embeddings = getattr(hf, "tie_word_embeddings", True)
+        # FalconMamba: parameterless RMS over the dt/B/C selection outputs.
+        self.bcdt_rms_eps = (getattr(hf, "mixer_rms_eps", 1e-6)
+                             if hf.model_type == "falcon_mamba" else None)
         # Interface parity for generic worker sizing paths.
         self.num_kv_heads = 1
         self.head_dim = self.d_state
@@ -267,6 +270,13 @@ class MambaForCausalLM:
         dt = ssm_p[:, :self.dt_rank]
         B = ssm_p[:, self.dt_rank:self.dt_rank + Ds]
         C = ssm_p[:, self.dt_rank + Ds:]
+        if self.bcdt_rms_eps is not None:
+            # FalconMamba: parameterless RMS over dt/B/C (reference:
+            # falcon_mamba rms_forward on the selection outputs).
+            def _rms(x):
+                return x * jax.lax.rsqrt(
+                    jnp.mean(x * x, -1, keepdims=True) + self.bcdt_rms_eps)
+            dt, B, C = _rms(dt), _rms(B), _rms(C)
         dt = jax.nn.softplus(
             jnp.dot(dt.astype(x.dtype), lp["dt_w"],
                     preferred_element_type=jnp.float32)
@@ -327,5 +337,5 @@ class MambaForCausalLM:
 
 
 class FalconMambaForCausalLM(MambaForCausalLM):
-    """FalconMamba: mamba-1 with RMS-normalized B/C/dt (not yet: loads and
-    runs as plain mamba when the checkpoint has no mixer norms)."""
+    """FalconMamba: mamba-1 with parameterless RMS over the dt/B/C
+    selection outputs (bcdt_rms_eps set from config.mixer_rms_eps)."""

@@ -28,6 +28,13 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                               "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("aphrodite_tpu.models.deepseek",
                               "DeepseekV3ForCausalLM"),
+    # Classic decoder family (learned positions / LN-bias / fused QKV).
+    "GPT2LMHeadModel": ("aphrodite_tpu.models.gpt_family",
+                        "GPT2LMHeadModel"),
+    "OPTForCausalLM": ("aphrodite_tpu.models.gpt_family",
+                       "OPTForCausalLM"),
+    "GPTNeoXForCausalLM": ("aphrodite_tpu.models.gpt_family",
+                           "GPTNeoXForCausalLM"),
     # SSM (recurrent state, no paged KV).
     "MambaForCausalLM": ("aphrodite_tpu.models.mamba", "MambaForCausalLM"),
     "FalconMambaForCausalLM": ("aphrodite_tpu.models.mamba",

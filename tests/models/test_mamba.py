@@ -62,3 +62,20 @@ def test_mamba_chunked_prefill(ckpt):
     outs = _generate(d, prompts, n_new=6, chunk=16)
     for p, out in zip(prompts, outs):
         assert out == _hf(hf, p, 6), len(p)
+
+
+def test_falcon_mamba_matches_hf(tmp_path):
+    """FalconMamba: parameterless RMS over dt/B/C selection outputs."""
+    from transformers import FalconMambaConfig, FalconMambaForCausalLM
+    torch.manual_seed(0)
+    cfg = FalconMambaConfig(vocab_size=256, hidden_size=64,
+                            num_hidden_layers=2, state_size=8,
+                            conv_kernel=4, intermediate_size=128,
+                            time_step_rank=8, mixer_rms_eps=1e-6,
+                            bos_token_id=1, eos_token_id=2, pad_token_id=0)
+    hf = FalconMambaForCausalLM(cfg).eval()
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+    prompts = [[1, 5, 9, 20, 3], [7, 8, 9, 10, 11, 12]]
+    outs = _generate(tmp_path, prompts)
+    for p, out in zip(prompts, outs):
+        assert out == _hf(hf, p), p
