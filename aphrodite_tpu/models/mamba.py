@@ -68,7 +68,8 @@ class MambaForCausalLM:
         self.sliding_window = None
 
     # ------------------------------------------------------------- state cache
-    def init_cache(self, num_slots: int) -> dict:
+    def init_cache(self, num_slots: int, cache_config=None, kv_dtype=None,
+                   use_pallas: bool = False) -> dict:
         """Recurrent-state buffers (replaces the paged KV cache; the ssm
         state is f32 like the reference's selective-scan accumulator)."""
         L = self.num_layers
@@ -270,7 +271,16 @@ class MambaForCausalLM:
         dt = ssm_p[:, :self.dt_rank]
         B = ssm_p[:, self.dt_rank:self.dt_rank + Ds]
         C = ssm_p[:, self.dt_rank + Ds:]
-        if self.bcdt_rms_eps is not None:
+        if "dt_norm_w" in lp:
+            # Jamba: learned RMSNorm over dt/B/C selection outputs.
+            def _wrms(x, w):
+                return x * jax.lax.rsqrt(
+                    jnp.mean(x * x, -1, keepdims=True) + self.rms_eps) \
+                    * w.astype(jnp.float32)
+            dt = _wrms(dt, lp["dt_norm_w"])
+            B = _wrms(B, lp["b_norm_w"])
+            C = _wrms(C, lp["c_norm_w"])
+        elif self.bcdt_rms_eps is not None:
             # FalconMamba: parameterless RMS over dt/B/C (reference:
             # falcon_mamba rms_forward on the selection outputs).
             def _rms(x):

@@ -102,7 +102,9 @@ class ModelRunner:
             cc.num_blocks, cc.block_size, model.num_kv_heads, model.head_dim,
             pad_head_dim=self.use_pallas)
         if self.is_ssm:
-            self.kv_cache = model.init_cache(self.num_state_slots)
+            self.kv_cache = model.init_cache(
+                self.num_state_slots, cache_config=cc, kv_dtype=kv_dtype,
+                use_pallas=self.use_pallas)
             if mesh is not None:
                 from jax.sharding import NamedSharding
                 specs = model.cache_specs()
@@ -265,6 +267,9 @@ class ModelRunner:
         """Gather KV pages to host (disaggregated-prefill producer side):
         -> [L, n, 2, kvh, page, hd] in the cache dtype's bit pattern
         (fp8 ships as raw uint8)."""
+        if self.is_ssm:
+            raise ValueError("KV transfer is not supported for recurrent/"
+                             "hybrid-state models")
         pages = self.kv_cache[:, np.asarray(page_ids, np.int32)]
         if self.kv_dtype in (jnp.float8_e4m3, jnp.float8_e5m2):
             pages = jax.lax.bitcast_convert_type(pages, jnp.uint8)
