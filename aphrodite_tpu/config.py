@@ -106,7 +106,7 @@ class ModelConfig:
     def is_attention_free(self) -> bool:
         """Recurrent-state models (Mamba family): no KV cache at all."""
         return getattr(self.text_config, "num_attention_heads", None) in (
-            None, 0) or self.text_config.model_type in ("mamba",
+            None, 0) or self.text_config.model_type in ("mamba", "mamba2",
                                                         "falcon_mamba")
 
     @property

@@ -119,7 +119,7 @@ class MambaForCausalLM:
                 layers[name] = jnp.ones(shape, self.dtype)
             elif name == "A_log":
                 layers[name] = jnp.log(jnp.broadcast_to(
-                    jnp.arange(1, self.d_state + 1, dtype=jnp.float32),
+                    jnp.arange(1, shape[-1] + 1, dtype=jnp.float32),
                     shape))
             elif name == "D":
                 layers[name] = jnp.ones(shape, self.dtype)
@@ -349,3 +349,172 @@ class MambaForCausalLM:
 class FalconMambaForCausalLM(MambaForCausalLM):
     """FalconMamba: mamba-1 with parameterless RMS over the dt/B/C
     selection outputs (bcdt_rms_eps set from config.mixer_rms_eps)."""
+
+
+class Mamba2ForCausalLM(MambaForCausalLM):
+    """Mamba-2 (SSD): multi-head scalar-decay state space.
+
+    Parity: aphrodite's mamba2 family via kernels/mamba SSD kernels —
+    re-expressed as the same ragged associative scan as mamba-1 (the SSD
+    chunked algorithm is an equivalent factorization; the scan form needs
+    no chunk bookkeeping and composes with the flat token layout). Per
+    head the decay is a scalar exp(dt*A_h), the state is [head_dim x
+    state], B/C come in n_groups shared across heads, and the output goes
+    through a z-gated RMSNorm before out_proj.
+    """
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        hf = config.text_config
+        self.d_inner = getattr(hf, "expand", 2) * hf.hidden_size
+        self.d_state = hf.state_size
+        self.d_conv = hf.conv_kernel
+        self.n_heads = hf.num_heads
+        self.head_dim_m2 = hf.head_dim
+        self.n_groups = getattr(hf, "n_groups", 1)
+        self.conv_dim = self.d_inner + 2 * self.n_groups * self.d_state
+        self.dt_limit = tuple(getattr(hf, "time_step_limit", (0.0,
+                                                              float("inf"))))
+        self.rms_eps = getattr(hf, "layer_norm_epsilon", 1e-5)
+
+    def init_cache(self, num_slots: int, cache_config=None, kv_dtype=None,
+                   use_pallas: bool = False) -> dict:
+        L = self.num_layers
+        return {
+            "conv": jnp.zeros((L, num_slots, self.d_conv - 1,
+                               self.conv_dim), self.dtype),
+            "ssm": jnp.zeros((L, num_slots, self.n_heads,
+                              self.head_dim_m2, self.d_state), jnp.float32),
+        }
+
+    def _layer_shapes(self) -> dict[str, tuple]:
+        H, Di, L = self.hidden_size, self.d_inner, self.num_layers
+        nh, K = self.n_heads, self.d_conv
+        return {
+            "norm": (L, H),
+            "in_proj": (L, H, Di + self.conv_dim + nh),
+            "conv_w": (L, K, self.conv_dim),
+            "conv_b": (L, self.conv_dim),
+            "dt_bias": (L, nh),
+            "A_log": (L, nh),
+            "D": (L, nh),
+            "gated_norm_w": (L, Di),
+            "out_proj": (L, Di, H),
+        }
+
+    _HF_MAP = {
+        "norm.weight": ("norm", False),
+        "mixer.in_proj.weight": ("in_proj", True),
+        "mixer.conv1d.bias": ("conv_b", False),
+        "mixer.dt_bias": ("dt_bias", False),
+        "mixer.D": ("D", False),
+        "mixer.norm.weight": ("gated_norm_w", False),
+        "mixer.out_proj.weight": ("out_proj", True),
+    }
+
+    def _mixer(self, x: jax.Array, lp: dict, cache, md: AttentionMetadata):
+        conv_st, ssm_st = cache
+        T = x.shape[0]
+        Di, Ds, K = self.d_inner, self.d_state, self.d_conv
+        nh, hd, G = self.n_heads, self.head_dim_m2, self.n_groups
+        t_idx = jnp.arange(T, dtype=jnp.int32)
+        req = md.token_req_idx
+        seg_start_t = md.seg_starts[req]
+        slot_t = md.state_slots[req]
+        valid = md.slot_mapping >= 0
+        pos0_t = md.token_pos[seg_start_t]
+
+        proj = jnp.dot(x, lp["in_proj"],
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        gate = proj[:, :Di]
+        xbc = jnp.where(valid[:, None], proj[:, Di:Di + self.conv_dim], 0.)
+        dt_in = proj[:, Di + self.conv_dim:].astype(jnp.float32)  # [T, nh]
+
+        # Depthwise causal conv over [x|B|C] with state taps (mamba-1
+        # boundary logic, wider channel dim).
+        acc = jnp.zeros((T, self.conv_dim), jnp.float32)
+        for s in range(K):
+            tap_w = lp["conv_w"][K - 1 - s]
+            src_idx = jnp.maximum(t_idx - s, 0)
+            from_seq = (t_idx - s) >= seg_start_t
+            seq_val = jnp.take(xbc, src_idx, axis=0)
+            if s == 0:
+                tap = seq_val
+            else:
+                back = seg_start_t - (t_idx - s)
+                cache_row = jnp.clip(K - 1 - back, 0)
+                cache_val = conv_st[slot_t, cache_row]
+                use_cache = (~from_seq) & (back <= K - 1) & (pos0_t > 0)
+                tap = jnp.where(from_seq[:, None], seq_val,
+                                jnp.where(use_cache[:, None],
+                                          cache_val.astype(seq_val.dtype),
+                                          0.0))
+            acc = acc + tap.astype(jnp.float32) * tap_w.astype(jnp.float32)
+        acc = acc + lp["conv_b"].astype(jnp.float32)
+        xbc_c = jax.nn.silu(acc)
+        xbc_c = jnp.where(valid[:, None], xbc_c, 0.0)
+        h = xbc_c[:, :Di].reshape(T, nh, hd)
+        B = xbc_c[:, Di:Di + G * Ds].reshape(T, G, Ds)
+        C = xbc_c[:, Di + G * Ds:].reshape(T, G, Ds)
+        rep = nh // G
+        B = jnp.repeat(B, rep, axis=1)  # [T, nh, Ds]
+        C = jnp.repeat(C, rep, axis=1)
+
+        # New conv state rows (segment's last K-1 xbc inputs).
+        seg_ends = md.query_start_loc[1:]
+        new_conv = []
+        for j in range(K - 1, 0, -1):
+            idx = seg_ends - 1 - (j - 1)
+            from_seq_r = idx >= md.seg_starts
+            seq_val = jnp.take(xbc, jnp.clip(idx, 0), axis=0)
+            back = md.seg_starts - idx
+            cache_row = jnp.clip(K - 1 - back, 0)
+            pos0_r = md.token_pos[md.seg_starts]
+            old_val = conv_st[md.state_slots, cache_row]
+            use_old = (~from_seq_r) & (back <= K - 1) & (pos0_r > 0)
+            new_conv.append(jnp.where(
+                from_seq_r[:, None], seq_val,
+                jnp.where(use_old[:, None], old_val.astype(seq_val.dtype),
+                          0.0)))
+        new_conv = jnp.stack(new_conv, axis=1)
+        live = md.seq_lens > 0
+        conv_st = conv_st.at[jnp.where(live, md.state_slots,
+                                       conv_st.shape[0])].set(
+            new_conv.astype(conv_st.dtype), mode="drop")
+
+        # Scalar-decay multihead scan.
+        dt = jax.nn.softplus(dt_in + lp["dt_bias"].astype(jnp.float32))
+        dt = jnp.clip(dt, self.dt_limit[0], self.dt_limit[1])  # [T, nh]
+        A = -jnp.exp(lp["A_log"])                              # [nh]
+        dA = jnp.exp(dt * A[None])[:, :, None, None]           # [T,nh,1,1]
+        dBx = (dt[:, :, None] * B)[:, :, None, :] \
+            * h.astype(jnp.float32)[:, :, :, None]             # [T,nh,hd,Ds]
+        is_first = t_idx == seg_start_t
+        h0 = ssm_st[slot_t]
+        h0 = jnp.where((pos0_t > 0)[:, None, None, None], h0, 0.0)
+        dBx = jnp.where(is_first[:, None, None, None], dBx + dA * h0, dBx)
+        dA = jnp.where((is_first | ~valid)[:, None, None, None], 0.0, dA)
+        dBx = jnp.where(valid[:, None, None, None], dBx, 0.0)
+
+        def combine(a, b):
+            return a[0] * b[0], a[1] * b[0] + b[1]
+        _, hs = jax.lax.associative_scan(combine, (dA, dBx), axis=0)
+
+        y = jnp.einsum("thds,ths->thd", hs, C)
+        y = y + h.astype(jnp.float32) * lp["D"].astype(jnp.float32)[
+            None, :, None]
+        y = y.reshape(T, Di)
+        # Gated RMSNorm (y * silu(z), then rms * w).
+        y = y * jax.nn.silu(gate.astype(jnp.float32))
+        y = y * jax.lax.rsqrt(jnp.mean(y * y, -1, keepdims=True)
+                              + self.rms_eps)
+        y = (y * lp["gated_norm_w"].astype(jnp.float32)).astype(x.dtype)
+        out = jnp.dot(y, lp["out_proj"],
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+        ends = jnp.clip(md.query_start_loc[1:] - 1, 0)
+        final_h = jnp.take(hs, ends, axis=0)
+        ssm_st = ssm_st.at[jnp.where(live, md.state_slots,
+                                     ssm_st.shape[0])].set(
+            final_h, mode="drop")
+        return out, (conv_st, ssm_st)

@@ -39,6 +39,8 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     "MambaForCausalLM": ("aphrodite_tpu.models.mamba", "MambaForCausalLM"),
     "FalconMambaForCausalLM": ("aphrodite_tpu.models.mamba",
                                "FalconMambaForCausalLM"),
+    "Mamba2ForCausalLM": ("aphrodite_tpu.models.mamba",
+                          "Mamba2ForCausalLM"),
     "JambaForCausalLM": ("aphrodite_tpu.models.jamba",
                          "JambaForCausalLM"),
     # Multimodal (vision-language).

@@ -79,3 +79,33 @@ def test_falcon_mamba_matches_hf(tmp_path):
     outs = _generate(tmp_path, prompts)
     for p, out in zip(prompts, outs):
         assert out == _hf(hf, p), p
+
+
+def test_mamba2_matches_hf(tmp_path):
+    """Mamba-2 (SSD): multi-head scalar decay, grouped B/C, gated norm."""
+    from transformers import Mamba2Config, Mamba2ForCausalLM
+    torch.manual_seed(0)
+    cfg = Mamba2Config(vocab_size=256, hidden_size=64, num_hidden_layers=2,
+                       state_size=8, conv_kernel=4, expand=2, head_dim=16,
+                       num_heads=8, n_groups=2, chunk_size=16,
+                       bos_token_id=1, eos_token_id=2, pad_token_id=0)
+    hf = Mamba2ForCausalLM(cfg).eval()
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+    prompts = [[1, 5, 9, 20, 3], [7, 8, 9, 10, 11, 12]]
+    outs = _generate(tmp_path, prompts)
+    for p, out in zip(prompts, outs):
+        assert out == _hf(hf, p), p
+
+
+def test_mamba2_chunked_prefill(tmp_path):
+    from transformers import Mamba2Config, Mamba2ForCausalLM
+    torch.manual_seed(1)
+    cfg = Mamba2Config(vocab_size=256, hidden_size=64, num_hidden_layers=2,
+                       state_size=8, conv_kernel=4, expand=2, head_dim=16,
+                       num_heads=8, n_groups=2, chunk_size=16,
+                       bos_token_id=1, eos_token_id=2, pad_token_id=0)
+    hf = Mamba2ForCausalLM(cfg).eval()
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+    prompts = [list(range(30, 69))]
+    outs = _generate(tmp_path, prompts, n_new=6, chunk=16)
+    assert outs[0] == _hf(hf, prompts[0], 6)
