@@ -25,6 +25,38 @@ class Processor:
                              if tokenizer is not None else None)
         from aphrodite_tpu.multimodal import get_mm_adapter
         self.mm_adapter = get_mm_adapter(config.model_config.hf_config)
+        # Prompt-adapter (soft prompt) cache: path -> embedding rows.
+        self._prompt_adapters: dict[str, "np.ndarray"] = {}
+
+    def _load_prompt_adapter(self, path: str):
+        """PEFT prompt-tuning checkpoint -> [n_virtual, hidden] rows
+        (reference: aphrodite/prompt_adapter/, SURVEY.md §2.9)."""
+        import numpy as np
+        emb = self._prompt_adapters.get(path)
+        if emb is not None:
+            return emb
+        import os
+        st = os.path.join(path, "adapter_model.safetensors")
+        if os.path.exists(st):
+            from safetensors.numpy import load_file
+            tensors = load_file(st)
+        else:
+            import torch
+            tensors = {k: v.numpy() for k, v in torch.load(
+                os.path.join(path, "adapter_model.bin"),
+                map_location="cpu", weights_only=True).items()}
+        key = next((k for k in tensors if "prompt_embeddings" in k
+                    or k == "prompt_encoder.default.embedding.weight"),
+                   None)
+        if key is None:
+            raise ValueError(f"{path}: no prompt_embeddings tensor found")
+        emb = np.asarray(tensors[key], np.float32)
+        if emb.shape[-1] != self.config.model_config.hidden_size:
+            raise ValueError(
+                f"prompt adapter hidden size {emb.shape[-1]} != model "
+                f"{self.config.model_config.hidden_size}")
+        self._prompt_adapters[path] = emb
+        return emb
 
     def process(self, request_id: str, prompt: PromptType,
                 params: SamplingParams,
@@ -45,8 +77,23 @@ class Processor:
             token_ids = list(prompt)
 
         mm_inputs = None
+        pa = prompt.get("prompt_adapter") if isinstance(prompt, dict) \
+            else None
+        if pa:
+            from aphrodite_tpu.multimodal import MMInputs
+            emb = self._load_prompt_adapter(
+                pa["path"] if isinstance(pa, dict) else pa)
+            n = emb.shape[0]
+            # Virtual tokens occupy the first n positions; their embedding
+            # rows ride the multimodal scatter path.
+            token_ids = [0] * n + token_ids
+            mm_inputs = MMInputs(pixel_values=emb, spans=[(0, n)],
+                                 is_embeddings=True)
         mm_data = prompt.get("multi_modal_data") \
             if isinstance(prompt, dict) else None
+        if mm_data and mm_inputs is not None:
+            raise ValueError(f"request {request_id}: prompt_adapter and "
+                             "multi_modal_data are mutually exclusive")
         if mm_data:
             if self.mm_adapter is None:
                 raise ValueError(

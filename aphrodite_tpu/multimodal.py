@@ -23,10 +23,13 @@ import numpy as np
 class MMInputs:
     """Processed multimodal payload attached to a Request (pickled across
     the ZMQ engine-core boundary in MP mode)."""
-    # Model-ready pixel tensor, [N_images, 3, S, S] float32.
+    # Model-ready pixel tensor, [N_images, 3, S, S] float32 — or, with
+    # is_embeddings=True, pre-computed embedding rows [N_tokens, hidden]
+    # (prompt adapters / soft prompts; no encoder pass).
     pixel_values: np.ndarray
     # Per image: (token_offset, num_tokens) span in the expanded prompt.
     spans: list[tuple[int, int]]
+    is_embeddings: bool = False
 
     @property
     def num_images(self) -> int:

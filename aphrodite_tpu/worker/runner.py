@@ -292,6 +292,12 @@ class ModelRunner:
         (reference: v1 encoder cache, aphrodite/v1/core/encoder_cache_manager.py)."""
         if st.mm_embeds is None:
             pv = np.asarray(st.mm.pixel_values)
+            if getattr(st.mm, "is_embeddings", False):
+                # Soft prompts: the payload already IS the embedding rows.
+                st.mm_embeds = jnp.asarray(
+                    pv, self.params["embed"].dtype).reshape(
+                        -1, self.model.hidden_size)
+                return st.mm_embeds
             N = pv.shape[0]
             N_pad = next_power_of_2(N)
             if N_pad != N:
@@ -310,7 +316,8 @@ class ModelRunner:
         """Gather the image-embedding rows covered by this step's scheduled
         token ranges + their scatter targets in the padded batch (pad rows
         scatter to T_pad and drop)."""
-        if not getattr(self.model, "is_multimodal", False):
+        if not getattr(self.model, "is_multimodal", False) and \
+                not any(self.requests[rid].mm is not None for rid in order):
             return None
         if getattr(self.model, "mm_kind", "scatter") == "cross_attn":
             # Encoder-decoder: every step cross-attends, so ship the whole
