@@ -98,7 +98,8 @@ def load_model_params(model, model_config: ModelConfig,
             with jax.default_device(cpu):
                 params = model.init_dummy_params(jax.random.PRNGKey(rng_seed))
             params = jax.tree.map(np.asarray, params)
-            params = quantize_stacked_params(params, quant_config)
+            params = quantize_stacked_params(params, quant_config,
+                                             model=model)
         else:
             params = model.init_dummy_params(jax.random.PRNGKey(rng_seed))
     elif quant_config is not None and quant_config.from_checkpoint:
@@ -113,7 +114,8 @@ def load_model_params(model, model_config: ModelConfig,
         if quant_config is not None:
             from aphrodite_tpu.quantization.loader import (
                 quantize_stacked_params)
-            params = quantize_stacked_params(params, quant_config)
+            params = quantize_stacked_params(params, quant_config,
+                                             model=model)
 
     from aphrodite_tpu.parallel.mesh import model_param_specs
     specs = model_param_specs(model)

@@ -117,9 +117,24 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         self.num_moe = off["moe"]
 
     def set_quant_config(self, qcfg) -> None:
-        raise NotImplementedError(
-            "quantized DeepSeek checkpoints: planned follow-up (MLA + MoE "
-            "quant layouts)")
+        if qcfg.method not in ("int8", "w8a16", "fp8"):
+            raise NotImplementedError(
+                "DeepSeek supports int8/w8a16/fp8 quantization; packed "
+                "w4a16 checkpoints (grouped scales on MLA projections) are "
+                "a follow-up")
+        self.quant_fmt = {"int8": "int8", "w8a16": "w8a16",
+                          "fp8": "fp8"}[qcfg.method]
+
+    def quant_targets(self) -> list[tuple[str, str]]:
+        """Everything matmul-shaped except the absorbed w_uk/w_uv einsums
+        (small, [R, nq, d]), norms, and routers."""
+        attn = ["wkv_a", "wo"]
+        attn += ["wq_a", "wq_b"] if self.q_lora_rank is not None else ["wq"]
+        targets = [("layers", k) for k in attn]
+        targets += [("dense_mlp", k) for k in ("w_gate", "w_up", "w_down")]
+        targets += [("moe", k) for k in ("we_gate", "we_up", "we_down",
+                                         "ws_gate", "ws_up", "ws_down")]
+        return targets
 
     # ------------------------------------------------------------------ params
     def _common_shapes(self) -> dict[str, tuple]:
@@ -339,17 +354,18 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         T = x.shape[0]
         nq, R = self.num_heads, self.kv_lora_rank
         h = rms_norm(x, lp["input_norm"], self.rms_eps)
+        fmt = self.quant_fmt
         if self.q_lora_rank is not None:
-            q = apply_linear(h, lp["wq_a"])
+            q = apply_linear(h, lp["wq_a"], fmt=fmt)
             q = rms_norm(q, lp["q_a_norm"], self.rms_eps)
-            q = apply_linear(q, lp["wq_b"])
+            q = apply_linear(q, lp["wq_b"], fmt=fmt)
         else:
-            q = apply_linear(h, lp["wq"])
+            q = apply_linear(h, lp["wq"], fmt=fmt)
         q = q.reshape(T, nq, self.qk_head_dim)
         q_nope = q[..., :self.qk_nope_head_dim]
         q_pe = apply_rope_interleaved(q[..., self.qk_nope_head_dim:],
                                       cos, sin)
-        kv_a = apply_linear(h, lp["wkv_a"])  # [T, R+rope]
+        kv_a = apply_linear(h, lp["wkv_a"], fmt=fmt)  # [T, R+rope]
         ckv = rms_norm(kv_a[:, :R], lp["kv_a_norm"], self.rms_eps)
         k_pe = apply_rope_interleaved(kv_a[:, None, R:], cos, sin)
         # Absorb W_UK: q into the latent space.
@@ -365,7 +381,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                             use_pallas=use_pallas)
         o = jnp.einsum("thr,rhd->thd", o[..., :R], lp["w_uv"],
                        preferred_element_type=jnp.float32).astype(x.dtype)
-        o = apply_linear(o.reshape(T, nq * self.v_head_dim), lp["wo"])
+        o = apply_linear(o.reshape(T, nq * self.v_head_dim), lp["wo"],
+                         fmt=fmt)
         return self._sp(x + o), kvc
 
     def _route(self, h: jax.Array, mp: dict):
@@ -407,12 +424,9 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
 
         def expert(acc, xs):
             wg, wu, wd, e = xs
-            y = self.act(jnp.dot(h, wg, preferred_element_type=jnp.float32)
-                         .astype(h.dtype),
-                         jnp.dot(h, wu, preferred_element_type=jnp.float32)
-                         .astype(h.dtype))
-            y = jnp.dot(y, wd,
-                        preferred_element_type=jnp.float32).astype(h.dtype)
+            y = self.act(apply_linear(h, wg, fmt=self.quant_fmt),
+                         apply_linear(h, wu, fmt=self.quant_fmt))
+            y = apply_linear(y, wd, fmt=self.quant_fmt)
             gate = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)
             return acc + gate[:, None] * y, None
 
@@ -422,8 +436,9 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
              jnp.arange(self.num_experts, dtype=jnp.int32)))
         if self.n_shared:
             shared = apply_linear(
-                self.act(apply_linear(h, mp["ws_gate"]),
-                         apply_linear(h, mp["ws_up"])), mp["ws_down"])
+                self.act(apply_linear(h, mp["ws_gate"], fmt=self.quant_fmt),
+                         apply_linear(h, mp["ws_up"], fmt=self.quant_fmt)),
+                mp["ws_down"], fmt=self.quant_fmt)
             acc = acc + shared
         return acc
 

@@ -112,6 +112,12 @@ class MixtralForCausalLM(LlamaForCausalLM):
         params = super().init_dummy_params(rng)
         return params
 
+    def quant_targets(self) -> list[tuple[str, str]]:
+        """Attention mats + per-expert stacks (reference experts_int8,
+        quantization/experts_int8.py); the router stays full precision."""
+        keys = ["wq", "wk", "wv", "wo", "we_gate", "we_up", "we_down"]
+        return [("layers", k) for k in keys]
+
     def param_specs(self) -> dict:
         specs = super().param_specs()
         for k in ("w_gate", "w_up", "w_down"):
@@ -127,12 +133,18 @@ class MixtralForCausalLM(LlamaForCausalLM):
                 "we_down": P(None, "tp", None, None),
             })
         else:
-            specs["layers"].update({
-                "router": P(),
+            expert_specs = {
                 "we_gate": P(None, None, None, "tp"),
                 "we_up": P(None, None, None, "tp"),
                 "we_down": P(None, None, "tp", None),
-            })
+            }
+            if self.quant_fmt in ("int8", "w8a16", "fp8"):
+                skey = "weight_scale" if self.quant_fmt == "fp8" \
+                    else "scales"
+                expert_specs = {
+                    k: {"qweight": s, skey: P(None, None, s[3])}
+                    for k, s in expert_specs.items()}
+            specs["layers"].update({"router": P(), **expert_specs})
         return specs
 
     # ----------------------------------------------------------------- forward
@@ -146,18 +158,20 @@ class MixtralForCausalLM(LlamaForCausalLM):
             topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
         topw = topw.astype(h.dtype)
 
+        from aphrodite_tpu.layers.linear import apply_linear
+
         def expert(acc, xs):
             wg, wu, wd, e = xs
-            y = self.act(jnp.dot(h, wg, preferred_element_type=jnp.float32)
-                         .astype(h.dtype),
-                         jnp.dot(h, wu, preferred_element_type=jnp.float32)
-                         .astype(h.dtype))
-            y = jnp.dot(y, wd, preferred_element_type=jnp.float32
-                        ).astype(h.dtype)
+            y = self.act(apply_linear(h, wg, fmt=self.quant_fmt),
+                         apply_linear(h, wu, fmt=self.quant_fmt))
+            y = apply_linear(y, wd, fmt=self.quant_fmt)
             gate = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)  # [T]
             return acc + gate[:, None] * y, None
 
         E = self.num_experts
+        if self.expert_parallel and self.quant_fmt is not None:
+            raise NotImplementedError(
+                "expert parallelism with quantized experts: follow-up")
         if self.expert_parallel:
             # Dense einsum over the expert dim: with we_* sharded P("tp")
             # on E, each device computes only its local experts and the

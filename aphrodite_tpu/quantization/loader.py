@@ -15,9 +15,12 @@ from aphrodite_tpu.quantization.base import (QUANTIZABLE, QuantizationConfig,
 from aphrodite_tpu.utils import logger
 
 
-def quantize_stacked_params(params: dict, qcfg: QuantizationConfig) -> dict:
-    """Quantize an fp parameter tree's linear layers (stacked [L, in, out])
-    into quantized-weight dicts.
+def quantize_stacked_params(params: dict, qcfg: QuantizationConfig,
+                            model=None) -> dict:
+    """Quantize an fp parameter tree's linear layers (stacked [L, in, out],
+    or [L, E, in, out] expert stacks — reference experts_int8 semantics)
+    into quantized-weight dicts. Targets come from model.quant_targets()
+    when defined: a list of (container key, param key) pairs.
 
     Runs the math on the JAX *CPU* backend (jitted, multi-threaded) — plain
     numpy with ml_dtypes bf16 conversion is ~20 minutes for an 8B-class
@@ -61,31 +64,44 @@ def quantize_stacked_params(params: dict, qcfg: QuantizationConfig) -> dict:
             return q.reshape(L, K, N), scale, zero
         return f(w)
 
-    layers = params["layers"]
+    if model is not None and hasattr(model, "quant_targets"):
+        targets = model.quant_targets()
+    else:
+        targets = [("layers", k) for k in QUANTIZABLE]
+    done = []
     with jax.default_device(cpu):
-        for key in QUANTIZABLE:
-            w = layers.get(key)
+        for container, key in targets:
+            sub = params.get(container)
+            w = sub.get(key) if sub is not None else None
             if w is None:
                 continue
             w = jnp.asarray(w)  # host cpu array (bf16 stays bf16)
-            L, K, N = w.shape
+            lead = w.shape[:-2]  # [L] or [L, E]
+            K, N = w.shape[-2:]
+            w = w.reshape((-1, K, N))
             if qcfg.method in ("int8", "w8a16"):
                 q, scale = q_int8(w)
-                layers[key] = {"qweight": np.asarray(q),
-                               "scales": np.asarray(scale)}
+                sub[key] = {"qweight": np.asarray(q).reshape(*lead, K, N),
+                            "scales": np.asarray(scale).reshape(*lead, N)}
             elif qcfg.method == "fp8":
                 q, scale = q_fp8(w)
-                layers[key] = {"qweight": np.asarray(q),
-                               "weight_scale": np.asarray(scale)}
+                sub[key] = {
+                    "qweight": np.asarray(q).reshape(*lead, K, N),
+                    "weight_scale": np.asarray(scale).reshape(*lead, N)}
             elif qcfg.method in ("gptq", "awq"):
+                if len(lead) > 1:
+                    raise NotImplementedError(
+                        "w4a16 on expert stacks: follow-up (use int8/"
+                        "w8a16/fp8 for MoE)")
                 g = qcfg.group_size if 0 < qcfg.group_size <= K else K
                 q, scale, zero = q_int4(w, g)
-                layers[key] = {"qweight": np.asarray(q),
-                               "scales": np.asarray(scale),
-                               "zeros": np.asarray(zero)}
+                sub[key] = {"qweight": np.asarray(q),
+                            "scales": np.asarray(scale),
+                            "zeros": np.asarray(zero)}
             else:
                 raise ValueError(qcfg.method)
-    logger.info("quantized %s on the fly (%s) in %.1fs", list(QUANTIZABLE),
+            done.append(key)
+    logger.info("quantized %s on the fly (%s) in %.1fs", done,
                 qcfg.method, time.time() - t0)
     return params
 
