@@ -126,6 +126,8 @@ class ModelConfig:
             return 1
         if self.is_encoder_decoder:
             return self.text_config.decoder_attention_heads
+        if getattr(self.text_config, "multi_query", False):
+            return 1  # GPTBigCode-style MQA
         return getattr(self.text_config, "num_key_value_heads", None) \
             or self.num_attention_heads
 

@@ -1,0 +1,829 @@
+"""Modern-decoder variants: one configurable class, many architectures.
+
+Covers the wide middle of the reference's registry
+(aphrodite/modeling/models/{stablelm,starcoder2,phi,gptj,gpt_bigcode,
+persimmon,commandr,olmo,olmo2,granite,nemotron}.py) with a single
+knob-driven decoder. Mechanisms beyond the Llama family:
+
+- LayerNorm residual streams (with/without bias, affine-free OLMo,
+  Nemotron's weight+1 "LayerNorm1P"),
+- partial rotary (``partial_rotary_factor`` / ``rotary_dim``) in both the
+  NeoX rotate-half and GPT-J/Cohere interleaved conventions,
+- parallel attention+MLP residuals sharing one pre-norm (Phi, GPT-J,
+  Command-R),
+- post-block norm placement (OLMo-2: ``x + norm(attn(x))``),
+- QK normalization in three shapes (flat RMS over the whole projection,
+  per-head distinct weights, per-head shared weights),
+- dense (non-gated) MLPs with relu^2 / gelu_new activations,
+- fused QKV checkpoint layouts (per-head interleaved and BigCode MQA rows),
+- logit/embedding/residual multipliers (Granite, Command-R) and QKV
+  clamping (OLMo).
+
+Everything else — paged KV, continuous batching, sampler, TP specs,
+quantize-on-load — is the shared infrastructure. Weights load into stacked
+``[L, ...]`` arrays and the forward is one ``lax.scan``, like llama.py.
+"""
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from aphrodite_tpu.attention import (AttentionMetadata, paged_attention,
+                                     write_kv)
+from aphrodite_tpu.config import ModelConfig
+from aphrodite_tpu.layers.common import ACT2MUL, rms_norm
+from aphrodite_tpu.layers.linear import apply_linear
+from aphrodite_tpu.layers.rotary import (RopeConfig, apply_rope,
+                                         apply_rope_interleaved,
+                                         compute_cos_sin, compute_inv_freq)
+from aphrodite_tpu.models.vision import layer_norm
+from aphrodite_tpu.utils import jax_dtype
+
+_DENSE_ACTS = {
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+    "gelu_fast": lambda x: jax.nn.gelu(x, approximate=True),
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "relu": jax.nn.relu,
+    "relu2": lambda x: jnp.square(jax.nn.relu(x)),
+}
+
+
+class FlexibleDecoder:
+    """Knob-driven decoder; subclasses set flags + HF weight maps."""
+
+    # --- residual/norm structure
+    norm_kind: str = "ln"          # rms | ln | ln1p | noaffine
+    norm_bias: bool = True         # ln/ln1p carry a bias term
+    block_norm: str = "pre"        # pre | post (OLMo-2)
+    parallel_residual: bool = False
+    shared_ln: bool = True         # parallel branches read the same norm
+    final_norm: bool = True
+    # --- attention
+    qk_norm: Optional[str] = None  # flat_rms|per_head_rms|per_head_ln|
+    #                                per_head_ln_shared
+    qk_norm_bias: bool = False
+    rope_interleaved: bool = False
+    positions: str = "rope"        # rope | learned
+    pos_offset: int = 0
+    attn_bias: bool = False
+    attn_out_bias: Optional[bool] = None   # None -> attn_bias
+    clip_qkv: Optional[float] = None
+    # --- MLP
+    mlp_kind: str = "gated"        # gated | dense
+    mlp_bias: bool = False
+    # --- head / scaling
+    lm_head_bias: bool = False
+    tie_default: bool = False
+    embedding_multiplier: float = 1.0
+    residual_multiplier: float = 1.0
+    logits_multiplier: float = 1.0
+    # --- interface parity with the worker
+    pp_size = 1
+    mesh = None
+    sequence_parallel = False
+    quant_fmt = None
+    is_ssm = False
+
+    # Weight-map hooks (subclass-declared).
+    _TOP_MAP: dict = {}            # full ckpt name -> (param key, transpose)
+    _LAYER_PREFIX: str = "model.layers."
+    _LAYER_MAP: dict = {}          # per-layer suffix -> (key, transpose)
+
+    def __init__(self, config: ModelConfig):
+        self.config = config
+        hf = config.text_config
+        self.dtype = jax_dtype(config.dtype)
+        self.hidden_size = config.hidden_size
+        self.num_layers = config.num_layers
+        self.num_heads = config.num_attention_heads
+        self.num_kv_heads = config.num_kv_heads
+        self.head_dim = config.head_dim
+        self.vocab_size = config.vocab_size
+        self.sliding_window = config.sliding_window
+        self.scale = self.head_dim ** -0.5
+        self.intermediate_size = getattr(hf, "intermediate_size", None) or \
+            getattr(hf, "ffn_dim", None) or 4 * self.hidden_size
+        self.tie_embeddings = getattr(hf, "tie_word_embeddings",
+                                      self.tie_default)
+        self._setup(hf)
+        if self.attn_out_bias is None:
+            self.attn_out_bias = self.attn_bias
+        if self.positions == "rope":
+            pct = getattr(hf, "partial_rotary_factor",
+                          getattr(hf, "rotary_pct", 1.0))
+            rotary_dim = getattr(hf, "rotary_dim", None) or \
+                int(self.head_dim * pct)
+            self.rope = RopeConfig(
+                head_dim=self.head_dim, rotary_dim=rotary_dim,
+                base=getattr(hf, "rope_theta",
+                             getattr(hf, "rotary_emb_base", 10000.0)),
+                max_position=getattr(hf, "max_position_embeddings", 2048),
+                scaling=getattr(hf, "rope_scaling", None))
+            inv_freq, mscale = compute_inv_freq(self.rope)
+            self._inv_freq = jnp.asarray(inv_freq)
+            self._rope_mscale = mscale
+
+    def _setup(self, hf) -> None:  # pragma: no cover - subclass hook
+        raise NotImplementedError
+
+    def set_quant_config(self, qcfg) -> None:
+        self.quant_fmt = {"gptq": "w4a16", "awq": "w4a16", "int8": "int8",
+                          "w8a16": "w8a16", "fp8": "fp8"}[qcfg.method]
+
+    # ------------------------------------------------------------- geometry
+    def _weight_keys(self) -> list[str]:
+        keys = ["wq", "wk", "wv", "wo"]
+        keys += (["w_gate", "w_up", "w_down"] if self.mlp_kind == "gated"
+                 else ["fc1_w", "fc2_w"])
+        return keys
+
+    def quant_targets(self) -> list[tuple[str, str]]:
+        return [("layers", k) for k in self._weight_keys()]
+
+    def _layer_shapes(self) -> dict[str, tuple]:
+        H, L = self.hidden_size, self.num_layers
+        nq, nkv, hd, I = (self.num_heads, self.num_kv_heads, self.head_dim,
+                          self.intermediate_size)
+        shapes: dict[str, tuple] = {}
+        affine = self.norm_kind != "noaffine"
+        if affine:
+            shapes["ln1_w"] = (L, H)
+            if self.norm_bias:
+                shapes["ln1_b"] = (L, H)
+        if not (self.parallel_residual and self.shared_ln):
+            if affine:
+                shapes["ln2_w"] = (L, H)
+                if self.norm_bias:
+                    shapes["ln2_b"] = (L, H)
+        shapes.update(wq=(L, H, nq * hd), wk=(L, H, nkv * hd),
+                      wv=(L, H, nkv * hd), wo=(L, nq * hd, H))
+        if self.attn_bias:
+            shapes.update(bq=(L, nq * hd), bk=(L, nkv * hd),
+                          bv=(L, nkv * hd))
+        if self.attn_out_bias:
+            shapes["bo"] = (L, H)
+        if self.qk_norm == "flat_rms":
+            shapes.update(q_norm=(L, nq * hd), k_norm=(L, nkv * hd))
+        elif self.qk_norm in ("per_head_rms", "per_head_ln_shared"):
+            shapes.update(q_norm=(L, hd), k_norm=(L, hd))
+            if self.qk_norm_bias:
+                shapes.update(q_norm_b=(L, hd), k_norm_b=(L, hd))
+        elif self.qk_norm == "per_head_ln":
+            shapes.update(q_norm=(L, nq, hd), k_norm=(L, nkv, hd))
+            if self.qk_norm_bias:
+                shapes.update(q_norm_b=(L, nq, hd), k_norm_b=(L, nkv, hd))
+        if self.mlp_kind == "gated":
+            shapes.update(w_gate=(L, H, I), w_up=(L, H, I), w_down=(L, I, H))
+            if self.mlp_bias:
+                shapes.update(b_gate=(L, I), b_up=(L, I), b_down=(L, H))
+        else:
+            shapes.update(fc1_w=(L, H, I), fc2_w=(L, I, H))
+            if self.mlp_bias:
+                shapes.update(fc1_b=(L, I), fc2_b=(L, H))
+        return shapes
+
+    # --------------------------------------------------------------- params
+    def init_dummy_params(self, rng: jax.Array) -> dict:
+        keys = iter(jax.random.split(rng, 96))
+
+        def mk(shape):
+            return (0.02 * jax.random.normal(next(keys), shape, jnp.float32)
+                    ).astype(self.dtype)
+        layers = {}
+        for k, s in self._layer_shapes().items():
+            if "norm" in k and not k.endswith("_b") or k.startswith("ln") \
+                    and k.endswith("_w"):
+                layers[k] = jnp.ones(s, self.dtype)
+            elif k.startswith(("b", "ln")) or k.endswith("_b"):
+                layers[k] = jnp.zeros(s, self.dtype)
+            else:
+                layers[k] = mk(s)
+        params: dict = {"embed": mk((self.vocab_size, self.hidden_size)),
+                        "layers": layers}
+        if self.positions == "learned":
+            params["pos_embed"] = mk((self.max_positions, self.hidden_size))
+        if self.final_norm and self.norm_kind != "noaffine":
+            params["final_norm_w"] = jnp.ones((self.hidden_size,), self.dtype)
+            if self.norm_bias:
+                params["final_norm_b"] = jnp.zeros((self.hidden_size,),
+                                                   self.dtype)
+        if not self.tie_embeddings:
+            params["lm_head"] = mk((self.hidden_size, self.vocab_size))
+        if self.lm_head_bias:
+            params["lm_head_b"] = jnp.zeros((self.vocab_size,), self.dtype)
+        return params
+
+    def param_specs(self) -> dict:
+        layers = {}
+        for k in self._layer_shapes():
+            if k in ("wq", "wk", "wv", "w_gate", "w_up", "fc1_w"):
+                spec = P(None, None, "tp")
+            elif k in ("wo", "w_down", "fc2_w"):
+                spec = P(None, "tp", None)
+            elif k in ("bq", "bk", "bv", "b_gate", "b_up", "fc1_b"):
+                spec = P(None, "tp")
+            else:
+                spec = P()
+            layers[k] = spec
+        if self.quant_fmt is not None:
+            def qspec(wspec):
+                out_axis = wspec[2]
+                d = {"qweight": wspec}
+                if self.quant_fmt == "w4a16":
+                    d["scales"] = P(None, None, out_axis)
+                    d["zeros"] = P(None, None, out_axis)
+                elif self.quant_fmt == "fp8":
+                    d["weight_scale"] = P(None, out_axis)
+                else:
+                    d["scales"] = P(None, out_axis)
+                return d
+            for k in self._weight_keys():
+                layers[k] = qspec(layers[k])
+        specs: dict = {"embed": P("tp", None), "layers": layers}
+        if self.positions == "learned":
+            specs["pos_embed"] = P()
+        if self.final_norm and self.norm_kind != "noaffine":
+            specs["final_norm_w"] = P()
+            if self.norm_bias:
+                specs["final_norm_b"] = P()
+        if not self.tie_embeddings:
+            specs["lm_head"] = P(None, "tp")
+        if self.lm_head_bias:
+            specs["lm_head_b"] = P("tp")
+        return specs
+
+    # -------------------------------------------------------------- loading
+    def _special_weight(self, sub: str, li: int, w: np.ndarray, bufs: dict,
+                        target) -> bool:
+        """Subclass hook for fused layouts. Returns True when consumed."""
+        return False
+
+    def load_weights(self, weights: Iterable[tuple[str, np.ndarray]]) -> dict:
+        import ml_dtypes  # noqa: F401
+        target = np.dtype("bfloat16") if self.dtype == jnp.bfloat16 \
+            else np.dtype(jnp.dtype(self.dtype).name)
+        bufs = {k: np.zeros(s, target)
+                for k, s in self._layer_shapes().items()}
+        params: dict = {"layers": bufs}
+        for name, w in weights:
+            if name.endswith(("rotary_emb.inv_freq", "attn.bias",
+                              "attn.masked_bias")):
+                continue
+            w = np.asarray(w)
+            top = self._TOP_MAP.get(name)
+            if top is not None:
+                key, tr = top
+                if key == "lm_head" and self.tie_embeddings:
+                    continue
+                params[key] = (w.T if tr else w).astype(target)
+                continue
+            if name.startswith(self._LAYER_PREFIX):
+                rest = name[len(self._LAYER_PREFIX):]
+                idx_s, sub = rest.split(".", 1)
+                li = int(idx_s)
+                if self._special_weight(sub, li, w, bufs, target):
+                    continue
+                m = self._LAYER_MAP.get(sub)
+                if m is not None:
+                    key, tr = m
+                    if key in bufs:
+                        bufs[key][li] = (w.T if tr else w).astype(target)
+        if "embed" not in params:
+            raise ValueError(f"{type(self).__name__}: checkpoint missing "
+                             "token-embedding weight")
+        return params
+
+    # -------------------------------------------------------------- forward
+    def _norm(self, x, w, b=None):
+        if self.norm_kind == "rms":
+            return rms_norm(x, w, self.norm_eps)
+        if self.norm_kind == "noaffine":
+            return layer_norm(x, 1.0, 0.0, self.norm_eps)
+        if self.norm_kind == "ln1p":
+            return layer_norm(x, w.astype(jnp.float32) + 1.0,
+                              0.0 if b is None else b, self.norm_eps)
+        return layer_norm(x, w, 0.0 if b is None else b, self.norm_eps)
+
+    def _apply_qk_norm(self, q, k, lp):
+        if self.qk_norm is None:
+            return q, k
+        if self.qk_norm == "flat_rms":
+            # Normalize the flat projection (OLMo-2): caller passes [T, n*hd]
+            return (rms_norm(q, lp["q_norm"], self.norm_eps),
+                    rms_norm(k, lp["k_norm"], self.norm_eps))
+        if self.qk_norm == "per_head_rms":
+            return (rms_norm(q, lp["q_norm"], self.norm_eps),
+                    rms_norm(k, lp["k_norm"], self.norm_eps))
+        qb = lp.get("q_norm_b", 0.0) if self.qk_norm_bias else 0.0
+        kb = lp.get("k_norm_b", 0.0) if self.qk_norm_bias else 0.0
+        return (layer_norm(q, lp["q_norm"], qb, self.qk_norm_eps),
+                layer_norm(k, lp["k_norm"], kb, self.qk_norm_eps))
+
+    def _rope(self, x, cos, sin):
+        rot = cos.shape[-1] * 2
+        if not self.rope_interleaved:
+            return apply_rope(x, cos, sin)
+        xr, xt = x[..., :rot], x[..., rot:]
+        out = apply_rope_interleaved(xr, cos, sin)
+        if xt.shape[-1]:
+            out = jnp.concatenate([out, xt], axis=-1)
+        return out
+
+    def apply(self, params: dict, input_ids: jax.Array, kv_cache: jax.Array,
+              md: AttentionMetadata, *, use_pallas: bool = False,
+              lora: dict | None = None, mm=None):
+        if lora is not None:
+            raise NotImplementedError(
+                f"LoRA on {type(self).__name__}: follow-up")
+        T = input_ids.shape[0]
+        nq, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        x = jnp.take(params["embed"], input_ids, axis=0)
+        if mm is not None:
+            mm_embeds, mm_idx = mm
+            x = x.at[mm_idx].set(mm_embeds.astype(x.dtype), mode="drop")
+        if self.embedding_multiplier != 1.0:
+            x = x * self.embedding_multiplier
+        if self.positions == "learned":
+            x = x + jnp.take(params["pos_embed"],
+                             md.token_pos + self.pos_offset, axis=0)
+            cos = sin = None
+        else:
+            cos, sin = compute_cos_sin(md.token_pos, self._inv_freq,
+                                       self._rope_mscale)
+
+        def lin(h, lp, key, bkey=None):
+            bias = lp.get(bkey) if bkey else None
+            return apply_linear(h, lp[key], bias, fmt=self.quant_fmt)
+
+        def attn(h, lp, kvc):
+            q = lin(h, lp, "wq", "bq" if self.attn_bias else None)
+            k = lin(h, lp, "wk", "bk" if self.attn_bias else None)
+            v = lin(h, lp, "wv", "bv" if self.attn_bias else None)
+            if self.clip_qkv is not None:
+                c = self.clip_qkv
+                q, k, v = (jnp.clip(t, -c, c) for t in (q, k, v))
+            if self.qk_norm == "flat_rms":
+                q, k = self._apply_qk_norm(q, k, lp)
+            q = q.reshape(T, nq, hd)
+            k = k.reshape(T, nkv, hd)
+            v = v.reshape(T, nkv, hd)
+            if self.qk_norm not in (None, "flat_rms"):
+                q, k = self._apply_qk_norm(q, k, lp)
+            if cos is not None:
+                q = self._rope(q, cos, sin)
+                k = self._rope(k, cos, sin)
+            kvc = write_kv(kvc, k, v, md.slot_mapping)
+            o = paged_attention(q, kvc, md, self.scale,
+                                sliding_window=self.sliding_window,
+                                use_pallas=use_pallas)
+            return lin(o.reshape(T, nq * hd), lp, "wo",
+                       "bo" if self.attn_out_bias else None), kvc
+
+        def mlp(h, lp):
+            if self.mlp_kind == "gated":
+                gate = lin(h, lp, "w_gate", "b_gate" if self.mlp_bias
+                           else None)
+                up = lin(h, lp, "w_up", "b_up" if self.mlp_bias else None)
+                return lin(self.act(gate, up), lp, "w_down",
+                           "b_down" if self.mlp_bias else None)
+            h = self.act(lin(h, lp, "fc1_w", "fc1_b" if self.mlp_bias
+                             else None))
+            return lin(h, lp, "fc2_w", "fc2_b" if self.mlp_bias else None)
+
+        rm = self.residual_multiplier
+
+        def layer(x, xs):
+            lp, kvc = xs
+            if self.block_norm == "post":
+                a, kvc = attn(x, lp, kvc)
+                x = x + self._norm(a, lp.get("ln1_w"), lp.get("ln1_b")) * rm
+                m = mlp(x, lp)
+                x = x + self._norm(m, lp.get("ln2_w"), lp.get("ln2_b")) * rm
+                return x, kvc
+            h1 = self._norm(x, lp.get("ln1_w"), lp.get("ln1_b"))
+            if self.parallel_residual:
+                a, kvc = attn(h1, lp, kvc)
+                h2 = h1 if self.shared_ln else \
+                    self._norm(x, lp.get("ln2_w"), lp.get("ln2_b"))
+                return x + a + mlp(h2, lp), kvc
+            a, kvc = attn(h1, lp, kvc)
+            x = x + a * rm
+            h2 = self._norm(x, lp.get("ln2_w"), lp.get("ln2_b"))
+            x = x + mlp(h2, lp) * rm
+            return x, kvc
+
+        x, kv_cache = jax.lax.scan(layer, x, (params["layers"], kv_cache))
+        if self.final_norm:
+            x = self._norm(x, params.get("final_norm_w"),
+                           params.get("final_norm_b"))
+        return x, kv_cache
+
+    def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:
+        head = params["embed"].T if self.tie_embeddings else params["lm_head"]
+        logits = jnp.dot(hidden, head, preferred_element_type=jnp.float32)
+        if self.lm_head_bias:
+            logits = logits + params["lm_head_b"].astype(jnp.float32)
+        if self.logits_multiplier != 1.0:
+            logits = logits * self.logits_multiplier
+        return logits
+
+
+# --------------------------------------------------------------------------
+# Llama-naming helpers shared by the model.layers.* family.
+_LLAMA_ATTN_MAP = {
+    "self_attn.q_proj.weight": ("wq", True),
+    "self_attn.k_proj.weight": ("wk", True),
+    "self_attn.v_proj.weight": ("wv", True),
+    "self_attn.o_proj.weight": ("wo", True),
+    "self_attn.q_proj.bias": ("bq", False),
+    "self_attn.k_proj.bias": ("bk", False),
+    "self_attn.v_proj.bias": ("bv", False),
+    "self_attn.o_proj.bias": ("bo", False),
+}
+_LLAMA_GATED_MLP_MAP = {
+    "mlp.gate_proj.weight": ("w_gate", True),
+    "mlp.up_proj.weight": ("w_up", True),
+    "mlp.down_proj.weight": ("w_down", True),
+}
+_LLAMA_TOP = {
+    "model.embed_tokens.weight": ("embed", False),
+    "model.norm.weight": ("final_norm_w", False),
+    "model.norm.bias": ("final_norm_b", False),
+    "lm_head.weight": ("lm_head", True),
+    "lm_head.bias": ("lm_head_b", False),
+}
+_LN_MAP = {
+    "input_layernorm.weight": ("ln1_w", False),
+    "input_layernorm.bias": ("ln1_b", False),
+    "post_attention_layernorm.weight": ("ln2_w", False),
+    "post_attention_layernorm.bias": ("ln2_b", False),
+}
+
+
+class StableLmForCausalLM(FlexibleDecoder):
+    """HF 'StableLmForCausalLM' (reference modeling/models/stablelm.py):
+    LayerNorm+bias, partial rotary, optional QKV bias / parallel residual /
+    per-head QK-LayerNorm (distinct weights, no bias)."""
+
+    _TOP_MAP = _LLAMA_TOP
+    _LAYER_MAP = {**_LLAMA_ATTN_MAP, **_LLAMA_GATED_MLP_MAP, **_LN_MAP}
+
+    def _setup(self, hf):
+        self.norm_kind = "ln"
+        self.norm_eps = getattr(hf, "layer_norm_eps", 1e-5)
+        self.act = ACT2MUL[getattr(hf, "hidden_act", "silu")]
+        self.attn_bias = getattr(hf, "use_qkv_bias", False)
+        self.attn_out_bias = False
+        self.parallel_residual = getattr(hf, "use_parallel_residual", False)
+        self.shared_ln = True
+        if getattr(hf, "qk_layernorm", False):
+            self.qk_norm = "per_head_ln"
+            self.qk_norm_bias = False
+            self.qk_norm_eps = 1e-5
+
+    def _special_weight(self, sub, li, w, bufs, target):
+        # StableLmLayerNormPerHead: one LayerNorm per head.
+        for side, n in (("q", self.num_heads), ("k", self.num_kv_heads)):
+            pref = f"self_attn.{side}_layernorm.norms."
+            if sub.startswith(pref) and sub.endswith(".weight"):
+                head = int(sub[len(pref):].split(".")[0])
+                bufs[f"{side}_norm"][li, head] = w.astype(target)
+                return True
+        return False
+
+
+class Starcoder2ForCausalLM(FlexibleDecoder):
+    """HF 'Starcoder2ForCausalLM': LN+bias, full rope, dense gelu MLP
+    (c_fc/c_proj), bias on every linear, GQA, tied embeddings."""
+
+    tie_default = True
+
+    _TOP_MAP = _LLAMA_TOP
+    _LAYER_MAP = {
+        **_LLAMA_ATTN_MAP, **_LN_MAP,
+        "mlp.c_fc.weight": ("fc1_w", True),
+        "mlp.c_fc.bias": ("fc1_b", False),
+        "mlp.c_proj.weight": ("fc2_w", True),
+        "mlp.c_proj.bias": ("fc2_b", False),
+    }
+
+    def _setup(self, hf):
+        self.norm_kind = "ln"
+        self.norm_eps = getattr(hf, "norm_epsilon", 1e-5)
+        self.mlp_kind = "dense"
+        self.act = _DENSE_ACTS[getattr(hf, "hidden_act",
+                                       "gelu_pytorch_tanh")]
+        bias = getattr(hf, "use_bias", True)
+        self.attn_bias = bias
+        self.attn_out_bias = bias
+        self.mlp_bias = bias
+
+
+class PhiForCausalLM(FlexibleDecoder):
+    """HF 'PhiForCausalLM' (phi-1/1.5/2): parallel residual off one shared
+    LayerNorm, partial rotary, dense gelu_new MLP, biases everywhere
+    including the LM head, model-level final_layernorm."""
+
+    _TOP_MAP = {
+        "model.embed_tokens.weight": ("embed", False),
+        "model.final_layernorm.weight": ("final_norm_w", False),
+        "model.final_layernorm.bias": ("final_norm_b", False),
+        "lm_head.weight": ("lm_head", True),
+        "lm_head.bias": ("lm_head_b", False),
+    }
+    _LAYER_MAP = {
+        **_LLAMA_ATTN_MAP,
+        "self_attn.dense.weight": ("wo", True),
+        "self_attn.dense.bias": ("bo", False),
+        "input_layernorm.weight": ("ln1_w", False),
+        "input_layernorm.bias": ("ln1_b", False),
+        "mlp.fc1.weight": ("fc1_w", True),
+        "mlp.fc1.bias": ("fc1_b", False),
+        "mlp.fc2.weight": ("fc2_w", True),
+        "mlp.fc2.bias": ("fc2_b", False),
+    }
+
+    def _setup(self, hf):
+        self.norm_kind = "ln"
+        self.norm_eps = getattr(hf, "layer_norm_eps", 1e-5)
+        self.parallel_residual = True
+        self.shared_ln = True
+        self.mlp_kind = "dense"
+        self.act = _DENSE_ACTS[getattr(hf, "hidden_act", "gelu_new")]
+        self.attn_bias = True
+        self.attn_out_bias = True
+        self.mlp_bias = True
+        self.lm_head_bias = True
+
+
+class GPTJForCausalLM(FlexibleDecoder):
+    """HF 'GPTJForCausalLM': interleaved partial rotary, parallel residual
+    off one LayerNorm, dense gelu_new MLP (fc_in/fc_out), biased LM head."""
+
+    rope_interleaved = True
+
+    _TOP_MAP = {
+        "transformer.wte.weight": ("embed", False),
+        "transformer.ln_f.weight": ("final_norm_w", False),
+        "transformer.ln_f.bias": ("final_norm_b", False),
+        "lm_head.weight": ("lm_head", True),
+        "lm_head.bias": ("lm_head_b", False),
+    }
+    _LAYER_PREFIX = "transformer.h."
+    _LAYER_MAP = {
+        "attn.q_proj.weight": ("wq", True),
+        "attn.k_proj.weight": ("wk", True),
+        "attn.v_proj.weight": ("wv", True),
+        "attn.out_proj.weight": ("wo", True),
+        "ln_1.weight": ("ln1_w", False),
+        "ln_1.bias": ("ln1_b", False),
+        "mlp.fc_in.weight": ("fc1_w", True),
+        "mlp.fc_in.bias": ("fc1_b", False),
+        "mlp.fc_out.weight": ("fc2_w", True),
+        "mlp.fc_out.bias": ("fc2_b", False),
+    }
+
+    def _setup(self, hf):
+        self.norm_kind = "ln"
+        self.norm_eps = getattr(hf, "layer_norm_epsilon", 1e-5)
+        self.parallel_residual = True
+        self.shared_ln = True
+        self.mlp_kind = "dense"
+        self.act = _DENSE_ACTS[getattr(hf, "activation_function",
+                                       "gelu_new")]
+        self.mlp_bias = True
+        self.lm_head_bias = True
+        self.intermediate_size = getattr(hf, "n_inner", None) or \
+            4 * self.hidden_size
+
+
+class GPTBigCodeForCausalLM(FlexibleDecoder):
+    """HF 'GPTBigCodeForCausalLM' (SantaCoder/StarCoder): learned absolute
+    positions, MQA (multi_query -> 1 KV head), fused c_attn rows, dense
+    gelu MLP, tied embeddings."""
+
+    positions = "learned"
+    tie_default = True
+
+    _TOP_MAP = {
+        "transformer.wte.weight": ("embed", False),
+        "transformer.wpe.weight": ("pos_embed", False),
+        "transformer.ln_f.weight": ("final_norm_w", False),
+        "transformer.ln_f.bias": ("final_norm_b", False),
+        "lm_head.weight": ("lm_head", True),
+    }
+    _LAYER_PREFIX = "transformer.h."
+    _LAYER_MAP = {
+        "ln_1.weight": ("ln1_w", False),
+        "ln_1.bias": ("ln1_b", False),
+        "ln_2.weight": ("ln2_w", False),
+        "ln_2.bias": ("ln2_b", False),
+        "attn.c_proj.weight": ("wo", True),
+        "attn.c_proj.bias": ("bo", False),
+        "mlp.c_fc.weight": ("fc1_w", True),
+        "mlp.c_fc.bias": ("fc1_b", False),
+        "mlp.c_proj.weight": ("fc2_w", True),
+        "mlp.c_proj.bias": ("fc2_b", False),
+    }
+
+    def _setup(self, hf):
+        if getattr(hf, "multi_query", True):
+            self.num_kv_heads = 1
+        self.norm_kind = "ln"
+        self.norm_eps = getattr(hf, "layer_norm_epsilon", 1e-5)
+        self.mlp_kind = "dense"
+        self.act = _DENSE_ACTS[getattr(hf, "activation_function",
+                                       "gelu_pytorch_tanh")]
+        self.attn_bias = True
+        self.attn_out_bias = True
+        self.mlp_bias = True
+        self.max_positions = hf.max_position_embeddings
+        self.intermediate_size = getattr(hf, "n_inner", None) or \
+            4 * self.hidden_size
+
+    def _special_weight(self, sub, li, w, bufs, target):
+        if sub not in ("attn.c_attn.weight", "attn.c_attn.bias"):
+            return False
+        D = self.hidden_size
+        kv = self.num_kv_heads * self.head_dim
+        if sub.endswith("weight"):  # [D + 2*kv, D] rows
+            bufs["wq"][li] = w[:D].T.astype(target)
+            bufs["wk"][li] = w[D:D + kv].T.astype(target)
+            bufs["wv"][li] = w[D + kv:].T.astype(target)
+        else:
+            bufs["bq"][li] = w[:D].astype(target)
+            bufs["bk"][li] = w[D:D + kv].astype(target)
+            bufs["bv"][li] = w[D + kv:].astype(target)
+        return True
+
+
+class PersimmonForCausalLM(FlexibleDecoder):
+    """HF 'PersimmonForCausalLM' (also the Fuyu language tower): fused
+    per-head-interleaved QKV, per-head shared QK-LayerNorm (+bias), partial
+    rotary, relu^2 dense MLP, LN+bias everywhere."""
+
+    _TOP_MAP = {
+        "model.embed_tokens.weight": ("embed", False),
+        "model.final_layernorm.weight": ("final_norm_w", False),
+        "model.final_layernorm.bias": ("final_norm_b", False),
+        "lm_head.weight": ("lm_head", True),
+    }
+    _LAYER_MAP = {
+        **_LN_MAP,
+        "self_attn.dense.weight": ("wo", True),
+        "self_attn.dense.bias": ("bo", False),
+        "self_attn.q_layernorm.weight": ("q_norm", False),
+        "self_attn.q_layernorm.bias": ("q_norm_b", False),
+        "self_attn.k_layernorm.weight": ("k_norm", False),
+        "self_attn.k_layernorm.bias": ("k_norm_b", False),
+        "mlp.dense_h_to_4h.weight": ("fc1_w", True),
+        "mlp.dense_h_to_4h.bias": ("fc1_b", False),
+        "mlp.dense_4h_to_h.weight": ("fc2_w", True),
+        "mlp.dense_4h_to_h.bias": ("fc2_b", False),
+    }
+
+    def _setup(self, hf):
+        self.norm_kind = "ln"
+        self.norm_eps = getattr(hf, "layer_norm_eps", 1e-5)
+        self.mlp_kind = "dense"
+        self.act = _DENSE_ACTS[getattr(hf, "hidden_act", "relu2")]
+        self.attn_bias = True
+        self.attn_out_bias = True
+        self.mlp_bias = True
+        if getattr(hf, "qk_layernorm", True):
+            self.qk_norm = "per_head_ln_shared"
+            self.qk_norm_bias = True
+            self.qk_norm_eps = getattr(hf, "layer_norm_eps", 1e-5)
+
+    def _special_weight(self, sub, li, w, bufs, target):
+        if sub not in ("self_attn.query_key_value.weight",
+                       "self_attn.query_key_value.bias"):
+            return False
+        nh, hd, D = self.num_heads, self.head_dim, self.hidden_size
+        if sub.endswith("weight"):  # [3D, D], rows (head, (q,k,v), hd)
+            qkv = w.reshape(nh, 3, hd, D)
+            bufs["wq"][li] = qkv[:, 0].reshape(D, D).T.astype(target)
+            bufs["wk"][li] = qkv[:, 1].reshape(D, D).T.astype(target)
+            bufs["wv"][li] = qkv[:, 2].reshape(D, D).T.astype(target)
+        else:
+            qkv = w.reshape(nh, 3, hd)
+            bufs["bq"][li] = qkv[:, 0].reshape(D).astype(target)
+            bufs["bk"][li] = qkv[:, 1].reshape(D).astype(target)
+            bufs["bv"][li] = qkv[:, 2].reshape(D).astype(target)
+        return True
+
+
+class CohereForCausalLM(FlexibleDecoder):
+    """HF 'CohereForCausalLM' (Command-R): bias-free LayerNorm, parallel
+    residual off one shared norm, interleaved full rotary, logit_scale,
+    always-tied embeddings, optional per-head distinct QK-LayerNorm."""
+
+    rope_interleaved = True
+    tie_default = True
+
+    _TOP_MAP = _LLAMA_TOP
+    _LAYER_MAP = {
+        **_LLAMA_ATTN_MAP, **_LLAMA_GATED_MLP_MAP,
+        "input_layernorm.weight": ("ln1_w", False),
+        "self_attn.q_norm.weight": ("q_norm", False),
+        "self_attn.k_norm.weight": ("k_norm", False),
+    }
+
+    def _setup(self, hf):
+        self.norm_kind = "ln"
+        self.norm_bias = False
+        self.norm_eps = getattr(hf, "layer_norm_eps", 1e-5)
+        self.act = ACT2MUL[getattr(hf, "hidden_act", "silu")]
+        self.parallel_residual = True
+        self.shared_ln = True
+        self.attn_bias = getattr(hf, "attention_bias", False)
+        self.logits_multiplier = getattr(hf, "logit_scale", 1.0)
+        if getattr(hf, "use_qk_norm", False):
+            self.qk_norm = "per_head_ln"
+            self.qk_norm_bias = False
+            self.qk_norm_eps = self.norm_eps
+
+
+class OlmoForCausalLM(FlexibleDecoder):
+    """HF 'OlmoForCausalLM': affine-free LayerNorm, QKV clamping, gated
+    SiLU MLP, full rotary."""
+
+    _TOP_MAP = _LLAMA_TOP
+    _LAYER_MAP = {**_LLAMA_ATTN_MAP, **_LLAMA_GATED_MLP_MAP}
+
+    def _setup(self, hf):
+        self.norm_kind = "noaffine"
+        self.norm_eps = 1e-5
+        self.act = ACT2MUL[getattr(hf, "hidden_act", "silu")]
+        self.clip_qkv = getattr(hf, "clip_qkv", None)
+
+
+class Olmo2ForCausalLM(FlexibleDecoder):
+    """HF 'Olmo2ForCausalLM': post-block RMSNorm placement
+    (``x + norm(attn(x))``), flat RMS QK-norm over the whole projection."""
+
+    _TOP_MAP = _LLAMA_TOP
+    _LAYER_MAP = {
+        **_LLAMA_ATTN_MAP, **_LLAMA_GATED_MLP_MAP,
+        "post_attention_layernorm.weight": ("ln1_w", False),
+        "post_feedforward_layernorm.weight": ("ln2_w", False),
+        "self_attn.q_norm.weight": ("q_norm", False),
+        "self_attn.k_norm.weight": ("k_norm", False),
+    }
+
+    def _setup(self, hf):
+        self.norm_kind = "rms"
+        self.norm_bias = False
+        self.norm_eps = getattr(hf, "rms_norm_eps", 1e-5)
+        self.act = ACT2MUL[getattr(hf, "hidden_act", "silu")]
+        self.block_norm = "post"
+        self.qk_norm = "flat_rms"
+
+
+class GraniteForCausalLM(FlexibleDecoder):
+    """HF 'GraniteForCausalLM': Llama structure with four static
+    multipliers (embedding/residual/attention/logits scaling)."""
+
+    tie_default = True
+
+    _TOP_MAP = _LLAMA_TOP
+    _LAYER_MAP = {**_LLAMA_ATTN_MAP, **_LLAMA_GATED_MLP_MAP, **_LN_MAP}
+
+    def _setup(self, hf):
+        self.norm_kind = "rms"
+        self.norm_bias = False
+        self.norm_eps = getattr(hf, "rms_norm_eps", 1e-6)
+        self.act = ACT2MUL[getattr(hf, "hidden_act", "silu")]
+        self.attn_bias = getattr(hf, "attention_bias", False)
+        self.embedding_multiplier = getattr(hf, "embedding_multiplier", 1.0)
+        self.residual_multiplier = getattr(hf, "residual_multiplier", 1.0)
+        self.scale = getattr(hf, "attention_multiplier",
+                             self.head_dim ** -0.5)
+        self.logits_multiplier = 1.0 / getattr(hf, "logits_scaling", 1.0)
+
+
+class NemotronForCausalLM(FlexibleDecoder):
+    """HF 'NemotronForCausalLM': LayerNorm1P (weight+1, bias), partial
+    rotary, dense relu^2 MLP (up/down only)."""
+
+    _TOP_MAP = _LLAMA_TOP
+    _LAYER_MAP = {
+        **_LLAMA_ATTN_MAP, **_LN_MAP,
+        "mlp.up_proj.weight": ("fc1_w", True),
+        "mlp.up_proj.bias": ("fc1_b", False),
+        "mlp.down_proj.weight": ("fc2_w", True),
+        "mlp.down_proj.bias": ("fc2_b", False),
+    }
+
+    def _setup(self, hf):
+        self.norm_kind = "ln1p"
+        self.norm_eps = getattr(hf, "norm_eps", 1e-5)
+        self.mlp_kind = "dense"
+        self.act = _DENSE_ACTS[getattr(hf, "hidden_act", "relu2")]
+        self.attn_bias = getattr(hf, "attention_bias", False)
+        self.mlp_bias = getattr(hf, "mlp_bias", False)

@@ -29,6 +29,30 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     "DeepseekV3ForCausalLM": ("aphrodite_tpu.models.deepseek",
                               "DeepseekV3ForCausalLM"),
     # Classic decoder family (learned positions / LN-bias / fused QKV).
+    "StableLmForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                            "StableLmForCausalLM"),
+    "StableLMEpochForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                                 "StableLmForCausalLM"),
+    "Starcoder2ForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                              "Starcoder2ForCausalLM"),
+    "PhiForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                       "PhiForCausalLM"),
+    "GPTJForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                        "GPTJForCausalLM"),
+    "GPTBigCodeForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                              "GPTBigCodeForCausalLM"),
+    "PersimmonForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                             "PersimmonForCausalLM"),
+    "CohereForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                          "CohereForCausalLM"),
+    "OlmoForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                        "OlmoForCausalLM"),
+    "Olmo2ForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                         "Olmo2ForCausalLM"),
+    "GraniteForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                           "GraniteForCausalLM"),
+    "NemotronForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                            "NemotronForCausalLM"),
     "GPT2LMHeadModel": ("aphrodite_tpu.models.gpt_family",
                         "GPT2LMHeadModel"),
     "OPTForCausalLM": ("aphrodite_tpu.models.gpt_family",
