@@ -64,6 +64,20 @@ def write_kv(kv_cache: jax.Array, k: jax.Array, v: jax.Array,
     return kv_cache
 
 
+def alibi_slopes(num_heads: int) -> jax.Array:
+    """Standard ALiBi head slopes (Press et al.; matches HF's
+    build_alibi_tensor closest-power-of-2 interpolation)."""
+    import math
+    n = 2 ** math.floor(math.log2(num_heads))
+    base = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+    slopes = [base ** (i + 1) for i in range(n)]
+    if n < num_heads:
+        extra_base = 2.0 ** (-(2.0 ** -(math.log2(2 * n) - 3)))
+        slopes += [extra_base ** (i + 1)
+                   for i in range(1, 2 * (num_heads - n), 2)]
+    return jnp.asarray(slopes, jnp.float32)
+
+
 def ref_ragged_paged_attention(
     q: jax.Array,  # [T, nq, hd]
     kv_cache: jax.Array,  # [P, 2, kvh, page, hd]
@@ -71,6 +85,7 @@ def ref_ragged_paged_attention(
     scale: float,
     sliding_window: Optional[int] = None,
     logits_soft_cap: Optional[float] = None,
+    alibi: Optional[jax.Array] = None,  # [nq] per-head slopes
 ) -> jax.Array:
     """Pure-JAX oracle for ragged paged attention (correct, not fast)."""
     num_pages, _, kvh, page_size, hd = kv_cache.shape
@@ -90,6 +105,12 @@ def ref_ragged_paged_attention(
         if logits_soft_cap is not None:
             logits = logits_soft_cap * jnp.tanh(logits / logits_soft_cap)
         kv_pos = jnp.arange(max_kv)
+        if alibi is not None:
+            # bias = slope * (j - p): 0 at the query position, negative for
+            # older keys (softmax-shift-equivalent to HF's slope*j form).
+            bias = (alibi.reshape(kvh, group)[:, :, None]
+                    * (kv_pos - pos)[None, None, :])
+            logits = logits + bias
         mask = kv_pos <= pos
         if sliding_window is not None:
             mask &= kv_pos > pos - sliding_window
@@ -110,13 +131,22 @@ def paged_attention(
     sliding_window: Optional[int] = None,
     logits_soft_cap: Optional[float] = None,
     use_pallas: bool = False,
+    alibi: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatch to the Pallas kernel (TPU) or the JAX oracle (CPU/tests)."""
     hd = q.shape[-1]
     hd_cache = kv_cache.shape[-1]
     if hd_cache != hd:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, hd_cache - hd)))
-    if use_pallas and md.decode_mode:
+    if alibi is not None:
+        # ALiBi models (Bloom/MPT/Falcon-alibi/Baichuan-13B) run the XLA
+        # path: the positional bias needs per-(q,k) indices the Pallas
+        # kernels don't thread yet. XLA still fuses this into one attention
+        # program per layer.
+        out = ref_ragged_paged_attention(
+            q, kv_cache, md, scale, sliding_window=sliding_window,
+            logits_soft_cap=logits_soft_cap, alibi=alibi)
+    elif use_pallas and md.decode_mode:
         from aphrodite_tpu.ops.decode_paged_attention import (
             decode_paged_attention)
         out = decode_paged_attention(

@@ -59,11 +59,45 @@ class ModelConfig:
                     g.close()
             else:
                 from transformers import AutoConfig
-                self.hf_config = AutoConfig.from_pretrained(
-                    self.model,
-                    trust_remote_code=self.trust_remote_code,
-                    revision=self.revision,
-                )
+                try:
+                    self.hf_config = AutoConfig.from_pretrained(
+                        self.model,
+                        trust_remote_code=self.trust_remote_code,
+                        revision=self.revision,
+                    )
+                except (ValueError, KeyError) as e:
+                    # Architectures transformers only knows via remote code
+                    # (Baichuan, InternLM2, ChatGLM, Orion, ...): we never
+                    # execute checkpoint code — parse config.json into a
+                    # generic PretrainedConfig and rely on our own registry
+                    # entry for the architecture.
+                    cfg_path = os.path.join(str(self.model), "config.json")
+                    if not os.path.exists(cfg_path):
+                        raise
+                    from transformers import PretrainedConfig
+                    with open(cfg_path) as f:
+                        d = json.load(f)
+                    logger.info(
+                        "AutoConfig failed (%s); using generic config for "
+                        "model_type=%s", e, d.get("model_type"))
+                    # Normalize the common remote-code attribute spellings
+                    # so the geometry properties below read uniformly.
+                    aliases = {
+                        "num_attention_heads": ("n_head", "n_heads"),
+                        "num_hidden_layers": ("n_layer", "n_layers",
+                                              "num_layers"),
+                        "hidden_size": ("d_model", "n_embd"),
+                        "max_position_embeddings": ("max_seq_len",
+                                                    "model_max_length",
+                                                    "seq_length"),
+                    }
+                    for canon, alts in aliases.items():
+                        if canon not in d:
+                            for a in alts:
+                                if a in d:
+                                    d[canon] = d[a]
+                                    break
+                    self.hf_config = PretrainedConfig.from_dict(d)
         hf = self.hf_config
         if self.architecture is None:
             archs = getattr(hf, "architectures", None) or []
@@ -126,9 +160,18 @@ class ModelConfig:
             return 1
         if self.is_encoder_decoder:
             return self.text_config.decoder_attention_heads
-        if getattr(self.text_config, "multi_query", False):
+        tc = self.text_config
+        if getattr(tc, "model_type", "") == "falcon":
+            # HF FalconAttention:227 — new arch reads num_kv_heads; the old
+            # arch is MQA iff multi_query.
+            if getattr(tc, "new_decoder_architecture", False):
+                return getattr(tc, "num_kv_heads", None) \
+                    or self.num_attention_heads
+            return 1 if getattr(tc, "multi_query", False) \
+                else self.num_attention_heads
+        if getattr(tc, "multi_query", False):
             return 1  # GPTBigCode-style MQA
-        return getattr(self.text_config, "num_key_value_heads", None) \
+        return getattr(tc, "num_key_value_heads", None) \
             or self.num_attention_heads
 
     @property

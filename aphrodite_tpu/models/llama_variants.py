@@ -68,7 +68,7 @@ class FlexibleDecoder:
     #                                per_head_ln_shared
     qk_norm_bias: bool = False
     rope_interleaved: bool = False
-    positions: str = "rope"        # rope | learned
+    positions: str = "rope"        # rope | learned | alibi
     pos_offset: int = 0
     attn_bias: bool = False
     attn_out_bias: Optional[bool] = None   # None -> attn_bias
@@ -76,6 +76,9 @@ class FlexibleDecoder:
     # --- MLP
     mlp_kind: str = "gated"        # gated | dense
     mlp_bias: bool = False
+    # --- extra norm placements
+    embed_norm: bool = False       # LayerNorm right after the embedding
+    sandwich_norm: bool = False    # extra norm on each branch output (GLM-4)
     # --- head / scaling
     lm_head_bias: bool = False
     tie_default: bool = False
@@ -113,7 +116,11 @@ class FlexibleDecoder:
         self._setup(hf)
         if self.attn_out_bias is None:
             self.attn_out_bias = self.attn_bias
-        if self.positions == "rope":
+        if self.positions == "alibi":
+            from aphrodite_tpu.attention.backend import alibi_slopes
+            if getattr(self, "_alibi", None) is None:
+                self._alibi = alibi_slopes(self.num_heads)
+        elif self.positions == "rope":
             pct = getattr(hf, "partial_rotary_factor",
                           getattr(hf, "rotary_pct", 1.0))
             rotary_dim = getattr(hf, "rotary_dim", None) or \
@@ -160,6 +167,12 @@ class FlexibleDecoder:
                 shapes["ln2_w"] = (L, H)
                 if self.norm_bias:
                     shapes["ln2_b"] = (L, H)
+        if self.sandwich_norm and affine:
+            shapes["ln1_post_w"] = (L, H)
+            shapes["ln2_post_w"] = (L, H)
+            if self.norm_bias:
+                shapes["ln1_post_b"] = (L, H)
+                shapes["ln2_post_b"] = (L, H)
         shapes.update(wq=(L, H, nq * hd), wk=(L, H, nkv * hd),
                       wv=(L, H, nkv * hd), wo=(L, nq * hd, H))
         if self.attn_bias:
@@ -207,6 +220,11 @@ class FlexibleDecoder:
                         "layers": layers}
         if self.positions == "learned":
             params["pos_embed"] = mk((self.max_positions, self.hidden_size))
+        if self.embed_norm:
+            params["embed_ln_w"] = jnp.ones((self.hidden_size,), self.dtype)
+            if self.norm_bias:
+                params["embed_ln_b"] = jnp.zeros((self.hidden_size,),
+                                                 self.dtype)
         if self.final_norm and self.norm_kind != "noaffine":
             params["final_norm_w"] = jnp.ones((self.hidden_size,), self.dtype)
             if self.norm_bias:
@@ -247,6 +265,10 @@ class FlexibleDecoder:
         specs: dict = {"embed": P("tp", None), "layers": layers}
         if self.positions == "learned":
             specs["pos_embed"] = P()
+        if self.embed_norm:
+            specs["embed_ln_w"] = P()
+            if self.norm_bias:
+                specs["embed_ln_b"] = P()
         if self.final_norm and self.norm_kind != "noaffine":
             specs["final_norm_w"] = P()
             if self.norm_bias:
@@ -348,13 +370,19 @@ class FlexibleDecoder:
             x = x.at[mm_idx].set(mm_embeds.astype(x.dtype), mode="drop")
         if self.embedding_multiplier != 1.0:
             x = x * self.embedding_multiplier
+        if self.embed_norm:
+            x = self._norm(x, params.get("embed_ln_w"),
+                           params.get("embed_ln_b"))
         if self.positions == "learned":
             x = x + jnp.take(params["pos_embed"],
                              md.token_pos + self.pos_offset, axis=0)
             cos = sin = None
+        elif self.positions == "alibi":
+            cos = sin = None
         else:
             cos, sin = compute_cos_sin(md.token_pos, self._inv_freq,
                                        self._rope_mscale)
+        alibi = getattr(self, "_alibi", None)
 
         def lin(h, lp, key, bkey=None):
             bias = lp.get(bkey) if bkey else None
@@ -380,7 +408,7 @@ class FlexibleDecoder:
             kvc = write_kv(kvc, k, v, md.slot_mapping)
             o = paged_attention(q, kvc, md, self.scale,
                                 sliding_window=self.sliding_window,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, alibi=alibi)
             return lin(o.reshape(T, nq * hd), lp, "wo",
                        "bo" if self.attn_out_bias else None), kvc
 
@@ -412,9 +440,14 @@ class FlexibleDecoder:
                     self._norm(x, lp.get("ln2_w"), lp.get("ln2_b"))
                 return x + a + mlp(h2, lp), kvc
             a, kvc = attn(h1, lp, kvc)
+            if self.sandwich_norm:
+                a = self._norm(a, lp.get("ln1_post_w"), lp.get("ln1_post_b"))
             x = x + a * rm
             h2 = self._norm(x, lp.get("ln2_w"), lp.get("ln2_b"))
-            x = x + mlp(h2, lp) * rm
+            m = mlp(h2, lp)
+            if self.sandwich_norm:
+                m = self._norm(m, lp.get("ln2_post_w"), lp.get("ln2_post_b"))
+            x = x + m * rm
             return x, kvc
 
         x, kv_cache = jax.lax.scan(layer, x, (params["layers"], kv_cache))
@@ -827,3 +860,326 @@ class NemotronForCausalLM(FlexibleDecoder):
         self.act = _DENSE_ACTS[getattr(hf, "hidden_act", "relu2")]
         self.attn_bias = getattr(hf, "attention_bias", False)
         self.mlp_bias = getattr(hf, "mlp_bias", False)
+
+
+class BloomForCausalLM(FlexibleDecoder):
+    """HF 'BloomForCausalLM' (reference modeling/models/bloom.py): ALiBi
+    positions (no rotary), LayerNorm after the embedding, per-head
+    interleaved fused QKV, dense gelu-tanh MLP, tied embeddings."""
+
+    positions = "alibi"
+    embed_norm = True
+    tie_default = True
+
+    _TOP_MAP = {
+        "transformer.word_embeddings.weight": ("embed", False),
+        "transformer.word_embeddings_layernorm.weight": ("embed_ln_w", False),
+        "transformer.word_embeddings_layernorm.bias": ("embed_ln_b", False),
+        "transformer.ln_f.weight": ("final_norm_w", False),
+        "transformer.ln_f.bias": ("final_norm_b", False),
+        "lm_head.weight": ("lm_head", True),
+    }
+    _LAYER_PREFIX = "transformer.h."
+    _LAYER_MAP = {
+        "input_layernorm.weight": ("ln1_w", False),
+        "input_layernorm.bias": ("ln1_b", False),
+        "post_attention_layernorm.weight": ("ln2_w", False),
+        "post_attention_layernorm.bias": ("ln2_b", False),
+        "self_attention.dense.weight": ("wo", True),
+        "self_attention.dense.bias": ("bo", False),
+        "mlp.dense_h_to_4h.weight": ("fc1_w", True),
+        "mlp.dense_h_to_4h.bias": ("fc1_b", False),
+        "mlp.dense_4h_to_h.weight": ("fc2_w", True),
+        "mlp.dense_4h_to_h.bias": ("fc2_b", False),
+    }
+
+    def _setup(self, hf):
+        self.norm_kind = "ln"
+        self.norm_eps = getattr(hf, "layer_norm_epsilon", 1e-5)
+        self.mlp_kind = "dense"
+        self.act = _DENSE_ACTS["gelu_pytorch_tanh"]  # BloomGelu
+        self.attn_bias = True
+        self.attn_out_bias = True
+        self.mlp_bias = True
+
+    def _special_weight(self, sub, li, w, bufs, target):
+        if sub not in ("self_attention.query_key_value.weight",
+                       "self_attention.query_key_value.bias"):
+            return False
+        nh, hd, D = self.num_heads, self.head_dim, self.hidden_size
+        if sub.endswith("weight"):  # [3D, D] rows grouped (head, (q,k,v), hd)
+            qkv = w.reshape(nh, 3, hd, D)
+            bufs["wq"][li] = qkv[:, 0].reshape(D, D).T.astype(target)
+            bufs["wk"][li] = qkv[:, 1].reshape(D, D).T.astype(target)
+            bufs["wv"][li] = qkv[:, 2].reshape(D, D).T.astype(target)
+        else:
+            qkv = w.reshape(nh, 3, hd)
+            bufs["bq"][li] = qkv[:, 0].reshape(D).astype(target)
+            bufs["bk"][li] = qkv[:, 1].reshape(D).astype(target)
+            bufs["bv"][li] = qkv[:, 2].reshape(D).astype(target)
+        return True
+
+
+class MPTForCausalLM(FlexibleDecoder):
+    """HF 'MPTForCausalLM' / 'MptForCausalLM': ALiBi with MPT's own slope
+    interpolation (HF build_mpt_alibi_tensor), bias-free LayerNorms and
+    Linears, straight-concat fused Wqkv, optional QKV clamp, dense exact
+    gelu MLP (expansion_ratio), tied embeddings."""
+
+    positions = "alibi"
+    tie_default = True
+
+    _TOP_MAP = {
+        "transformer.wte.weight": ("embed", False),
+        "transformer.norm_f.weight": ("final_norm_w", False),
+        "lm_head.weight": ("lm_head", True),
+    }
+    _LAYER_PREFIX = "transformer.blocks."
+    _LAYER_MAP = {
+        "norm_1.weight": ("ln1_w", False),
+        "norm_2.weight": ("ln2_w", False),
+        "attn.out_proj.weight": ("wo", True),
+        "ffn.up_proj.weight": ("fc1_w", True),
+        "ffn.down_proj.weight": ("fc2_w", True),
+    }
+
+    def _setup(self, hf):
+        self.norm_kind = "ln"
+        self.norm_bias = False  # HF MPT nulls LN biases unconditionally
+        self.norm_eps = getattr(hf, "layer_norm_epsilon", 1e-5)
+        self.mlp_kind = "dense"
+        self.act = _DENSE_ACTS["gelu"]
+        self.intermediate_size = int(
+            getattr(hf, "expansion_ratio", 4) * self.hidden_size)
+        ac = getattr(hf, "attn_config", None)
+        get = (ac.get if isinstance(ac, dict)
+               else (lambda k, d=None: getattr(ac, k, d))) if ac is not None \
+            else (lambda k, d=None: d)
+        self.clip_qkv = get("clip_qkv", None)
+        sm = get("softmax_scale", None)
+        if sm:
+            self.scale = sm
+        self._alibi = self._mpt_slopes(self.num_heads,
+                                       get("alibi_bias_max", 8))
+
+    @staticmethod
+    def _mpt_slopes(n: int, bias_max: float):
+        import math
+        np2 = 2 ** math.ceil(math.log2(n))
+        base = np.arange(1, np2 + 1, dtype=np.float64) * (bias_max / np2)
+        slopes = 1.0 / np.power(2.0, base)
+        if np2 != n:
+            slopes = np.concatenate([slopes[1::2], slopes[::2]])[:n]
+        return jnp.asarray(slopes, jnp.float32)
+
+    def _special_weight(self, sub, li, w, bufs, target):
+        if sub != "attn.Wqkv.weight":
+            return False
+        D = self.hidden_size
+        bufs["wq"][li] = w[:D].T.astype(target)
+        bufs["wk"][li] = w[D:2 * D].T.astype(target)
+        bufs["wv"][li] = w[2 * D:].T.astype(target)
+        return True
+
+
+class FalconForCausalLM(FlexibleDecoder):
+    """HF 'FalconForCausalLM'/'RWForCausalLM' (reference
+    modeling/models/falcon.py). Three decoder-layer generations, selected
+    from the config like HF FalconDecoderLayer:563-633:
+
+    - new_decoder_architecture (+2 LNs): parallel residual with separate
+      ln_attn/ln_mlp; GQA with per-kv-group fused QKV rows.
+    - parallel_attn (falcon-7b): parallel residual off one shared LN; MQA.
+    - neither (falcon-rw): sequential pre-norm; per-head fused QKV; ALiBi.
+    """
+
+    _TOP_MAP = {
+        "transformer.word_embeddings.weight": ("embed", False),
+        "transformer.ln_f.weight": ("final_norm_w", False),
+        "transformer.ln_f.bias": ("final_norm_b", False),
+        "lm_head.weight": ("lm_head", True),
+    }
+    _LAYER_PREFIX = "transformer.h."
+
+    def _setup(self, hf):
+        self.norm_kind = "ln"
+        self.norm_eps = getattr(hf, "layer_norm_epsilon", 1e-5)
+        self.mlp_kind = "dense"
+        self.act = _DENSE_ACTS[getattr(hf, "activation", "gelu")]
+        self.intermediate_size = getattr(hf, "ffn_hidden_size", None) or \
+            4 * self.hidden_size
+        bias = getattr(hf, "bias", False)
+        self.attn_bias = bias
+        self.attn_out_bias = bias
+        self.mlp_bias = bias
+        if getattr(hf, "alibi", False):
+            self.positions = "alibi"
+        self._new_arch = getattr(hf, "new_decoder_architecture", False)
+        self._multi_query = getattr(hf, "multi_query", False)
+        num_ln = getattr(hf, "num_ln_in_parallel_attn", None)
+        if num_ln is None and self._new_arch:
+            num_ln = 2
+        lmap = {
+            "self_attention.dense.weight": ("wo", True),
+            "self_attention.dense.bias": ("bo", False),
+            "mlp.dense_h_to_4h.weight": ("fc1_w", True),
+            "mlp.dense_h_to_4h.bias": ("fc1_b", False),
+            "mlp.dense_4h_to_h.weight": ("fc2_w", True),
+            "mlp.dense_4h_to_h.bias": ("fc2_b", False),
+        }
+        if self._new_arch and num_ln == 2:
+            self.parallel_residual = True
+            self.shared_ln = False
+            lmap.update({
+                "ln_attn.weight": ("ln1_w", False),
+                "ln_attn.bias": ("ln1_b", False),
+                "ln_mlp.weight": ("ln2_w", False),
+                "ln_mlp.bias": ("ln2_b", False),
+            })
+        elif getattr(hf, "parallel_attn", True):
+            self.parallel_residual = True
+            self.shared_ln = True
+            lmap.update({
+                "input_layernorm.weight": ("ln1_w", False),
+                "input_layernorm.bias": ("ln1_b", False),
+            })
+        else:
+            lmap.update({
+                "input_layernorm.weight": ("ln1_w", False),
+                "input_layernorm.bias": ("ln1_b", False),
+                "post_attention_layernorm.weight": ("ln2_w", False),
+                "post_attention_layernorm.bias": ("ln2_b", False),
+            })
+        self._LAYER_MAP = lmap
+
+    def _split_fused(self, w, is_bias):
+        """Mirror HF FalconAttention._split_heads on checkpoint rows."""
+        nh, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        shape = (-1,) if is_bias else (-1, self.hidden_size)
+        if self._new_arch:
+            g = nh // nkv
+            qkv = w.reshape((nkv, g + 2, hd) + shape[1:])
+            return (qkv[:, :g].reshape((nh * hd,) + shape[1:]),
+                    qkv[:, g].reshape((nkv * hd,) + shape[1:]),
+                    qkv[:, g + 1].reshape((nkv * hd,) + shape[1:]))
+        if self._multi_query:
+            return w[:nh * hd], w[nh * hd:nh * hd + hd], w[nh * hd + hd:]
+        qkv = w.reshape((nh, 3, hd) + shape[1:])
+        return (qkv[:, 0].reshape((nh * hd,) + shape[1:]),
+                qkv[:, 1].reshape((nh * hd,) + shape[1:]),
+                qkv[:, 2].reshape((nh * hd,) + shape[1:]))
+
+    def _special_weight(self, sub, li, w, bufs, target):
+        if sub == "self_attention.query_key_value.weight":
+            q, k, v = self._split_fused(w, is_bias=False)
+            bufs["wq"][li] = q.T.astype(target)
+            bufs["wk"][li] = k.T.astype(target)
+            bufs["wv"][li] = v.T.astype(target)
+            return True
+        if sub == "self_attention.query_key_value.bias":
+            q, k, v = self._split_fused(w, is_bias=True)
+            bufs["bq"][li] = q.astype(target)
+            bufs["bk"][li] = k.astype(target)
+            bufs["bv"][li] = v.astype(target)
+            return True
+        return False
+
+
+class BaichuanForCausalLM(FlexibleDecoder):
+    """'BaichuanForCausalLM' (Baichuan/Baichuan2; reference
+    modeling/models/baichuan.py): Llama body with fused W_pack QKV.
+    The 7B variants (hidden 4096) use RoPE; 13B uses ALiBi. Baichuan2
+    checkpoints (vocab 125696) L2-normalize the lm_head at load (NormHead).
+    Config parses without remote code via the generic-config fallback."""
+
+    rope_when_hidden = 4096
+
+    _TOP_MAP = _LLAMA_TOP
+    _LAYER_MAP = {
+        "self_attn.o_proj.weight": ("wo", True),
+        **_LLAMA_GATED_MLP_MAP,
+        "input_layernorm.weight": ("ln1_w", False),
+        "post_attention_layernorm.weight": ("ln2_w", False),
+    }
+
+    def _setup(self, hf):
+        self.norm_kind = "rms"
+        self.norm_bias = False
+        self.norm_eps = getattr(hf, "rms_norm_eps", 1e-6)
+        self.act = ACT2MUL[getattr(hf, "hidden_act", "silu")]
+        if self.rope_when_hidden is not None and \
+                self.hidden_size != self.rope_when_hidden:
+            self.positions = "alibi"
+        self._normhead = getattr(hf, "vocab_size", 0) == 125696
+
+    def _special_weight(self, sub, li, w, bufs, target):
+        if sub != "self_attn.W_pack.weight":
+            return False
+        D = self.hidden_size
+        bufs["wq"][li] = w[:D].T.astype(target)
+        bufs["wk"][li] = w[D:2 * D].T.astype(target)
+        bufs["wv"][li] = w[2 * D:].T.astype(target)
+        return True
+
+    def load_weights(self, weights):
+        params = super().load_weights(weights)
+        if self._normhead and "lm_head" in params:
+            head = params["lm_head"].astype(np.float32)  # [H, V]
+            norm = np.linalg.norm(head, axis=0, keepdims=True)
+            params["lm_head"] = (head / np.maximum(norm, 1e-7)).astype(
+                params["embed"].dtype)
+        return params
+
+
+class BaiChuanForCausalLM(BaichuanForCausalLM):
+    """'BaiChuanForCausalLM' (capital C): the original baichuan-7B export —
+    always RoPE regardless of width."""
+
+    def _setup(self, hf):
+        super()._setup(hf)
+        self.positions = "rope"
+
+
+class GlmForCausalLM(FlexibleDecoder):
+    """HF 'GlmForCausalLM' (GLM-4 -hf exports): RMSNorm, partial (0.5)
+    *interleaved* rotary, QKV bias without output bias, fused gate_up_proj
+    gated-SiLU MLP."""
+
+    rope_interleaved = True
+
+    _TOP_MAP = _LLAMA_TOP
+    _LAYER_MAP = {
+        **_LLAMA_ATTN_MAP,
+        "mlp.down_proj.weight": ("w_down", True),
+        "input_layernorm.weight": ("ln1_w", False),
+        "post_attention_layernorm.weight": ("ln2_w", False),
+    }
+
+    def _setup(self, hf):
+        self.norm_kind = "rms"
+        self.norm_bias = False
+        self.norm_eps = getattr(hf, "rms_norm_eps", 1e-5)
+        self.act = ACT2MUL[getattr(hf, "hidden_act", "silu")]
+        self.attn_bias = getattr(hf, "attention_bias", True)
+        self.attn_out_bias = False
+
+    def _special_weight(self, sub, li, w, bufs, target):
+        if sub != "mlp.gate_up_proj.weight":
+            return False
+        II = self.intermediate_size
+        bufs["w_gate"][li] = w[:II].T.astype(target)
+        bufs["w_up"][li] = w[II:].T.astype(target)
+        return True
+
+
+class Glm4ForCausalLM(GlmForCausalLM):
+    """HF 'Glm4ForCausalLM': GLM body plus sandwich norms — extra RMSNorm
+    on each branch output (post_self_attn / post_mlp layernorm)."""
+
+    sandwich_norm = True
+
+    _LAYER_MAP = {
+        **GlmForCausalLM._LAYER_MAP,
+        "post_self_attn_layernorm.weight": ("ln1_post_w", False),
+        "post_mlp_layernorm.weight": ("ln2_post_w", False),
+    }

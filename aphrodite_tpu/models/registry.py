@@ -53,6 +53,24 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                            "GraniteForCausalLM"),
     "NemotronForCausalLM": ("aphrodite_tpu.models.llama_variants",
                             "NemotronForCausalLM"),
+    "BloomForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                         "BloomForCausalLM"),
+    "MPTForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                       "MPTForCausalLM"),
+    "MptForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                       "MPTForCausalLM"),
+    "FalconForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                          "FalconForCausalLM"),
+    "RWForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                      "FalconForCausalLM"),
+    "BaichuanForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                            "BaichuanForCausalLM"),
+    "BaiChuanForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                            "BaiChuanForCausalLM"),
+    "GlmForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                       "GlmForCausalLM"),
+    "Glm4ForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                        "Glm4ForCausalLM"),
     "GPT2LMHeadModel": ("aphrodite_tpu.models.gpt_family",
                         "GPT2LMHeadModel"),
     "OPTForCausalLM": ("aphrodite_tpu.models.gpt_family",
