@@ -161,6 +161,9 @@ class ModelConfig:
         if self.is_encoder_decoder:
             return self.text_config.decoder_attention_heads
         tc = self.text_config
+        if getattr(tc, "model_type", "") == "dbrx":
+            return getattr(getattr(tc, "attn_config", None), "kv_n_heads",
+                           None) or self.num_attention_heads
         if getattr(tc, "model_type", "") == "falcon":
             # HF FalconAttention:227 — new arch reads num_kv_heads; the old
             # arch is MQA iff multi_query.

@@ -253,6 +253,9 @@ class LlamaForCausalLM:
             k = lin(h, "wk", lp.get("bk"))
             v = lin(h, "wv", lp.get("bv"))
             T = q.shape[0]
+            if "q_norm_flat" in lp:  # whole-projection QK-norm (OLMoE)
+                q = rms_norm(q, lp["q_norm_flat"], self.rms_eps)
+                k = rms_norm(k, lp["k_norm_flat"], self.rms_eps)
             q = q.reshape(T, nq, hd)
             k = k.reshape(T, nkv, hd)
             if "q_norm" in lp:  # per-head QK-norm (Qwen3 family)

@@ -91,6 +91,10 @@ class FlexibleDecoder:
     sequence_parallel = False
     quant_fmt = None
     is_ssm = False
+    expert_parallel = False
+    # MoE knobs (mlp_kind == "moe"; set by subclass _setup)
+    num_experts = 0
+    top_k = 2
 
     # Weight-map hooks (subclass-declared).
     _TOP_MAP: dict = {}            # full ckpt name -> (param key, transpose)
@@ -145,8 +149,12 @@ class FlexibleDecoder:
     # ------------------------------------------------------------- geometry
     def _weight_keys(self) -> list[str]:
         keys = ["wq", "wk", "wv", "wo"]
-        keys += (["w_gate", "w_up", "w_down"] if self.mlp_kind == "gated"
-                 else ["fc1_w", "fc2_w"])
+        if self.mlp_kind == "gated":
+            keys += ["w_gate", "w_up", "w_down"]
+        elif self.mlp_kind == "moe":
+            keys += ["we_gate", "we_up", "we_down"]
+        else:
+            keys += ["fc1_w", "fc2_w"]
         return keys
 
     def quant_targets(self) -> list[tuple[str, str]]:
@@ -194,6 +202,10 @@ class FlexibleDecoder:
             shapes.update(w_gate=(L, H, I), w_up=(L, H, I), w_down=(L, I, H))
             if self.mlp_bias:
                 shapes.update(b_gate=(L, I), b_up=(L, I), b_down=(L, H))
+        elif self.mlp_kind == "moe":
+            E = self.num_experts
+            shapes.update(router=(L, H, E), we_gate=(L, E, H, I),
+                          we_up=(L, E, H, I), we_down=(L, E, I, H))
         else:
             shapes.update(fc1_w=(L, H, I), fc2_w=(L, I, H))
             if self.mlp_bias:
@@ -245,6 +257,12 @@ class FlexibleDecoder:
                 spec = P(None, "tp", None)
             elif k in ("bq", "bk", "bv", "b_gate", "b_up", "fc1_b"):
                 spec = P(None, "tp")
+            elif k in ("we_gate", "we_up"):
+                spec = P(None, "tp", None, None) if self.expert_parallel \
+                    else P(None, None, None, "tp")
+            elif k == "we_down":
+                spec = P(None, "tp", None, None) if self.expert_parallel \
+                    else P(None, None, "tp", None)
             else:
                 spec = P()
             layers[k] = spec
@@ -413,6 +431,8 @@ class FlexibleDecoder:
                        "bo" if self.attn_out_bias else None), kvc
 
         def mlp(h, lp):
+            if self.mlp_kind == "moe":
+                return self._moe_mlp(h, lp)
             if self.mlp_kind == "gated":
                 gate = lin(h, lp, "w_gate", "b_gate" if self.mlp_bias
                            else None)

@@ -37,6 +37,9 @@ class MixtralForCausalLM(LlamaForCausalLM):
                                    getattr(hf, "num_experts", 8))
         self.top_k = getattr(hf, "num_experts_per_tok", 2)
         self.norm_topk = getattr(hf, "norm_topk_prob", True)
+        # Qwen2-MoE always-on shared expert (+ sigmoid gate).
+        self.shared_intermediate = getattr(
+            hf, "shared_expert_intermediate_size", 0) or 0
         super().__init__(config)
         # MoE expert width (Qwen2-MoE uses a distinct moe_intermediate_size).
         self.intermediate_size = getattr(hf, "moe_intermediate_size",
@@ -55,6 +58,14 @@ class MixtralForCausalLM(LlamaForCausalLM):
             "we_up": (L, E, H, I),
             "we_down": (L, E, I, H),
         })
+        if self.shared_intermediate:
+            Is = self.shared_intermediate
+            shapes.update({
+                "ws_gate": (L, H, Is),
+                "ws_up": (L, H, Is),
+                "ws_down": (L, Is, H),
+                "ws_route": (L, H, 1),
+            })
         return shapes
 
     _HF_LAYER_MAP = dict(LlamaForCausalLM._HF_LAYER_MAP)
@@ -86,21 +97,38 @@ class MixtralForCausalLM(LlamaForCausalLM):
             "we_up": np.zeros((L, E, H, I), target),
             "we_down": np.zeros((L, E, I, H), target),
         }
+        if self.shared_intermediate:
+            Is = self.shared_intermediate
+            bufs.update(ws_gate=np.zeros((L, H, Is), target),
+                        ws_up=np.zeros((L, H, Is), target),
+                        ws_down=np.zeros((L, Is, H), target),
+                        ws_route=np.zeros((L, H, 1), target))
         # Mixtral: block_sparse_moe.gate / experts.N.w{1,2,3};
-        # Qwen2-MoE: mlp.gate / mlp.experts.N.{gate,up,down}_proj.
+        # Qwen2-MoE: mlp.gate / mlp.experts.N.{gate,up,down}_proj
+        #            + mlp.shared_expert.* / mlp.shared_expert_gate.
         wmap = {"w1": "we_gate", "w3": "we_up", "w2": "we_down",
                 "gate_proj": "we_gate", "up_proj": "we_up",
                 "down_proj": "we_down"}
+        smap = {"gate_proj": "ws_gate", "up_proj": "ws_up",
+                "down_proj": "ws_down"}
         for name, w in expert_parts:
             parts = name.split(".")
             li = int(parts[2])
+            if name.endswith("shared_expert_gate.weight"):
+                bufs["ws_route"][li] = w.T.astype(target)
+                continue
+            if ".shared_expert." in name:
+                key = smap.get(parts[-2])
+                if key in bufs:
+                    bufs[key][li] = w.T.astype(target)
+                continue
             if name.endswith("gate.weight") and "experts" not in name:
                 bufs["router"][li] = w.T.astype(target)
                 continue
             try:
                 ei = int(parts[parts.index("experts") + 1])
             except ValueError:
-                continue  # shared experts: not supported yet
+                continue
             pkey = parts[-2]
             key = wmap.get(pkey)
             if key is not None:
@@ -145,55 +173,95 @@ class MixtralForCausalLM(LlamaForCausalLM):
                     k: {"qweight": s, skey: P(None, None, s[3])}
                     for k, s in expert_specs.items()}
             specs["layers"].update({"router": P(), **expert_specs})
+        if self.shared_intermediate:
+            specs["layers"].update({
+                "ws_gate": P(None, None, "tp"),
+                "ws_up": P(None, None, "tp"),
+                "ws_down": P(None, "tp", None),
+                "ws_route": P(),
+            })
         return specs
 
     # ----------------------------------------------------------------- forward
     def _mlp(self, h: jax.Array, lp: dict, lin=None) -> jax.Array:
-        T = h.shape[0]
-        logits = jnp.dot(h, lp["router"],
-                         preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1)  # [T, E]
-        topw, topi = jax.lax.top_k(probs, self.top_k)  # [T, k]
-        if self.norm_topk:
-            topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
-        topw = topw.astype(h.dtype)
-
-        from aphrodite_tpu.layers.linear import apply_linear
-
-        def expert(acc, xs):
-            wg, wu, wd, e = xs
-            y = self.act(apply_linear(h, wg, fmt=self.quant_fmt),
-                         apply_linear(h, wu, fmt=self.quant_fmt))
-            y = apply_linear(y, wd, fmt=self.quant_fmt)
-            gate = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)  # [T]
-            return acc + gate[:, None] * y, None
-
-        E = self.num_experts
-        if self.expert_parallel and self.quant_fmt is not None:
-            raise NotImplementedError(
-                "expert parallelism with quantized experts: follow-up")
-        if self.expert_parallel:
-            # Dense einsum over the expert dim: with we_* sharded P("tp")
-            # on E, each device computes only its local experts and the
-            # token-expert combine all-reduces across the ep(=tp) axis.
-            # [T,E] dense gates (zero for unrouted experts).
-            gates = jnp.sum(
-                topw[:, :, None] * jax.nn.one_hot(topi, E, dtype=h.dtype),
-                axis=1)
-            g = jnp.einsum("th,ehi->eti", h, lp["we_gate"],
-                           preferred_element_type=jnp.float32).astype(h.dtype)
-            u = jnp.einsum("th,ehi->eti", h, lp["we_up"],
-                           preferred_element_type=jnp.float32).astype(h.dtype)
-            y = jnp.einsum("eti,eio->eto", self.act(g, u), lp["we_down"],
-                           preferred_element_type=jnp.float32).astype(h.dtype)
-            return jnp.einsum("te,eto->to", gates, y)
-        acc0 = jnp.zeros_like(h)
-        acc, _ = jax.lax.scan(
-            expert, acc0,
-            (lp["we_gate"], lp["we_up"], lp["we_down"],
-             jnp.arange(E, dtype=jnp.int32)))
-        return acc
+        from aphrodite_tpu.models.moe_common import (moe_combine,
+                                                     softmax_topk_routing)
+        topi, topw = softmax_topk_routing(h, lp["router"], self.top_k,
+                                          self.norm_topk)
+        out = moe_combine(h, lp, self.act, topi, topw,
+                          quant_fmt=self.quant_fmt,
+                          expert_parallel=self.expert_parallel,
+                          num_experts=self.num_experts)
+        if self.shared_intermediate:
+            from aphrodite_tpu.layers.linear import apply_linear
+            s = self.act(apply_linear(h, lp["ws_gate"]),
+                         apply_linear(h, lp["ws_up"]))
+            s = apply_linear(s, lp["ws_down"])
+            gate = jax.nn.sigmoid(
+                jnp.dot(h, lp["ws_route"],
+                        preferred_element_type=jnp.float32)).astype(h.dtype)
+            out = out + gate * s
+        return out
 
 
 class Qwen2MoeForCausalLM(MixtralForCausalLM):
     qkv_bias = True
+
+    def __init__(self, config):
+        super().__init__(config)
+        hf = config.text_config
+        if getattr(hf, "mlp_only_layers", None) or \
+                getattr(hf, "decoder_sparse_step", 1) != 1:
+            raise NotImplementedError(
+                "mixed dense/MoE layer stacks (mlp_only_layers / "
+                "decoder_sparse_step != 1) break the uniform layer scan")
+
+
+class Qwen3MoeForCausalLM(Qwen2MoeForCausalLM):
+    """Qwen3-MoE: Qwen2-MoE routing (norm_topk_prob) + Qwen3 attention
+    (no qkv bias, per-head RMS q/k norm). Reference:
+    aphrodite/modeling/models/qwen3_moe.py."""
+    qkv_bias = False
+
+    def _layer_shapes(self):
+        shapes = super()._layer_shapes()
+        shapes["q_norm"] = (self.num_layers, self.head_dim)
+        shapes["k_norm"] = (self.num_layers, self.head_dim)
+        return shapes
+
+    _HF_LAYER_MAP = dict(MixtralForCausalLM._HF_LAYER_MAP)
+    _HF_LAYER_MAP.update({
+        "self_attn.q_norm.weight": ("q_norm", False),
+        "self_attn.k_norm.weight": ("k_norm", False),
+    })
+
+    def param_specs(self):
+        specs = super().param_specs()
+        specs["layers"]["q_norm"] = P()
+        specs["layers"]["k_norm"] = P()
+        return specs
+
+
+class OlmoeForCausalLM(MixtralForCausalLM):
+    """OLMoE: Mixtral-style MoE (64 experts, top-8, norm_topk_prob=False)
+    with *flat* RMS q/k-norm over the whole projection. Reference:
+    aphrodite/modeling/models/olmoe.py."""
+
+    def _layer_shapes(self):
+        shapes = super()._layer_shapes()
+        nq, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        shapes["q_norm_flat"] = (self.num_layers, nq * hd)
+        shapes["k_norm_flat"] = (self.num_layers, nkv * hd)
+        return shapes
+
+    _HF_LAYER_MAP = dict(MixtralForCausalLM._HF_LAYER_MAP)
+    _HF_LAYER_MAP.update({
+        "self_attn.q_norm.weight": ("q_norm_flat", False),
+        "self_attn.k_norm.weight": ("k_norm_flat", False),
+    })
+
+    def param_specs(self):
+        specs = super().param_specs()
+        specs["layers"]["q_norm_flat"] = P()
+        specs["layers"]["k_norm_flat"] = P()
+        return specs

@@ -17,6 +17,20 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                            "MixtralForCausalLM"),
     "Qwen2MoeForCausalLM": ("aphrodite_tpu.models.mixtral",
                             "Qwen2MoeForCausalLM"),
+    "Qwen3MoeForCausalLM": ("aphrodite_tpu.models.mixtral",
+                            "Qwen3MoeForCausalLM"),
+    "OlmoeForCausalLM": ("aphrodite_tpu.models.mixtral",
+                         "OlmoeForCausalLM"),
+    "GraniteMoeForCausalLM": ("aphrodite_tpu.models.moe_variants",
+                              "GraniteMoeForCausalLM"),
+    "GraniteMoeSharedForCausalLM": ("aphrodite_tpu.models.moe_variants",
+                                    "GraniteMoeSharedForCausalLM"),
+    "PhimoeForCausalLM": ("aphrodite_tpu.models.moe_variants",
+                          "PhiMoEForCausalLM"),
+    "PhiMoEForCausalLM": ("aphrodite_tpu.models.moe_variants",
+                          "PhiMoEForCausalLM"),
+    "DbrxForCausalLM": ("aphrodite_tpu.models.moe_variants",
+                        "DbrxForCausalLM"),
     "GemmaForCausalLM": ("aphrodite_tpu.models.gemma", "GemmaForCausalLM"),
     "Gemma2ForCausalLM": ("aphrodite_tpu.models.gemma",
                           "Gemma2ForCausalLM"),
