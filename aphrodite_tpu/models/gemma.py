@@ -57,6 +57,10 @@ class GemmaForCausalLM(LlamaForCausalLM):
         x = (x.astype(jnp.float32) * self.embed_scale).astype(x.dtype)
         cos, sin = compute_cos_sin(md.token_pos, self._inv_freq,
                                    self._rope_mscale)
+        # Gemma-3: sliding layers rotate with the *local* frequency base.
+        inv_local = getattr(self, "_inv_freq_local", None)
+        if inv_local is not None:
+            cos_l, sin_l = compute_cos_sin(md.token_pos, inv_local, 1.0)
         nq, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
 
         def layer(x, xs, slots=None):
@@ -69,8 +73,19 @@ class GemmaForCausalLM(LlamaForCausalLM):
             k = apply_linear(h, lp["wk"], fmt=fmt)
             v = apply_linear(h, lp["wv"], fmt=fmt)
             T = q.shape[0]
-            q = apply_rope(q.reshape(T, nq, hd), cos, sin)
-            k = apply_rope(k.reshape(T, nkv, hd), cos, sin)
+            q = q.reshape(T, nq, hd)
+            k = k.reshape(T, nkv, hd)
+            if "q_norm" in lp:  # Gemma-3 per-head QK-norm (before rope)
+                q = self._norm(q, lp["q_norm"])
+                k = self._norm(k, lp["k_norm"])
+            if inv_local is not None and "is_sliding" in lp:
+                ccos, ssin = jax.lax.cond(
+                    lp["is_sliding"] > 0,
+                    lambda: (cos_l, sin_l), lambda: (cos, sin))
+            else:
+                ccos, ssin = cos, sin
+            q = apply_rope(q, ccos, ssin)
+            k = apply_rope(k, ccos, ssin)
             v = v.reshape(T, nkv, hd)
             kvc = write_kv(kvc, k, v, slots)
 
@@ -177,4 +192,42 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
             "post_attn_norm": P(), "pre_ffw_norm": P(),
             "post_ffw_norm": P(), "is_sliding": P(),
         })
+        return specs
+
+
+class Gemma3ForCausalLM(Gemma2ForCausalLM):
+    """Gemma-3 text (reference modeling/models/gemma3.py): Gemma-2 sandwich
+    norms plus per-head QK-RMSNorm (zero-centered weights, applied before
+    rope), a 5-sliding:1-global layer pattern, and *dual rope bases* —
+    sliding layers rotate at rope_local_base_freq while global layers use
+    the scaled long-context rope. Soft caps are gone."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        hf = config.text_config
+        from aphrodite_tpu.layers.rotary import RopeConfig, compute_inv_freq
+        local = RopeConfig(
+            head_dim=self.head_dim, rotary_dim=self.head_dim,
+            base=getattr(hf, "rope_local_base_freq", 10000.0),
+            max_position=getattr(hf, "max_position_embeddings", 8192),
+            scaling=None)
+        inv_freq_l, _ = compute_inv_freq(local)
+        self._inv_freq_local = jnp.asarray(inv_freq_l)
+
+    def _layer_shapes(self):
+        shapes = super()._layer_shapes()
+        L, hd = self.num_layers, self.head_dim
+        shapes.update(q_norm=(L, hd), k_norm=(L, hd))
+        return shapes
+
+    _HF_LAYER_MAP = dict(Gemma2ForCausalLM._HF_LAYER_MAP)
+    _HF_LAYER_MAP.update({
+        "self_attn.q_norm.weight": ("q_norm", False),
+        "self_attn.k_norm.weight": ("k_norm", False),
+    })
+
+    def param_specs(self):
+        from jax.sharding import PartitionSpec as P
+        specs = super().param_specs()
+        specs["layers"].update(q_norm=P(), k_norm=P())
         return specs

@@ -370,3 +370,13 @@ class MistralForCausalLM(LlamaForCausalLM):
 class Qwen2ForCausalLM(LlamaForCausalLM):
     qkv_bias = True
     tie_embeddings_default = False
+
+
+class InternLM3ForCausalLM(LlamaForCausalLM):
+    """InternLM3 (remote-code config): llama body; bias flag is spelled
+    `qkv_bias` and applies to q/k/v only."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        hf = config.text_config
+        self.qkv_bias = getattr(hf, "qkv_bias", False)

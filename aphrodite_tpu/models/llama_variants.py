@@ -1203,3 +1203,157 @@ class Glm4ForCausalLM(GlmForCausalLM):
         "post_self_attn_layernorm.weight": ("ln1_post_w", False),
         "post_mlp_layernorm.weight": ("ln2_post_w", False),
     }
+
+
+class InternLMForCausalLM(FlexibleDecoder):
+    """'InternLMForCausalLM' (InternLM-1, remote-code config): Llama body
+    with optional bias on *all four* attention projections (config.bias)."""
+
+    _TOP_MAP = _LLAMA_TOP
+    _LAYER_MAP = {**_LLAMA_ATTN_MAP, **_LLAMA_GATED_MLP_MAP,
+                  "input_layernorm.weight": ("ln1_w", False),
+                  "post_attention_layernorm.weight": ("ln2_w", False)}
+
+    def _setup(self, hf):
+        self.norm_kind = "rms"
+        self.norm_bias = False
+        self.norm_eps = getattr(hf, "rms_norm_eps", 1e-6)
+        self.act = ACT2MUL[getattr(hf, "hidden_act", "silu")]
+        bias = getattr(hf, "bias", True)
+        self.attn_bias = bias
+        self.attn_out_bias = bias
+
+
+class InternLM2ForCausalLM(FlexibleDecoder):
+    """'InternLM2ForCausalLM' (remote-code config; reference
+    modeling/models/internlm2.py): Llama math under InternLM2's own
+    checkpoint schema — tok_embeddings/wqkv (fused per-kv-group rows like
+    Falcon's new arch)/wo/w1/w3/w2/attention_norm/ffn_norm/output."""
+
+    _TOP_MAP = {
+        "model.tok_embeddings.weight": ("embed", False),
+        "model.norm.weight": ("final_norm_w", False),
+        "output.weight": ("lm_head", True),
+    }
+    _LAYER_MAP = {
+        "attention.wo.weight": ("wo", True),
+        "feed_forward.w1.weight": ("w_gate", True),
+        "feed_forward.w3.weight": ("w_up", True),
+        "feed_forward.w2.weight": ("w_down", True),
+        "attention_norm.weight": ("ln1_w", False),
+        "ffn_norm.weight": ("ln2_w", False),
+    }
+
+    def _setup(self, hf):
+        self.norm_kind = "rms"
+        self.norm_bias = False
+        self.norm_eps = getattr(hf, "rms_norm_eps", 1e-6)
+        self.act = ACT2MUL[getattr(hf, "hidden_act", "silu")]
+        self.attn_bias = getattr(hf, "bias", False)
+
+    def _special_weight(self, sub, li, w, bufs, target):
+        if sub != "attention.wqkv.weight":
+            return False
+        nh, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        g = nh // nkv
+        qkv = w.reshape(nkv, g + 2, hd, self.hidden_size)
+        bufs["wq"][li] = qkv[:, :g].reshape(nh * hd, -1).T.astype(target)
+        bufs["wk"][li] = qkv[:, g].reshape(nkv * hd, -1).T.astype(target)
+        bufs["wv"][li] = qkv[:, g + 1].reshape(nkv * hd, -1).T.astype(target)
+        return True
+
+
+class ExaoneForCausalLM(FlexibleDecoder):
+    """'ExaoneForCausalLM' (EXAONE-3.x, remote-code config): Llama math,
+    GPT-style checkpoint schema (transformer.h / ln_1 / attn.attention /
+    c_fc_0,c_fc_1,c_proj)."""
+
+    _TOP_MAP = {
+        "transformer.wte.weight": ("embed", False),
+        "transformer.ln_f.weight": ("final_norm_w", False),
+        "lm_head.weight": ("lm_head", True),
+    }
+    _LAYER_PREFIX = "transformer.h."
+    _LAYER_MAP = {
+        "attn.attention.q_proj.weight": ("wq", True),
+        "attn.attention.k_proj.weight": ("wk", True),
+        "attn.attention.v_proj.weight": ("wv", True),
+        "attn.attention.out_proj.weight": ("wo", True),
+        "mlp.c_fc_0.weight": ("w_gate", True),
+        "mlp.c_fc_1.weight": ("w_up", True),
+        "mlp.c_proj.weight": ("w_down", True),
+        "ln_1.weight": ("ln1_w", False),
+        "ln_2.weight": ("ln2_w", False),
+    }
+
+    def _setup(self, hf):
+        self.norm_kind = "rms"
+        self.norm_bias = False
+        self.norm_eps = getattr(hf, "layer_norm_epsilon", 1e-5)
+        self.act = ACT2MUL[getattr(hf, "activation_function", "silu")]
+
+
+class Exaone4ForCausalLM(FlexibleDecoder):
+    """HF 'Exaone4ForCausalLM': post-block RMSNorm placement (like OLMo-2)
+    plus per-head QK-RMSNorm before rope. Hybrid sliding/NoPE layer stacks
+    (sliding_window set) are a follow-up — global-attention checkpoints
+    (EXAONE-4.0-1.2B style) are fully supported."""
+
+    _TOP_MAP = _LLAMA_TOP
+    _LAYER_MAP = {
+        **_LLAMA_ATTN_MAP, **_LLAMA_GATED_MLP_MAP,
+        "post_attention_layernorm.weight": ("ln1_w", False),
+        "post_feedforward_layernorm.weight": ("ln2_w", False),
+        "self_attn.q_norm.weight": ("q_norm", False),
+        "self_attn.k_norm.weight": ("k_norm", False),
+    }
+
+    def _setup(self, hf):
+        if getattr(hf, "sliding_window", None):
+            raise NotImplementedError(
+                "Exaone4 hybrid sliding/NoPE layer pattern: follow-up")
+        self.norm_kind = "rms"
+        self.norm_bias = False
+        self.norm_eps = getattr(hf, "rms_norm_eps", 1e-5)
+        self.act = ACT2MUL[getattr(hf, "hidden_act", "silu")]
+        self.block_norm = "post"
+        self.qk_norm = "per_head_rms"
+
+
+class OrionForCausalLM(FlexibleDecoder):
+    """'OrionForCausalLM' (remote-code config): Llama body with LayerNorm
+    (+bias) residual norms instead of RMSNorm."""
+
+    _TOP_MAP = _LLAMA_TOP
+    _LAYER_MAP = {**_LLAMA_ATTN_MAP, **_LLAMA_GATED_MLP_MAP, **_LN_MAP}
+
+    def _setup(self, hf):
+        self.norm_kind = "ln"
+        self.norm_eps = getattr(hf, "rms_norm_eps", 1e-5)
+        self.act = ACT2MUL[getattr(hf, "hidden_act", "silu")]
+
+
+class MiniCPMForCausalLM(FlexibleDecoder):
+    """'MiniCPMForCausalLM' (remote-code config): Llama body with muP-style
+    static scales — embeddings x scale_emb, residual branches x
+    scale_depth/sqrt(L), logits / (hidden_size/dim_model_base)."""
+
+    tie_default = True
+
+    _TOP_MAP = _LLAMA_TOP
+    _LAYER_MAP = {**_LLAMA_ATTN_MAP, **_LLAMA_GATED_MLP_MAP,
+                  "input_layernorm.weight": ("ln1_w", False),
+                  "post_attention_layernorm.weight": ("ln2_w", False)}
+
+    def _setup(self, hf):
+        self.norm_kind = "rms"
+        self.norm_bias = False
+        self.norm_eps = getattr(hf, "rms_norm_eps", 1e-5)
+        self.act = ACT2MUL[getattr(hf, "hidden_act", "silu")]
+        self.embedding_multiplier = getattr(hf, "scale_emb", 1.0)
+        depth = getattr(hf, "scale_depth", None)
+        if depth:
+            self.residual_multiplier = depth / (self.num_layers ** 0.5)
+        base = getattr(hf, "dim_model_base", None)
+        if base:
+            self.logits_multiplier = 1.0 / (self.hidden_size / base)

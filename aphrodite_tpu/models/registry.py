@@ -34,6 +34,8 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     "GemmaForCausalLM": ("aphrodite_tpu.models.gemma", "GemmaForCausalLM"),
     "Gemma2ForCausalLM": ("aphrodite_tpu.models.gemma",
                           "Gemma2ForCausalLM"),
+    "Gemma3ForCausalLM": ("aphrodite_tpu.models.gemma",
+                          "Gemma3ForCausalLM"),
     "Phi3ForCausalLM": ("aphrodite_tpu.models.phi3_qwen3",
                         "Phi3ForCausalLM"),
     "Qwen3ForCausalLM": ("aphrodite_tpu.models.phi3_qwen3",
@@ -85,6 +87,26 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                        "GlmForCausalLM"),
     "Glm4ForCausalLM": ("aphrodite_tpu.models.llama_variants",
                         "Glm4ForCausalLM"),
+    "InternLMForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                            "InternLMForCausalLM"),
+    "InternLM2ForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                             "InternLM2ForCausalLM"),
+    "InternLM3ForCausalLM": ("aphrodite_tpu.models.llama",
+                             "InternLM3ForCausalLM"),
+    "ExaoneForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                          "ExaoneForCausalLM"),
+    "Exaone4ForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                           "Exaone4ForCausalLM"),
+    "OrionForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                         "OrionForCausalLM"),
+    "MiniCPMForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                           "MiniCPMForCausalLM"),
+    # Llama-exact exports under their own architecture names.
+    "XverseForCausalLM": ("aphrodite_tpu.models.llama", "LlamaForCausalLM"),
+    "SolarForCausalLM": ("aphrodite_tpu.models.llama", "LlamaForCausalLM"),
+    "AquilaForCausalLM": ("aphrodite_tpu.models.llama", "LlamaForCausalLM"),
+    "AquilaModel": ("aphrodite_tpu.models.llama", "LlamaForCausalLM"),
+    "YiForCausalLM": ("aphrodite_tpu.models.llama", "LlamaForCausalLM"),
     "GPT2LMHeadModel": ("aphrodite_tpu.models.gpt_family",
                         "GPT2LMHeadModel"),
     "OPTForCausalLM": ("aphrodite_tpu.models.gpt_family",

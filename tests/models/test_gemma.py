@@ -53,3 +53,16 @@ def test_gemma2_matches_hf(tmp_path):
                        final_logit_softcapping=30.0)
     hf = _make_ckpt(tmp_path, cfg)
     _check(tmp_path, hf)
+
+
+def test_gemma3_text(tmp_path):
+    """Gemma-3: QK-norm + dual rope bases + 5:1 sliding/global pattern."""
+    from transformers import Gemma3TextConfig
+    from tests.models.test_llama_variants import _check
+    _check(tmp_path, Gemma3TextConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, query_pre_attn_scalar=16, sliding_window=8,
+        sliding_window_pattern=2, rope_theta=1000000.0,
+        rope_local_base_freq=10000.0, max_position_embeddings=512,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2))
