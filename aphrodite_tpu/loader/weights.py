@@ -40,9 +40,31 @@ def _checkpoint_files(path: str) -> tuple[list[str], str]:
 def safetensors_iterator(files: list[str]) -> Iterator[tuple[str, np.ndarray]]:
     from safetensors import safe_open
     for f in files:
+        pt = None  # lazy torch-framework handle for dtypes numpy lacks
         with safe_open(f, framework="np") as sf:
             for name in sf.keys():
-                yield name, sf.get_tensor(name)
+                try:
+                    yield name, sf.get_tensor(name)
+                except Exception:
+                    # float8 etc.: numpy has no such dtype — round-trip
+                    # through torch and reinterpret via ml_dtypes.
+                    import ml_dtypes
+                    import torch
+                    if pt is None:
+                        pt = safe_open(f, framework="pt")
+                    t = pt.get_tensor(name)
+                    f8_map = {torch.float8_e4m3fn: ml_dtypes.float8_e4m3fn,
+                              torch.float8_e5m2: ml_dtypes.float8_e5m2}
+                    if t.dtype in f8_map:
+                        yield name, t.view(torch.uint8).numpy().view(
+                            f8_map[t.dtype])
+                    elif t.dtype == torch.bfloat16:
+                        yield name, t.view(torch.uint16).numpy().view(
+                            ml_dtypes.bfloat16)
+                    else:
+                        yield name, t.numpy()
+        if pt is not None:
+            del pt
 
 
 def pt_iterator(files: list[str]) -> Iterator[tuple[str, np.ndarray]]:
@@ -110,8 +132,17 @@ def load_model_params(model, model_config: ModelConfig,
             model, weights_iterator(model_config.model), quant_config)
     else:
         logger.info("loading weights from %s", model_config.model)
-        params = model.load_weights(weights_iterator(model_config.model))
-        if quant_config is not None:
+        it = weights_iterator(model_config.model)
+        pre = getattr(quant_config, "preprocess", None)
+        if pre is not None:
+            from aphrodite_tpu.quantization import importers
+            it = {"bnb4": importers.bnb4_dequant_iterator,
+                  "bnb8": importers.bnb8_dequant_iterator,
+                  "modelopt_fp8": importers.modelopt_fp8_dequant_iterator,
+                  "nvfp4": importers.nvfp4_dequant_iterator}[pre](it)
+            logger.info("dequantizing %s checkpoint at load", pre)
+        params = model.load_weights(it)
+        if quant_config is not None and quant_config.method != "dequant":
             from aphrodite_tpu.quantization.loader import (
                 quantize_stacked_params)
             params = quantize_stacked_params(params, quant_config,

@@ -36,9 +36,14 @@ class QuantizationConfig:
     # True when the checkpoint itself holds packed tensors (HF
     # quantization_config) vs on-the-fly quantization of an fp checkpoint.
     from_checkpoint: bool = False
-    # Packed-tensor naming scheme: "gptq_awq" (qweight/qzeros/scales) or
-    # "compressed_tensors" (weight int8|f8 + weight_scale).
+    # Packed-tensor naming scheme: "gptq_awq" (qweight/qzeros/scales),
+    # "compressed_tensors" (weight int8|f8 + weight_scale), or "hqq"
+    # (W_q/zero/scale).
     checkpoint_layout: str = "gptq_awq"
+    # Weights-iterator transform applied before loading (bitsandbytes /
+    # modelopt checkpoints dequantize at load — quantization/importers.py).
+    # method == "dequant" means the runtime stays full precision.
+    preprocess: Optional[str] = None
 
     # ------------------------------------------------------------- detection
     @staticmethod
@@ -62,6 +67,36 @@ class QuantizationConfig:
             return QuantizationConfig(method="fp8")
         if m in ("int8", "tpu_int8", "w8a8"):
             return QuantizationConfig(method="int8")
+        if m == "bitsandbytes":
+            if hf_quant_cfg.get("load_in_8bit"):
+                # int8 rows dequantize, then recompress per-channel w8a16
+                # on the fly (near-lossless round trip).
+                return QuantizationConfig(method="w8a16", preprocess="bnb8")
+            return QuantizationConfig(method="dequant", preprocess="bnb4",
+                                      weight_bits=4)
+        if m == "hqq":
+            wq = ((hf_quant_cfg.get("quant_config") or {})
+                  .get("weight_quant_params") or {})
+            bits = wq.get("nbits", 4)
+            if bits != 4:
+                raise ValueError(f"HQQ {bits}-bit not supported (4 only)")
+            return QuantizationConfig(
+                method="gptq", weight_bits=4,
+                group_size=wq.get("group_size", 64),
+                from_checkpoint=True, checkpoint_layout="hqq")
+        if m == "modelopt":
+            algo = ((hf_quant_cfg.get("quantization") or {})
+                    .get("quant_algo") or hf_quant_cfg.get("quant_algo")
+                    or "").upper()
+            if "NVFP4" in algo or "FP4" in algo:
+                return QuantizationConfig(method="dequant",
+                                          preprocess="nvfp4", weight_bits=4)
+            if "FP8" in algo:
+                # dequantize the per-tensor-scaled fp8 weights, recompress
+                # per-channel fp8 on the fly (strictly finer scales).
+                return QuantizationConfig(method="fp8",
+                                          preprocess="modelopt_fp8")
+            raise ValueError(f"modelopt quant_algo {algo!r} not supported")
         if m == "compressed-tensors":
             # llm-compressor checkpoints (reference:
             # quantization/compressed_tensors/): map the weight/activation
@@ -153,13 +188,31 @@ class QuantizationConfig:
 
 def get_quantization_config(model_config) -> Optional[QuantizationConfig]:
     """Resolve quantization from explicit config or HF checkpoint metadata
-    (reference: model_loader/weight_utils.py get_quant_config)."""
+    (reference: model_loader/weight_utils.py get_quant_config). ModelOpt
+    exports live in a sibling hf_quant_config.json (reference
+    modelopt.py get_config_filenames)."""
+    import os
     hf_q = getattr(model_config.hf_config, "quantization_config", None)
+    if hf_q is None and os.path.isdir(str(model_config.model)):
+        import json as _json
+        side = os.path.join(str(model_config.model), "hf_quant_config.json")
+        if os.path.exists(side):
+            with open(side) as f:
+                hf_q = _json.load(f)
+            hf_q.setdefault("quant_method", "modelopt")
     if hf_q is not None:
         if not isinstance(hf_q, dict):
             hf_q = hf_q.to_dict() if hasattr(hf_q, "to_dict") else dict(
                 hf_q.__dict__)
-        return QuantizationConfig.from_hf_config(hf_q)
+        qcfg = QuantizationConfig.from_hf_config(hf_q)
+        if qcfg.preprocess and model_config.quantization and \
+                model_config.quantization not in (qcfg.method, "bitsandbytes",
+                                                  "modelopt", "nvfp4"):
+            # Explicit --quantization on a dequantize-at-load checkpoint:
+            # recompress on the fly into the requested runtime format.
+            qcfg.method = QuantizationConfig.from_name(
+                model_config.quantization).method
+        return qcfg
     if model_config.quantization:
         return QuantizationConfig.from_name(model_config.quantization)
     return None

@@ -1,0 +1,187 @@
+"""Checkpoint importers for quantization formats without a native TPU
+runtime layout: each transforms the raw weights iterator.
+
+Formats handled by *dequantizing at load* (the TPU answer to CUDA-kernel
+formats — serve in the model dtype, or recompress on the fly by passing an
+explicit --quantization):
+
+- bitsandbytes 4-bit (NF4/FP4 double-quantized blockwise; reference
+  model_loader/loader.py:1081 _quantized_4bit_generator)
+- bitsandbytes 8-bit (int8 + SCB row scales; reference loader.py:1053)
+- ModelOpt FP8 (per-tensor scale; reference quantization/modelopt.py:58)
+- ModelOpt NVFP4 (e2m1 nibbles + fp8 16-block scales + global scale;
+  reference quantization/modelopt.py:209)
+
+HQQ keeps its 4-bit layout: it is uniform-affine int4 (group 64) and maps
+exactly onto the native w4a16 runtime format (reference
+quantization/hqq_marlin.py:105 repacks to GPTQ the same way).
+"""
+from __future__ import annotations
+
+import json
+from typing import Iterable, Iterator, Tuple
+
+import numpy as np
+
+Weight = Tuple[str, np.ndarray]
+
+# e2m1 magnitude table indexed by the low 3 bits; bit 3 is the sign.
+E2M1 = np.array([0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0], np.float32)
+
+
+# ------------------------------------------------------------------ 4-bit bnb
+def _dequant_bnb4(packed: np.ndarray, side: dict, prefix: str) -> np.ndarray:
+    """Dequantize one bitsandbytes 4-bit tensor.
+
+    packed: uint8 [N/2(, 1)] — high nibble = element 2i, low = 2i+1.
+    side holds '<prefix>.absmax', '.quant_map', optionally '.nested_absmax',
+    '.nested_quant_map', and '.quant_state.bitsandbytes__nf4|fp4' (uint8
+    JSON bytes with blocksize/shape/nested_offset).
+    """
+    state_key = next((k for k in side
+                      if k.startswith(prefix + ".quant_state.")), None)
+    if state_key is None:
+        raise ValueError(f"missing bnb quant_state for {prefix}")
+    state = json.loads(bytes(side[state_key].astype(np.uint8).tolist()))
+    blocksize = int(state.get("blocksize", 64))
+    shape = state["shape"]
+    quant_map = np.asarray(side[prefix + ".quant_map"], np.float32)
+    absmax = np.asarray(side[prefix + ".absmax"])
+    if prefix + ".nested_absmax" in side:  # double quantization
+        nested_absmax = np.asarray(side[prefix + ".nested_absmax"],
+                                   np.float32)
+        nested_map = np.asarray(side[prefix + ".nested_quant_map"],
+                                np.float32)
+        nb = int(state.get("nested_blocksize", 256))
+        offset = float(state.get("nested_offset", 0.0))
+        codes = absmax.astype(np.int64).reshape(-1)
+        blk = np.arange(codes.size) // nb
+        absmax = nested_map[codes] * nested_absmax[blk] + offset
+    else:
+        absmax = absmax.astype(np.float32).reshape(-1)
+    p = packed.astype(np.uint8).reshape(-1)
+    nibbles = np.empty(p.size * 2, np.int64)
+    nibbles[0::2] = p >> 4
+    nibbles[1::2] = p & 0xF
+    n = int(np.prod(shape))
+    nibbles = nibbles[:n]
+    vals = quant_map[nibbles] * absmax[np.arange(n) // blocksize]
+    return vals.reshape(shape).astype(np.float32)
+
+
+def bnb4_dequant_iterator(weights: Iterable[Weight]) -> Iterator[Weight]:
+    """Two-pass: collect side tensors, then dequantize each packed weight."""
+    items = list(weights)  # bnb state must be matched across files
+    side_suffixes = ("absmax", "quant_map", "nested_absmax",
+                     "nested_quant_map")
+    side = {}
+    packed = {}
+    for name, w in items:
+        tail = name.split(".")[-1]
+        if "quant_state.bitsandbytes" in name or tail in side_suffixes:
+            side[name] = np.asarray(w)
+        else:
+            packed[name] = w
+    for name, w in packed.items():
+        if name + ".quant_state.bitsandbytes__nf4" in side or \
+                name + ".quant_state.bitsandbytes__fp4" in side:
+            yield name, _dequant_bnb4(np.asarray(w), side, name)
+        else:
+            yield name, w
+
+
+def bnb8_dequant_iterator(weights: Iterable[Weight]) -> Iterator[Weight]:
+    """bitsandbytes 8-bit: '<name>' int8 rows + '<name>.SCB' (or sibling
+    .SCB spelling) per-row absmax; W = int8 * SCB / 127."""
+    items = list(weights)
+    scb = {}
+    rest = []
+    for name, w in items:
+        if name.lower().endswith(".scb"):
+            scb[name[:-len(".SCB")].lower()] = np.asarray(w, np.float32)
+        elif name.endswith(".weight_format"):
+            continue
+        else:
+            rest.append((name, w))
+    for name, w in rest:
+        key = name.lower()
+        if key in scb:
+            w = np.asarray(w, np.float32) * (scb[key][:, None] / 127.0)
+        yield name, w
+
+
+# ----------------------------------------------------------------- modelopt
+def modelopt_fp8_dequant_iterator(weights: Iterable[Weight]
+                                  ) -> Iterator[Weight]:
+    """ModelOpt FP8: weight(e4m3) * weight_scale(per-tensor). Dequantized
+    here; per-channel FP8 recompression happens on the fly downstream."""
+    items = list(weights)
+    scales = {n[:-len("_scale")]: np.float32(np.asarray(w).reshape(-1)[0])
+              for n, w in items if n.endswith(".weight_scale")}
+    import ml_dtypes
+    for name, w in items:
+        if name.endswith((".weight_scale", ".input_scale",
+                          ".weight_scale_2")):
+            continue
+        w = np.asarray(w)
+        if name in scales and w.dtype == ml_dtypes.float8_e4m3fn:
+            yield name, w.astype(np.float32) * scales[name]
+        else:
+            yield name, w
+
+
+def nvfp4_dequant_iterator(weights: Iterable[Weight]) -> Iterator[Weight]:
+    """ModelOpt NVFP4: weight uint8 [out, in/2] (two e2m1 nibbles, low
+    nibble = even element), weight_scale e4m3 [out, in/16] per-16-block,
+    weight_scale_2 fp32 scalar."""
+    items = list(weights)
+    by_name = dict(items)
+    for name, w in items:
+        if name.endswith((".weight_scale", ".weight_scale_2",
+                          ".input_scale")):
+            continue
+        w = np.asarray(w)
+        sname, s2name = name + "_scale", name + "_scale_2"
+        if w.dtype == np.uint8 and sname in by_name:
+            out, half = w.shape
+            nib = np.empty((out, half * 2), np.uint8)
+            nib[:, 0::2] = w & 0xF
+            nib[:, 1::2] = w >> 4
+            mag = E2M1[(nib & 0x7).astype(np.int64)]
+            sign = np.where(nib & 0x8, -1.0, 1.0).astype(np.float32)
+            vals = mag * sign
+            bs = np.asarray(by_name[sname]).astype(np.float32)  # [out, in/16]
+            s2 = np.float32(np.asarray(by_name[s2name]).reshape(-1)[0]) \
+                if s2name in by_name else np.float32(1.0)
+            vals = vals.reshape(out, -1, 16) * bs[:, :, None] * s2
+            yield name, vals.reshape(out, -1)
+        else:
+            yield name, w
+
+
+# ---------------------------------------------------------------------- HQQ
+def unpack_hqq(parts: dict, out_features: int) -> dict:
+    """HQQ tensors (W_q packed uint8 half-rows; zero/scale stored
+    [n_groups, 1] and reshaped [out, G] like the reference's
+    HQQZeroScaleParameter) -> native w4a16 dict. Dequant semantics:
+    W = (q - zero) * scale, groups along the input dim
+    (reference hqq_marlin.py:105-176)."""
+    wq = np.asarray(parts["W_q"], np.uint8)
+    zero = np.asarray(parts["zero"], np.float32)
+    scale = np.asarray(parts["scale"], np.float32)
+    step, cols = wq.shape
+    flat = np.empty((2 * step, cols), np.uint8)
+    flat[:step] = wq >> 4
+    flat[step:] = wq & 0xF
+    # [out, in] row-major, like the reference's reshape(output_shape, -1).
+    total = flat.size
+    out = out_features
+    if total % out:
+        raise ValueError("HQQ weight size does not divide out_features")
+    k = total // out
+    q = flat.reshape(out, k).astype(np.int8)
+    G = zero.size // out
+    return {"format": "w4a16", "qweight": np.ascontiguousarray(q.T),
+            "scales": np.ascontiguousarray(scale.reshape(out, G).T),
+            "zeros": np.ascontiguousarray(zero.reshape(out, G).T),
+            "group_size": k // G, "out_features": out}

@@ -118,7 +118,9 @@ _PROJ_MAP = {
 }
 _QPARTS = ("qweight", "qzeros", "scales", "g_idx", "bias",
            # compressed-tensors naming (llm-compressor checkpoints)
-           "weight", "weight_scale", "weight_zero_point", "input_scale")
+           "weight", "weight_scale", "weight_zero_point", "input_scale",
+           # HQQ naming
+           "W_q", "zero", "scale")
 
 
 def _unpack_compressed(parts: dict, method: str, out_dtype) -> dict:
@@ -198,6 +200,18 @@ def load_llama_quantized(model, weights: Iterable[tuple[str, np.ndarray]],
                                  f"{key}")
             if qcfg.checkpoint_layout == "compressed_tensors":
                 unpacked = _unpack_compressed(parts, qcfg.method, target)
+            elif qcfg.checkpoint_layout == "hqq":
+                from aphrodite_tpu.quantization.importers import unpack_hqq
+                out_features = {
+                    "wq": model.num_heads * model.head_dim,
+                    "wk": model.num_kv_heads * model.head_dim,
+                    "wv": model.num_kv_heads * model.head_dim,
+                    "wo": model.hidden_size,
+                    "w_gate": model.intermediate_size,
+                    "w_up": model.intermediate_size,
+                    "w_down": model.hidden_size,
+                }[key]
+                unpacked = unpack_hqq(parts, out_features)
             elif qcfg.method == "gptq":
                 unpacked = unpack_gptq(parts["qweight"], parts["qzeros"],
                                        parts["scales"],

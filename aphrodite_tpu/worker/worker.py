@@ -76,7 +76,8 @@ class Worker:
             self.model.expert_parallel = True
         from aphrodite_tpu.quantization.base import get_quantization_config
         self.quant_config = get_quantization_config(config.model_config)
-        if self.quant_config is not None:
+        if self.quant_config is not None and \
+                self.quant_config.method != "dequant":
             self.model.set_quant_config(self.quant_config)
             logger.info("quantization: %s (bits=%d group=%d)",
                         self.quant_config.method,
