@@ -29,6 +29,10 @@ class BertModel:
     """Encoder: params as stacked per-layer arrays, scan over layers."""
 
     is_encoder = True
+    # Position-embedding index of the first token. RoBERTa starts at
+    # padding_idx + 1 (HF create_position_ids_from_input_ids).
+    pos_offset = 0
+    _PREFIXES = ("bert.",)
 
     def __init__(self, config: ModelConfig):
         self.config = config
@@ -43,6 +47,8 @@ class BertModel:
         self.max_pos = hf.max_position_embeddings
         self.type_vocab = getattr(hf, "type_vocab_size", 2)
         self.eps = getattr(hf, "layer_norm_eps", 1e-12)
+        if getattr(hf, "model_type", "") in ("roberta", "xlm-roberta"):
+            self.pos_offset = getattr(hf, "pad_token_id", 1) + 1
         # For interface parity with decoder models.
         self.num_kv_heads = self.num_heads
 
@@ -117,7 +123,8 @@ class BertModel:
             "embeddings.LayerNorm.bias": "embed_ln_b",
         }
         for name, w in weights:
-            name = name.removeprefix("bert.")
+            for pref in ("bert.", "roberta.", "xlm_roberta."):
+                name = name.removeprefix(pref)
             if name in top:
                 params[top[name]] = np.asarray(w).astype(target)
                 continue
@@ -148,7 +155,9 @@ class BertModel:
         None = all segment 0."""
         B, S = input_ids.shape
         x = jnp.take(params["embed"], input_ids, axis=0)
-        x = x + params["pos_embed"][None, :S]
+        off = self.pos_offset
+        x = x + jax.lax.dynamic_slice_in_dim(params["pos_embed"], off, S,
+                                             axis=0)[None]
         if type_ids is None:
             x = x + params["type_embed"][0][None, None, :]
         else:

@@ -134,9 +134,34 @@ _EMBEDDING: dict[str, tuple[str, str]] = {
     "BertModel": ("aphrodite_tpu.models.bert", "BertEmbeddingModel"),
     "BertForMaskedLM": ("aphrodite_tpu.models.bert", "BertEmbeddingModel"),
     "RobertaModel": ("aphrodite_tpu.models.bert", "BertEmbeddingModel"),
+    "RobertaForMaskedLM": ("aphrodite_tpu.models.bert",
+                           "BertEmbeddingModel"),
+    "XLMRobertaModel": ("aphrodite_tpu.models.bert", "BertEmbeddingModel"),
     # Cross-encoders (scoring/reranking via /score + /rerank).
     "BertForSequenceClassification": ("aphrodite_tpu.models.bert",
                                       "BertForSequenceClassification"),
+    # Decoder-based embedders (e5-mistral / gte-Qwen2 style): pass
+    # `architecture="Qwen2Model"` (etc.) to embed a ForCausalLM checkpoint.
+    "Qwen2Model": ("aphrodite_tpu.models.decoder_embed",
+                   "DecoderEmbeddingModel"),
+    "LlamaModel": ("aphrodite_tpu.models.decoder_embed",
+                   "DecoderEmbeddingModel"),
+    "MistralModel": ("aphrodite_tpu.models.decoder_embed",
+                     "DecoderEmbeddingModel"),
+    "Gemma2Model": ("aphrodite_tpu.models.decoder_embed",
+                    "DecoderEmbeddingModel"),
+    "Qwen3Model": ("aphrodite_tpu.models.decoder_embed",
+                   "DecoderEmbeddingModel"),
+    "Qwen2ForRewardModel": ("aphrodite_tpu.models.decoder_embed",
+                            "Qwen2ForRewardModel"),
+    "Qwen2ForProcessRewardModel": ("aphrodite_tpu.models.decoder_embed",
+                                   "Qwen2ForRewardModel"),
+    "Qwen2ForSequenceClassification": (
+        "aphrodite_tpu.models.decoder_embed",
+        "Qwen2ForSequenceClassification"),
+    "LlamaForSequenceClassification": (
+        "aphrodite_tpu.models.decoder_embed",
+        "Qwen2ForSequenceClassification"),
 }
 _TEXT_GENERATION.update(_EMBEDDING)
 
