@@ -39,6 +39,8 @@ class EngineArgs:
     device: str = "auto"
     load_format: str = "auto"
     enforce_eager: bool = False
+    otlp_traces_endpoint: Optional[str] = None
+    kv_events_endpoint: Optional[str] = None
 
     @staticmethod
     def add_cli_args(parser: argparse.ArgumentParser
@@ -83,6 +85,11 @@ class EngineArgs:
         parser.add_argument("--load-format", default="auto",
                             choices=["auto", "safetensors", "dummy"])
         parser.add_argument("--enforce-eager", action="store_true")
+        parser.add_argument("--otlp-traces-endpoint", default=None,
+                            help="OTLP gRPC endpoint for per-request "
+                                 "spans ('memory' = in-process exporter)")
+        parser.add_argument("--kv-events-endpoint", default=None,
+                            help="ZMQ PUB endpoint for KV cache events")
         parser.add_argument("--config", default=None,
                             help="YAML config file with CLI keys")
         return parser
@@ -126,7 +133,9 @@ class EngineArgs:
                 if isinstance(args.kv_transfer_config, str)
                 else args.kv_transfer_config),
             device=args.device, load_format=args.load_format,
-            enforce_eager=args.enforce_eager)
+            enforce_eager=args.enforce_eager,
+            otlp_traces_endpoint=args.otlp_traces_endpoint,
+            kv_events_endpoint=args.kv_events_endpoint)
 
     def create_engine_config(self) -> EngineConfig:
         from aphrodite_tpu.entrypoints.llm import build_engine_config

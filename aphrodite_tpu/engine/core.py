@@ -20,7 +20,16 @@ class EngineCore:
 
     def __init__(self, config: EngineConfig, tokenizer=None) -> None:
         self.config = config
+        # OOT plugins first: they may register model architectures the
+        # worker is about to resolve (reference plugins/__init__.py).
+        from aphrodite_tpu.plugins import load_general_plugins
+        load_general_plugins()
         self.worker = Worker(config)
+        from aphrodite_tpu.usage import report_usage
+        report_usage(config.model_config.architecture or "?", "ENGINE",
+                     {"dtype": config.model_config.dtype,
+                      "tp": config.parallel_config.tensor_parallel_size,
+                      "quantization": config.model_config.quantization})
         self.structured = None
         if tokenizer is not None:
             from aphrodite_tpu.structured_output import (
@@ -46,6 +55,11 @@ class EngineCore:
                                    num_lookahead_tokens=lookahead,
                                    kv_event_publisher=kv_events)
         self.stats = StatsAggregator()
+        otlp = config.observability_config.otlp_traces_endpoint
+        if otlp:
+            from aphrodite_tpu.tracing import RequestTracer
+            self.stats.tracer = RequestTracer(
+                None if otlp == "memory" else otlp)
         self.proposer = None
         sc = config.speculative_config
         if sc is not None and sc.num_speculative_tokens > 0:

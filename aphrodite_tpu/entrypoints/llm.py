@@ -5,8 +5,9 @@ from typing import Any, Optional, Sequence, Union
 
 from aphrodite_tpu.config import (CacheConfig, DeviceConfig, EngineConfig,
                                   LoadConfig, LoRAConfig, ModelConfig,
-                                  ParallelConfig, SchedulerConfig,
-                                  SpeculativeConfig, TPUConfig)
+                                  ObservabilityConfig, ParallelConfig,
+                                  SchedulerConfig, SpeculativeConfig,
+                                  TPUConfig)
 from aphrodite_tpu.engine.llm_engine import LLMEngine
 from aphrodite_tpu.engine.processor import PromptType
 from aphrodite_tpu.outputs import RequestOutput
@@ -44,6 +45,8 @@ def build_engine_config(
     max_loras: int = 4,
     max_lora_rank: int = 16,
     kv_transfer_config: Any = None,
+    otlp_traces_endpoint: Optional[str] = None,
+    kv_events_endpoint: Optional[str] = None,
     **extra,
 ) -> EngineConfig:
     if isinstance(kv_transfer_config, dict):
@@ -81,6 +84,9 @@ def build_engine_config(
         lora_config=(LoRAConfig(max_loras=max_loras,
                                 max_lora_rank=max_lora_rank)
                      if enable_lora else None),
+        observability_config=ObservabilityConfig(
+            otlp_traces_endpoint=otlp_traces_endpoint,
+            kv_events_endpoint=kv_events_endpoint),
         tpu_config=TPUConfig(**extra.pop("tpu_config", {})),
         kv_transfer_config=kv_transfer_config,
     )
@@ -96,6 +102,26 @@ class LLM:
 
     def get_tokenizer(self):
         return self.engine.tokenizer
+
+    def save_sharded_state(self, path: str) -> str:
+        """Dump the final (repacked/quantized/stacked) parameter tree for
+        fast reloads with load_format='sharded_state' (reference:
+        executor_base.py:233 save_sharded_state)."""
+        import glob
+        import os
+        import shutil
+        from aphrodite_tpu.loader.sharded_state import save_sharded_state
+        worker = self.engine.core.worker
+        fn = save_sharded_state(worker.params, path)
+        # Ship config + tokenizer so `path` serves standalone.
+        src = str(self.engine.config.model_config.model)
+        if os.path.isdir(src):
+            for f in glob.glob(os.path.join(src, "*.json")) + \
+                    glob.glob(os.path.join(src, "tokenizer*")) + \
+                    glob.glob(os.path.join(src, "*.model")):
+                if "safetensors" not in f:
+                    shutil.copy(f, path)
+        return fn
 
     def add_lora(self, name: str, path: str) -> int:
         return self.engine.core.worker.add_lora(name, path)

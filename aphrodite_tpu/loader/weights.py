@@ -109,7 +109,11 @@ def load_model_params(model, model_config: ModelConfig,
     Quantized paths: packed GPTQ/AWQ checkpoints are repacked at load; fp
     checkpoints (or dummy weights) are quantized on the fly."""
     fmt = load_config.load_format
-    if fmt == "dummy":
+    if fmt == "sharded_state":
+        from aphrodite_tpu.loader.sharded_state import load_sharded_state
+        logger.info("loading pre-sharded state from %s", model_config.model)
+        params = load_sharded_state(str(model_config.model))
+    elif fmt == "dummy":
         if quant_config is not None:
             # Initialize on the host CPU backend: quantization needs numpy,
             # and pulling GBs back from a (possibly tunneled) accelerator is

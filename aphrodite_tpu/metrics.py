@@ -76,6 +76,9 @@ class StatsAggregator:
         self.spec_drafted = 0
         self.spec_accepted = 0
         self._timing: dict[str, RequestTiming] = {}
+        # Optional per-request span emitter (aphrodite_tpu/tracing.py);
+        # set by the engine when --otlp-traces-endpoint is configured.
+        self.tracer = None
 
     # ------------------------------------------------------------- lifecycle
     def on_request_arrival(self, req_id: str, num_prompt_tokens: int,
@@ -112,6 +115,13 @@ class StatsAggregator:
         self.e2e.observe(now - t.arrival)
         self.num_prompt_tokens += t.num_prompt_tokens
         self.num_requests_finished += 1
+        if self.tracer is not None:
+            self.tracer.trace_request(
+                req_id, arrival_time=t.arrival,
+                first_scheduled_time=t.first_scheduled,
+                first_token_time=t.first_token, finished_time=now,
+                num_prompt_tokens=t.num_prompt_tokens,
+                num_generation_tokens=t.num_generation_tokens)
 
     # -------------------------------------------------------------- renderers
     def prometheus_lines(self, scheduler=None) -> list[str]:

@@ -89,11 +89,22 @@ class OpenAIServer:
         self.num_requests = 0
         self.num_prompt_tokens = 0
         self.num_generation_tokens = 0
+        self._inflight = 0
         self._mm_placeholder: Optional[str] = None
 
     # ----------------------------------------------------------------- app
     def build_app(self) -> web.Application:
-        app = web.Application()
+        @web.middleware
+        async def count_load(request, handler):
+            # /load reports in-flight request count (reference
+            # api_server.py load-tracking middleware).
+            self._inflight += 1
+            try:
+                return await handler(request)
+            finally:
+                self._inflight -= 1
+
+        app = web.Application(middlewares=[count_load])
         r = app.router
         r.add_get("/health", self.health)
         r.add_get("/ping", self.ping)
@@ -110,7 +121,12 @@ class OpenAIServer:
         r.add_post("/v1/load_lora_adapter", self.load_lora)
         r.add_post("/v1/unload_lora_adapter", self.unload_lora)
         r.add_post("/v1/embeddings", self.embeddings)
+        r.add_post("/pooling", self.pooling)
         r.add_post("/v1/audio/transcriptions", self.transcriptions)
+        r.add_post("/v1/audio/translations", self.translations)
+        r.add_get("/load", self.load)
+        r.add_post("/invocations", self.invocations)
+        r.add_get("/.well-known/serviceinfo", self.serviceinfo)
         r.add_post("/score", self.score)
         r.add_post("/v1/score", self.score)
         r.add_post("/rerank", self.rerank)
@@ -166,6 +182,14 @@ class OpenAIServer:
         """/v1/audio/transcriptions (reference api_server.py:650):
         multipart form with a WAV `file` (stdlib decode; no codec deps in
         this environment) served by an encoder-decoder (Whisper) model."""
+        return await self._audio(request, task="transcribe")
+
+    async def translations(self, request: web.Request) -> web.Response:
+        """/v1/audio/translations: same pipeline with Whisper's
+        <|translate|> task token (translate-to-English)."""
+        return await self._audio(request, task="translate")
+
+    async def _audio(self, request: web.Request, task: str) -> web.Response:
         try:
             form = await request.post()
             up = form.get("file")
@@ -180,7 +204,7 @@ class OpenAIServer:
         prompt_ids = []
         for t in ("<|startoftranscript|>",
                   f"<|{language}|>" if language else None,
-                  "<|transcribe|>", "<|notimestamps|>"):
+                  f"<|{task}|>", "<|notimestamps|>"):
             if t is None:
                 continue
             tid = tok.convert_tokens_to_ids(t) \
@@ -328,6 +352,81 @@ class OpenAIServer:
 
     async def version(self, request: web.Request) -> web.Response:
         return web.json_response({"version": aphrodite_tpu.__version__})
+
+    async def load(self, request: web.Request) -> web.Response:
+        # exclude this GET itself from the count
+        return web.json_response({"server_load": max(self._inflight - 1, 0)})
+
+    async def serviceinfo(self, request: web.Request) -> web.Response:
+        """/.well-known/serviceinfo (reference api_server.py route):
+        machine-readable software + API descriptor for clients/UIs."""
+        return web.json_response({
+            "version": 0.2,
+            "software": {
+                "name": "aphrodite-tpu",
+                "version": aphrodite_tpu.__version__,
+                "repository": "aphrodite-tpu",
+            },
+            "api": {
+                "openai": {"name": "OpenAI API",
+                           "relative_url": "/v1",
+                           "documentation": "https://platform.openai.com/"
+                                            "docs/api-reference"},
+                "koboldai": {"name": "KoboldAI API",
+                             "relative_url": "/api/v1"},
+            },
+        })
+
+    async def invocations(self, request: web.Request) -> web.Response:
+        """SageMaker-style /invocations: dispatch on the body's shape
+        (reference api_server.py:788)."""
+        try:
+            body = await request.json()
+        except Exception as e:
+            return _err(f"invalid JSON: {e}")
+        # aiohttp caches the payload, so the target handler re-reads it.
+        if "messages" in body:
+            return await self.chat_completions(request)
+        if "prompt" in body:
+            return await self.completions(request)
+        if "input" in body:
+            return await self.embeddings(request)
+        return _err("cannot infer task: body has none of "
+                    "'messages'/'prompt'/'input'")
+
+    async def pooling(self, request: web.Request) -> web.Response:
+        """/pooling (reference api_server.py:601): raw pooled hidden states
+        without normalization."""
+        import asyncio as _asyncio
+        try:
+            body = await request.json()
+        except Exception as e:
+            return _err(str(e))
+        inputs = body.get("input")
+        if isinstance(inputs, str) or (
+                isinstance(inputs, list) and inputs
+                and isinstance(inputs[0], int)):
+            inputs = [inputs]
+        tok = self.engine.tokenizer
+        token_lists = [tok.encode(p) if isinstance(p, str) else list(p)
+                       for p in inputs]
+        loop = _asyncio.get_running_loop()
+        try:
+            vecs = await loop.run_in_executor(
+                None, lambda: self.engine.worker_call(
+                    "embed", token_lists,
+                    pooling=body.get("pooling", "last")))
+        except Exception as e:
+            return _err(str(e), 500, "InternalServerError")
+        import numpy as _np
+        data = [{"index": i, "object": "pooling",
+                 "data": _np.asarray(v, _np.float32).tolist()}
+                for i, v in enumerate(vecs)]
+        n_tok = sum(len(t) for t in token_lists)
+        return web.json_response({
+            "id": f"pool-{random_uuid()}", "object": "list", "data": data,
+            "model": body.get("model") or self.model_name,
+            "usage": {"prompt_tokens": n_tok, "total_tokens": n_tok}})
 
     async def server_info(self, request: web.Request) -> web.Response:
         return web.json_response({

@@ -146,3 +146,34 @@ def test_embeddings_route(server):
     assert len(body["data"]) == 1
     emb = body["data"][0]["embedding"]
     assert len(emb) == 64  # hidden size of the tiny model
+
+
+def test_serviceinfo_and_load(server):
+    info = httpx.get(server.base_url + "/.well-known/serviceinfo").json()
+    assert info["software"]["name"] == "aphrodite-tpu"
+    assert "openai" in info["api"]
+    load = httpx.get(server.base_url + "/load").json()
+    assert load["server_load"] >= 0
+
+
+def test_invocations_dispatch(server):
+    r = httpx.post(server.base_url + "/invocations",
+                   json={"prompt": "hello", "max_tokens": 4,
+                         "temperature": 0.0}, timeout=60)
+    assert r.status_code == 200 and r.json()["object"] == "text_completion"
+    r = httpx.post(server.base_url + "/invocations",
+                   json={"messages": [{"role": "user", "content": "hi"}],
+                         "max_tokens": 4}, timeout=60)
+    assert r.status_code == 200 and r.json()["object"] == "chat.completion"
+    r = httpx.post(server.base_url + "/invocations", json={"x": 1},
+                   timeout=30)
+    assert r.status_code == 400
+
+
+def test_pooling_route(server):
+    # decoder models pool hidden states too (reference --task embed).
+    r = httpx.post(server.base_url + "/pooling",
+                   json={"input": "hello"}, timeout=60)
+    assert r.status_code == 200
+    data = r.json()["data"]
+    assert data and isinstance(data[0]["data"], list)
