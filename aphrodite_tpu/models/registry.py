@@ -124,6 +124,9 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     # Multimodal (vision-language).
     "LlavaForConditionalGeneration": ("aphrodite_tpu.models.llava",
                                       "LlavaForConditionalGeneration"),
+    "PaliGemmaForConditionalGeneration": (
+        "aphrodite_tpu.models.paligemma",
+        "PaliGemmaForConditionalGeneration"),
     # Encoder-decoder (speech-to-text).
     "WhisperForConditionalGeneration": ("aphrodite_tpu.models.whisper",
                                         "WhisperForConditionalGeneration"),

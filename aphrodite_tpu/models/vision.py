@@ -42,7 +42,8 @@ class VisionTower:
     wrappers can nest it under their param tree."""
 
     def __init__(self, vision_config, dtype, *, cls_token: bool = True,
-                 feature_layer: int = -2) -> None:
+                 feature_layer: int = -2, post_ln: bool = False) -> None:
+        self.post_ln = post_ln
         vc = vision_config
         self.dtype = dtype
         self.hidden = vc.hidden_size
@@ -84,6 +85,9 @@ class VisionTower:
             shapes["pre_ln_b"] = (D,)
         else:
             shapes["patch_b"] = (D,)
+        if self.post_ln:
+            shapes["post_ln_w"] = (D,)
+            shapes["post_ln_b"] = (D,)
         return shapes
 
     def init_dummy(self, rng: jax.Array) -> dict:
@@ -120,6 +124,10 @@ class VisionTower:
             bufs["pre_ln_w"][...] = w.astype(target)
         elif name in ("pre_layrnorm.bias", "pre_layernorm.bias"):
             bufs["pre_ln_b"][...] = w.astype(target)
+        elif name == "post_layernorm.weight" and "post_ln_w" in bufs:
+            bufs["post_ln_w"][...] = w.astype(target)
+        elif name == "post_layernorm.bias" and "post_ln_b" in bufs:
+            bufs["post_ln_b"][...] = w.astype(target)
         elif name.startswith("encoder.layers."):
             rest = name[len("encoder.layers."):]
             idx_s, sub = rest.split(".", 1)
@@ -201,4 +209,6 @@ class VisionTower:
 
         used = jax.tree.map(lambda a: a[:self.use_layers], vp["layers"])
         x, _ = jax.lax.scan(layer, x, used)
+        if self.post_ln:  # SigLIP last_hidden_state semantics
+            x = layer_norm(x, vp["post_ln_w"], vp["post_ln_b"], self.eps)
         return x

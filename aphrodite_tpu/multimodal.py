@@ -190,8 +190,27 @@ class LlavaAdapter:
 
 LlavaAdapter.media_key = "image"
 
+
+class PaliGemmaAdapter(LlavaAdapter):
+    """PaliGemma: SigLIP grid (no CLS option), 0.5/0.5 normalization
+    (reference: modeling/models/paligemma.py input mapping)."""
+
+    def __init__(self, hf_config) -> None:
+        super().__init__(hf_config)
+        vc = hf_config.vision_config
+        grid = vc.image_size // vc.patch_size
+        self.tokens_per_image = grid * grid
+        self.image_mean = np.asarray(
+            getattr(vc, "image_mean", (0.5, 0.5, 0.5)), np.float32)
+        self.image_std = np.asarray(
+            getattr(vc, "image_std", (0.5, 0.5, 0.5)), np.float32)
+
+
+PaliGemmaAdapter.media_key = "image"
+
 _ADAPTERS = {
     "LlavaForConditionalGeneration": LlavaAdapter,
+    "PaliGemmaForConditionalGeneration": PaliGemmaAdapter,
     "WhisperForConditionalGeneration": WhisperAdapter,
 }
 
