@@ -89,7 +89,8 @@ class ModelConfig:
                         "hidden_size": ("d_model", "n_embd"),
                         "max_position_embeddings": ("max_seq_len",
                                                     "model_max_length",
-                                                    "seq_length"),
+                                                    "seq_length",
+                                                    "n_positions"),
                     }
                     for canon, alts in aliases.items():
                         if canon not in d:
@@ -172,6 +173,9 @@ class ModelConfig:
                     or self.num_attention_heads
             return 1 if getattr(tc, "multi_query", False) \
                 else self.num_attention_heads
+        if getattr(tc, "multi_query_attention", False):
+            # ChatGLM-style grouped MQA.
+            return getattr(tc, "multi_query_group_num", 2)
         if getattr(tc, "multi_query", False):
             return 1  # GPTBigCode-style MQA
         return getattr(tc, "num_key_value_heads", None) \

@@ -73,6 +73,8 @@ class FlexibleDecoder:
     attn_bias: bool = False
     attn_out_bias: Optional[bool] = None   # None -> attn_bias
     clip_qkv: Optional[float] = None
+    attn_soft_cap: Optional[float] = None  # logit softcap (Grok-1)
+    attn_output_multiplier: float = 1.0    # post-o_proj scale (Grok-1)
     # --- MLP
     mlp_kind: str = "gated"        # gated | dense
     mlp_bias: bool = False
@@ -311,8 +313,8 @@ class FlexibleDecoder:
                 for k, s in self._layer_shapes().items()}
         params: dict = {"layers": bufs}
         for name, w in weights:
-            if name.endswith(("rotary_emb.inv_freq", "attn.bias",
-                              "attn.masked_bias")):
+            if name.endswith(("rotary_emb.inv_freq", ".attn.bias",
+                              ".attn.masked_bias")):
                 continue
             w = np.asarray(w)
             top = self._TOP_MAP.get(name)
@@ -426,9 +428,13 @@ class FlexibleDecoder:
             kvc = write_kv(kvc, k, v, md.slot_mapping)
             o = paged_attention(q, kvc, md, self.scale,
                                 sliding_window=self.sliding_window,
+                                logits_soft_cap=self.attn_soft_cap,
                                 use_pallas=use_pallas, alibi=alibi)
-            return lin(o.reshape(T, nq * hd), lp, "wo",
-                       "bo" if self.attn_out_bias else None), kvc
+            o = lin(o.reshape(T, nq * hd), lp, "wo",
+                    "bo" if self.attn_out_bias else None)
+            if self.attn_output_multiplier != 1.0:
+                o = o * self.attn_output_multiplier
+            return o, kvc
 
         def mlp(h, lp):
             if self.mlp_kind == "moe":

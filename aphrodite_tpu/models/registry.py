@@ -101,6 +101,22 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                          "OrionForCausalLM"),
     "MiniCPMForCausalLM": ("aphrodite_tpu.models.llama_variants",
                            "MiniCPMForCausalLM"),
+    # Fused-QKV remote-code families + Grok-1 (misc_decoders.py).
+    "QWenLMHeadModel": ("aphrodite_tpu.models.misc_decoders",
+                        "QWenLMHeadModel"),
+    "JAISLMHeadModel": ("aphrodite_tpu.models.misc_decoders",
+                        "JAISLMHeadModel"),
+    "ChatGLMModel": ("aphrodite_tpu.models.misc_decoders", "ChatGLMModel"),
+    "ChatGLMForConditionalGeneration": ("aphrodite_tpu.models.misc_decoders",
+                                        "ChatGLMModel"),
+    "TeleChat2ForCausalLM": ("aphrodite_tpu.models.misc_decoders",
+                             "TeleChat2ForCausalLM"),
+    "TeleFLMForCausalLM": ("aphrodite_tpu.models.misc_decoders",
+                           "TeleFLMForCausalLM"),
+    "Fairseq2LlamaForCausalLM": ("aphrodite_tpu.models.misc_decoders",
+                                 "Fairseq2LlamaForCausalLM"),
+    "Grok1ModelForCausalLM": ("aphrodite_tpu.models.misc_decoders",
+                              "Grok1ModelForCausalLM"),
     # Llama-exact exports under their own architecture names.
     "XverseForCausalLM": ("aphrodite_tpu.models.llama", "LlamaForCausalLM"),
     "SolarForCausalLM": ("aphrodite_tpu.models.llama", "LlamaForCausalLM"),
