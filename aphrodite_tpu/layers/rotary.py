@@ -124,7 +124,39 @@ def compute_inv_freq(cfg: RopeConfig) -> tuple[np.ndarray, float]:
             deepseek_yarn_mscale(factor, float(s.get("mscale", 1.0))) /
             deepseek_yarn_mscale(factor, float(s.get("mscale_all_dim", 0.0)))
             * attn_factor)
+    elif rope_type in ("longrope", "su"):
+        # Phi-3 / MiniCPM3 LongRoPE (reference
+        # Phi3LongRoPEScaledRotaryEmbedding, rotary_embedding.py:586-645):
+        # two per-dim rescale vectors; positions below
+        # original_max_position_embeddings use short_factor, the rest
+        # long_factor. Selection happens in compute_cos_sin via
+        # `longrope_orig_max`. Both branches share the default
+        # sqrt(1 + ln(scale)/ln(orig_max)) magnitude correction unless the
+        # checkpoint overrides short/long mscale.
+        orig_max = s.get("original_max_position_embeddings",
+                         cfg.max_position)
+        short = np.asarray(s["short_factor"], np.float64)
+        long_ = np.asarray(s["long_factor"], np.float64)
+        scale = cfg.max_position / orig_max
+        default_m = 1.0 if scale <= 1.0 else math.sqrt(
+            1 + math.log(scale) / math.log(orig_max))
+        short_m = float(s.get("short_mscale") or default_m)
+        long_m = float(s.get("long_mscale") or default_m)
+        inv_freq = np.stack([inv_freq / short, inv_freq / long_])
+        mscale = np.array([short_m, long_m], np.float32)
+    if isinstance(mscale, np.ndarray):
+        return inv_freq.astype(np.float32), mscale
     return inv_freq.astype(np.float32), float(mscale)
+
+
+def longrope_orig_max(cfg: RopeConfig) -> Optional[int]:
+    """Position threshold between LongRoPE's short/long factor sets, or
+    None when the config is not longrope-scaled."""
+    s = cfg.scaling or {}
+    if s.get("rope_type", s.get("type", "default")) in ("longrope", "su"):
+        return int(s.get("original_max_position_embeddings",
+                         cfg.max_position))
+    return None
 
 
 def deepseek_yarn_mscale(scale: float, mscale: float) -> float:
@@ -135,8 +167,19 @@ def deepseek_yarn_mscale(scale: float, mscale: float) -> float:
 
 
 def compute_cos_sin(positions: jax.Array, inv_freq: jax.Array,
-                    mscale: float = 1.0) -> tuple[jax.Array, jax.Array]:
-    """positions [T] int32 -> (cos, sin) each [T, rotary_dim//2] float32."""
+                    mscale=1.0, longrope_orig_max: Optional[int] = None
+                    ) -> tuple[jax.Array, jax.Array]:
+    """positions [T] int32 -> (cos, sin) each [T, rotary_dim//2] float32.
+
+    For LongRoPE, ``inv_freq`` is [2, rotary_dim//2] (short/long factor
+    sets), ``mscale`` is [2], and each position picks its row by comparing
+    against ``longrope_orig_max``."""
+    if inv_freq.ndim == 2:
+        sel = (positions >= longrope_orig_max).astype(jnp.int32)
+        inv = inv_freq[sel]                      # [T, rot//2]
+        ms = jnp.asarray(mscale)[sel][:, None]   # [T, 1]
+        freqs = positions.astype(jnp.float32)[:, None] * inv
+        return jnp.cos(freqs) * ms, jnp.sin(freqs) * ms
     freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
     return jnp.cos(freqs) * mscale, jnp.sin(freqs) * mscale
 

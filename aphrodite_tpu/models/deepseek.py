@@ -38,9 +38,11 @@ from aphrodite_tpu.attention import (AttentionMetadata, paged_attention,
                                      write_kv)
 from aphrodite_tpu.layers.common import rms_norm
 from aphrodite_tpu.layers.linear import apply_linear
-from aphrodite_tpu.layers.rotary import (RopeConfig, apply_rope_interleaved,
+from aphrodite_tpu.layers.rotary import (RopeConfig, apply_rope,
+                                         apply_rope_interleaved,
                                          compute_cos_sin, compute_inv_freq,
-                                         deepseek_yarn_mscale)
+                                         deepseek_yarn_mscale,
+                                         longrope_orig_max)
 from aphrodite_tpu.models.llama import LlamaForCausalLM
 
 
@@ -48,10 +50,23 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
     """Also DeepSeek-V2-Lite (q_lora_rank=None, greedy routing)."""
 
     router_style = "v2"  # softmax scores, greedy/group_limited_greedy
+    rope_interleaved = True     # DeepSeek ropes the pe dims pair-interleaved
+    embedding_multiplier = 1.0  # muP knobs (MiniCPM3)
+    residual_multiplier = 1.0
+    logits_multiplier = 1.0
+    _longrope_orig_max = None
 
     def __init__(self, config):
         hf = config.text_config
-        super().__init__(config)
+        # The base init builds a rope for the latent head_dim; mask the
+        # scaling dict while it runs (its factor vectors are sized for
+        # qk_rope_head_dim — we rebuild the real rope below).
+        saved_scaling = getattr(hf, "rope_scaling", None)
+        hf.rope_scaling = None
+        try:
+            super().__init__(config)
+        finally:
+            hf.rope_scaling = saved_scaling
         self.q_lora_rank = getattr(hf, "q_lora_rank", None)
         self.kv_lora_rank = hf.kv_lora_rank
         self.qk_nope_head_dim = hf.qk_nope_head_dim
@@ -363,11 +378,12 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             q = apply_linear(h, lp["wq"], fmt=fmt)
         q = q.reshape(T, nq, self.qk_head_dim)
         q_nope = q[..., :self.qk_nope_head_dim]
-        q_pe = apply_rope_interleaved(q[..., self.qk_nope_head_dim:],
-                                      cos, sin)
+        rope_fn = apply_rope_interleaved if self.rope_interleaved \
+            else apply_rope
+        q_pe = rope_fn(q[..., self.qk_nope_head_dim:], cos, sin)
         kv_a = apply_linear(h, lp["wkv_a"], fmt=fmt)  # [T, R+rope]
         ckv = rms_norm(kv_a[:, :R], lp["kv_a_norm"], self.rms_eps)
-        k_pe = apply_rope_interleaved(kv_a[:, None, R:], cos, sin)
+        k_pe = rope_fn(kv_a[:, None, R:], cos, sin)
         # Absorb W_UK: q into the latent space.
         q_lat = jnp.einsum("thd,rhd->thr", q_nope, lp["w_uk"],
                            preferred_element_type=jnp.float32).astype(x.dtype)
@@ -383,7 +399,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                        preferred_element_type=jnp.float32).astype(x.dtype)
         o = apply_linear(o.reshape(T, nq * self.v_head_dim), lp["wo"],
                          fmt=fmt)
-        return self._sp(x + o), kvc
+        return self._sp(x + o * self.residual_multiplier), kvc
 
     def _route(self, h: jax.Array, mp: dict):
         """Router: HF-exact top-k expert selection (f32 score math)."""
@@ -455,8 +471,11 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         if mm is not None:
             mm_embeds, mm_idx = mm
             x = x.at[mm_idx].set(mm_embeds.astype(x.dtype), mode="drop")
+        if self.embedding_multiplier != 1.0:
+            x = x * self.embedding_multiplier
         cos, sin = compute_cos_sin(md.token_pos, self._inv_freq,
-                                   self._rope_mscale)
+                                   self._rope_mscale,
+                                   self._longrope_orig_max)
 
         def body(kind):
             def layer(x, xs):
@@ -468,7 +487,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                     y = self._moe_mlp(h, mp)
                 else:
                     y = self._mlp(h, mp)
-                return self._sp(x + y), kvc
+                return self._sp(x + y * self.residual_multiplier), kvc
             return layer
 
         sl = jax.tree.map  # alias
@@ -489,3 +508,48 @@ class DeepseekV3ForCausalLM(DeepseekV2ForCausalLM):
     """Sigmoid router with expert-score correction bias (noaux_tc)."""
 
     router_style = "v3"
+
+
+class MiniCPM3ForCausalLM(DeepseekV2ForCausalLM):
+    """HF 'MiniCPM3ForCausalLM' (reference modeling/models/minicpm3.py):
+    MLA attention (deepseek-shaped q/kv LoRA projections, minicpm3.py:46-150)
+    over a dense llama MLP stack, with MiniCPM's muP scales
+    (minicpm.py:340-347 residual scale_depth/sqrt(L), :397 scale_emb,
+    :550 logits / (hidden_size/dim_model_base)) and neox-style rope on the
+    pe dims (minicpm3.py:111-116 get_rope default), typically
+    longrope-scaled."""
+
+    rope_interleaved = False
+
+    def __init__(self, config):
+        hf = config.text_config
+        super().__init__(config)
+        # Undo the deepseek_yarn forcing: MiniCPM3 ropes with the config's
+        # own scaling (longrope) and the plain qk_head_dim^-0.5 scale.
+        self.scale = self.qk_head_dim ** -0.5
+        scaling = getattr(hf, "rope_scaling", None)
+        self.rope = RopeConfig(
+            head_dim=self.qk_rope_head_dim,
+            rotary_dim=self.qk_rope_head_dim,
+            base=getattr(hf, "rope_theta", 10000.0),
+            max_position=getattr(hf, "max_position_embeddings", 2048),
+            scaling=dict(scaling) if scaling else None,
+        )
+        inv_freq, mscale = compute_inv_freq(self.rope)
+        self._inv_freq = jnp.asarray(inv_freq)
+        self._rope_mscale = mscale
+        self._longrope_orig_max = longrope_orig_max(self.rope)
+        self.embedding_multiplier = float(getattr(hf, "scale_emb", 1.0))
+        depth = getattr(hf, "scale_depth", None)
+        if depth:
+            self.residual_multiplier = float(depth) / \
+                (self.num_layers ** 0.5)
+        base = getattr(hf, "dim_model_base", None)
+        if base:
+            self.logits_multiplier = 1.0 / (self.hidden_size / base)
+
+    def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:
+        logits = super().compute_logits(params, hidden)
+        if self.logits_multiplier != 1.0:
+            logits = logits * self.logits_multiplier
+        return logits

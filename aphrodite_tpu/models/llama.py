@@ -25,7 +25,8 @@ from aphrodite_tpu.config import ModelConfig
 from aphrodite_tpu.layers.common import ACT2MUL, rms_norm
 from aphrodite_tpu.layers.linear import apply_linear
 from aphrodite_tpu.layers.rotary import (RopeConfig, apply_rope,
-                                         compute_cos_sin, compute_inv_freq)
+                                         compute_cos_sin, compute_inv_freq,
+                                         longrope_orig_max)
 from aphrodite_tpu.utils import jax_dtype
 
 
@@ -67,6 +68,7 @@ class LlamaForCausalLM:
         inv_freq, mscale = compute_inv_freq(self.rope)
         self._inv_freq = jnp.asarray(inv_freq)
         self._rope_mscale = mscale
+        self._longrope_orig_max = longrope_orig_max(self.rope)
         # Quantization format for the linear weights ("w4a16" / "int8" /
         # "w8a16" / "fp8"); None = full precision. Set by the worker.
         self.quant_fmt = None
@@ -228,7 +230,8 @@ class LlamaForCausalLM:
             mm_embeds, mm_idx = mm
             x = x.at[mm_idx].set(mm_embeds.astype(x.dtype), mode="drop")
         cos, sin = compute_cos_sin(md.token_pos, self._inv_freq,
-                                   self._rope_mscale)
+                                   self._rope_mscale,
+                                   self._longrope_orig_max)
         nq, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
         scan_layers = (params["layers"] if lora is None
                        else {**params["layers"], **lora})

@@ -39,7 +39,8 @@ from aphrodite_tpu.layers.common import ACT2MUL, rms_norm
 from aphrodite_tpu.layers.linear import apply_linear
 from aphrodite_tpu.layers.rotary import (RopeConfig, apply_rope,
                                          apply_rope_interleaved,
-                                         compute_cos_sin, compute_inv_freq)
+                                         compute_cos_sin, compute_inv_freq,
+                                         longrope_orig_max)
 from aphrodite_tpu.models.vision import layer_norm
 from aphrodite_tpu.utils import jax_dtype
 
@@ -140,6 +141,7 @@ class FlexibleDecoder:
             inv_freq, mscale = compute_inv_freq(self.rope)
             self._inv_freq = jnp.asarray(inv_freq)
             self._rope_mscale = mscale
+            self._longrope_orig_max = longrope_orig_max(self.rope)
 
     def _setup(self, hf) -> None:  # pragma: no cover - subclass hook
         raise NotImplementedError
@@ -401,7 +403,8 @@ class FlexibleDecoder:
             cos = sin = None
         else:
             cos, sin = compute_cos_sin(md.token_pos, self._inv_freq,
-                                       self._rope_mscale)
+                                       self._rope_mscale,
+                                       self._longrope_orig_max)
         alibi = getattr(self, "_alibi", None)
 
         def lin(h, lp, key, bkey=None):

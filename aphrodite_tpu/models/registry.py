@@ -44,6 +44,8 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                               "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("aphrodite_tpu.models.deepseek",
                               "DeepseekV3ForCausalLM"),
+    "MiniCPM3ForCausalLM": ("aphrodite_tpu.models.deepseek",
+                            "MiniCPM3ForCausalLM"),
     # Classic decoder family (learned positions / LN-bias / fused QKV).
     "StableLmForCausalLM": ("aphrodite_tpu.models.llama_variants",
                             "StableLmForCausalLM"),
