@@ -56,6 +56,14 @@ class AttentionMetadata:
     # Pure-decode step (one token per request, token i belongs to request i):
     # routes to the decode-specialized kernel; metadata may be built in-graph.
     decode_mode: bool = field(default=False, metadata=dict(static=True))
+    # ---- mrope (Qwen2-VL family): 3-channel rotary positions. ----
+    # [3, T] int32 (temporal, height, width) position per token; None for
+    # models without mrope. Decode tokens carry pos+delta in all 3 rows.
+    mrope_pos: Optional[jax.Array] = None
+    # [R] int32 per-request decode-position delta (max prompt mrope + 1 -
+    # prompt_len); used by the in-graph multi-step scan to rebuild
+    # mrope_pos from advancing token_pos.
+    mrope_deltas: Optional[jax.Array] = None
     # ---- SSM (Mamba) state routing. ----
     # [R] int32: recurrent-state slot per request (models/mamba.py).
     state_slots: Optional[jax.Array] = None

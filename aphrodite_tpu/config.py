@@ -173,6 +173,23 @@ class ModelConfig:
                     or self.num_attention_heads
             return 1 if getattr(tc, "multi_query", False) \
                 else self.num_attention_heads
+        bc = getattr(tc, "block_configs", None)
+        if bc is not None:
+            # DeciLM/nemotron-nas: per-layer GQA; the paged cache is sized
+            # for the widest layer (models/hetero.py pads narrower ones).
+            def group(b):
+                a = b.get("attention") if isinstance(b, dict) else \
+                    getattr(b, "attention", None)
+                if a is None:
+                    return None
+                if (a.get("no_op") if isinstance(a, dict)
+                        else getattr(a, "no_op", False)):
+                    return None
+                return (a.get("n_heads_in_group") if isinstance(a, dict)
+                        else getattr(a, "n_heads_in_group", None))
+            groups = [g for g in (group(b) for b in bc) if g]
+            if groups:
+                return max(self.num_attention_heads // g for g in groups)
         if getattr(tc, "multi_query_attention", False):
             # ChatGLM-style grouped MQA.
             return getattr(tc, "multi_query_group_num", 2)
@@ -308,6 +325,30 @@ class SpeculativeConfig:
     # ngram proposer window (reference: aphrodite/v1/spec_decode/ngram_proposer.py:9)
     prompt_lookup_max: int = 4
     prompt_lookup_min: int = 1
+
+    # Speculator architectures -> proposer method (reference registry.py
+    # _SPECULATIVE_DECODING_MODELS; reference spec_decode_worker.py:141
+    # create_worker does the same dispatch from the draft config).
+    _ARCH_METHODS = {
+        "MedusaModel": "medusa",
+        "MLPSpeculatorPreTrainedModel": "mlp_speculator",
+        "EAGLEModel": "eagle",
+        "EagleLlamaForCausalLM": "eagle",
+        "Eagle3LlamaForCausalLM": "eagle",
+    }
+
+    def __post_init__(self) -> None:
+        if self.method is None and self.draft_model:
+            arch = None
+            cfg_path = os.path.join(str(self.draft_model), "config.json")
+            if os.path.exists(cfg_path):
+                with open(cfg_path) as f:
+                    archs = json.load(f).get("architectures") or []
+                arch = archs[0] if archs else None
+            if arch == "DeepSeekMTPModel":
+                raise NotImplementedError(
+                    "DeepSeek-MTP speculative heads: follow-up")
+            self.method = self._ARCH_METHODS.get(arch, "draft_model")
 
 
 @dataclass

@@ -105,10 +105,18 @@ class Processor:
                 raise ValueError(
                     f"request {request_id}: model expects "
                     f"'{self.mm_adapter.media_key}' in multi_modal_data")
-            pv = self.mm_adapter.preprocess(media)
-            token_ids, spans = self.mm_adapter.expand_prompt(
-                token_ids, pv.shape[0])
-            mm_inputs = MMInputs(pixel_values=pv, spans=spans)
+            if hasattr(self.mm_adapter, "process"):
+                # Variable-token adapters (Qwen2-VL): one call handles
+                # preprocessing, prompt expansion, and extras.
+                pv, token_ids, spans, extra = self.mm_adapter.process(
+                    media, token_ids)
+                mm_inputs = MMInputs(pixel_values=pv, spans=spans,
+                                     extra=extra)
+            else:
+                pv = self.mm_adapter.preprocess(media)
+                token_ids, spans = self.mm_adapter.expand_prompt(
+                    token_ids, pv.shape[0])
+                mm_inputs = MMInputs(pixel_values=pv, spans=spans)
 
         if not token_ids:
             raise ValueError(f"request {request_id}: empty prompt")

@@ -238,6 +238,17 @@ class BertForSequenceClassification(BertModel):
                     extra["cls_w"] = np.asarray(w).T.astype(target)
                 elif name == "classifier.bias":
                     extra["cls_b"] = np.asarray(w).astype(target)
+                # Roberta classification head (HF RobertaClassificationHead:
+                # dense+tanh then out_proj over [CLS]) — isomorphic to
+                # BERT's pooler+classifier.
+                elif name == "classifier.dense.weight":
+                    extra["pooler_w"] = np.asarray(w).T.astype(target)
+                elif name == "classifier.dense.bias":
+                    extra["pooler_b"] = np.asarray(w).astype(target)
+                elif name == "classifier.out_proj.weight":
+                    extra["cls_w"] = np.asarray(w).T.astype(target)
+                elif name == "classifier.out_proj.bias":
+                    extra["cls_b"] = np.asarray(w).astype(target)
                 else:
                     yield name, w
 

@@ -25,7 +25,9 @@ def _decoder_class(config: ModelConfig):
     mt = config.text_config.model_type
     arch = {"qwen2": "Qwen2ForCausalLM", "llama": "LlamaForCausalLM",
             "mistral": "MistralForCausalLM", "gemma2": "Gemma2ForCausalLM",
-            "qwen3": "Qwen3ForCausalLM"}.get(mt)
+            "qwen3": "Qwen3ForCausalLM", "gemma": "GemmaForCausalLM",
+            "phi3": "Phi3ForCausalLM", "glm": "GlmForCausalLM",
+            "internlm2": "InternLM2ForCausalLM"}.get(mt)
     if arch is None:
         raise ValueError(f"decoder-embedding for model_type={mt!r} is not "
                          "wired up")
@@ -159,6 +161,34 @@ class Qwen2ForRewardModel(DecoderEmbeddingModel):
         h = jax.nn.relu(jnp.dot(hidden, params["score0"])
                         + params["score0_b"])
         return jnp.dot(h, params["score2"],
+                       preferred_element_type=jnp.float32)
+
+
+class InternLM2ForRewardModel(DecoderEmbeddingModel):
+    """InternLM2 reward model: single bias-free ``v_head`` [H -> 1] on each
+    hidden state (reference modeling/models/internlm2.py:402-432, pooling
+    ALL / last-token for the sequence reward)."""
+
+    def _extra_dummy(self, params, rng):
+        H = self.inner.hidden_size
+        params["v_head"] = (0.02 * jax.random.normal(
+            rng, (H, 1), jnp.float32)).astype(self.dtype)
+        return params
+
+    def _take_extra(self, name, w, extra) -> bool:
+        import ml_dtypes  # noqa: F401
+        target = np.dtype("bfloat16") if self.dtype == jnp.bfloat16 \
+            else np.dtype(jnp.dtype(self.dtype).name)
+        if name == "v_head.weight":
+            extra["v_head"] = np.asarray(w).T.astype(target)
+            return True
+        return False
+
+    def _extra_specs(self, specs):
+        specs["v_head"] = P()
+
+    def _head(self, params, hidden):
+        return jnp.dot(hidden, params["v_head"],
                        preferred_element_type=jnp.float32)
 
 

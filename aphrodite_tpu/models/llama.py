@@ -217,6 +217,12 @@ class LlamaForCausalLM:
         return specs
 
     # ----------------------------------------------------------------- forward
+    def _cos_sin(self, md):
+        """Rotary cos/sin for this step's tokens (hook: Qwen2-VL overrides
+        with the 3-channel mrope computation)."""
+        return compute_cos_sin(md.token_pos, self._inv_freq,
+                               self._rope_mscale, self._longrope_orig_max)
+
     def apply(self, params: dict, input_ids: jax.Array, kv_cache: jax.Array,
               md: AttentionMetadata, *, use_pallas: bool = False,
               lora: dict | None = None, mm=None
@@ -229,9 +235,7 @@ class LlamaForCausalLM:
             # an in-graph scatter so chunked prefill composes naturally.
             mm_embeds, mm_idx = mm
             x = x.at[mm_idx].set(mm_embeds.astype(x.dtype), mode="drop")
-        cos, sin = compute_cos_sin(md.token_pos, self._inv_freq,
-                                   self._rope_mscale,
-                                   self._longrope_orig_max)
+        cos, sin = self._cos_sin(md)
         nq, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
         scan_layers = (params["layers"] if lora is None
                        else {**params["layers"], **lora})

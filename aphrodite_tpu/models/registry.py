@@ -119,6 +119,11 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                                  "Fairseq2LlamaForCausalLM"),
     "Grok1ModelForCausalLM": ("aphrodite_tpu.models.misc_decoders",
                               "Grok1ModelForCausalLM"),
+    # Heterogeneous-layer decoders (hetero.py).
+    "DeciLMForCausalLM": ("aphrodite_tpu.models.hetero",
+                          "DeciLMForCausalLM"),
+    "ArcticForCausalLM": ("aphrodite_tpu.models.hetero",
+                          "ArcticForCausalLM"),
     # Llama-exact exports under their own architecture names.
     "XverseForCausalLM": ("aphrodite_tpu.models.llama", "LlamaForCausalLM"),
     "SolarForCausalLM": ("aphrodite_tpu.models.llama", "LlamaForCausalLM"),
@@ -142,6 +147,11 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     # Multimodal (vision-language).
     "LlavaForConditionalGeneration": ("aphrodite_tpu.models.llava",
                                       "LlavaForConditionalGeneration"),
+    "Qwen2VLForConditionalGeneration": (
+        "aphrodite_tpu.models.qwen2_vl", "Qwen2VLForConditionalGeneration"),
+    "Qwen2_5_VLForConditionalGeneration": (
+        "aphrodite_tpu.models.qwen2_vl",
+        "Qwen2_5_VLForConditionalGeneration"),
     "PaliGemmaForConditionalGeneration": (
         "aphrodite_tpu.models.paligemma",
         "PaliGemmaForConditionalGeneration"),
@@ -161,6 +171,10 @@ _EMBEDDING: dict[str, tuple[str, str]] = {
     # Cross-encoders (scoring/reranking via /score + /rerank).
     "BertForSequenceClassification": ("aphrodite_tpu.models.bert",
                                       "BertForSequenceClassification"),
+    "RobertaForSequenceClassification": ("aphrodite_tpu.models.bert",
+                                         "BertForSequenceClassification"),
+    "XLMRobertaForSequenceClassification": (
+        "aphrodite_tpu.models.bert", "BertForSequenceClassification"),
     # Decoder-based embedders (e5-mistral / gte-Qwen2 style): pass
     # `architecture="Qwen2Model"` (etc.) to embed a ForCausalLM checkpoint.
     "Qwen2Model": ("aphrodite_tpu.models.decoder_embed",
@@ -173,6 +187,13 @@ _EMBEDDING: dict[str, tuple[str, str]] = {
                     "DecoderEmbeddingModel"),
     "Qwen3Model": ("aphrodite_tpu.models.decoder_embed",
                    "DecoderEmbeddingModel"),
+    # GritLM: llama/mistral decoder served for embeddings (reference
+    # gritlm.py — the instruction-masked pooling variant is a serving-time
+    # option; mean/last pooling is exposed through LLM.embed).
+    "GritLM": ("aphrodite_tpu.models.decoder_embed",
+               "DecoderEmbeddingModel"),
+    "InternLM2ForRewardModel": ("aphrodite_tpu.models.decoder_embed",
+                                "InternLM2ForRewardModel"),
     "Qwen2ForRewardModel": ("aphrodite_tpu.models.decoder_embed",
                             "Qwen2ForRewardModel"),
     "Qwen2ForProcessRewardModel": ("aphrodite_tpu.models.decoder_embed",

@@ -30,6 +30,9 @@ class MMInputs:
     # Per image: (token_offset, num_tokens) span in the expanded prompt.
     spans: list[tuple[int, int]]
     is_embeddings: bool = False
+    # Model-specific extras forwarded to encode_images (e.g. Qwen2-VL
+    # grid_thw [N, 3]).
+    extra: Optional[dict] = None
 
     @property
     def num_images(self) -> int:
@@ -208,10 +211,88 @@ class PaliGemmaAdapter(LlavaAdapter):
 
 PaliGemmaAdapter.media_key = "image"
 
+class Qwen2VLAdapter:
+    """Qwen2-VL family: native-resolution patch packing via the HF image
+    processor; per-image token counts vary with the image grid
+    (reference: qwen2_vl.py input mapping + Qwen2VLImageProcessor)."""
+
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        self.hf = hf_config
+        vc = hf_config.vision_config
+        self.image_token_id = hf_config.image_token_id
+        self.merge = vc.spatial_merge_size
+        from transformers.models.qwen2_vl.image_processing_qwen2_vl import (
+            Qwen2VLImageProcessor)
+        self.proc = Qwen2VLImageProcessor(
+            patch_size=vc.patch_size,
+            temporal_patch_size=vc.temporal_patch_size,
+            merge_size=vc.spatial_merge_size)
+
+    def process(self, images: Any, token_ids: list[int]):
+        """-> (pixel_values [N_patches, in_dim], expanded token_ids,
+        per-image spans, {"grid_thw": [N_img, 3]})."""
+        if isinstance(images, dict):
+            # Pre-processed HF output passed through.
+            pv = np.asarray(images["pixel_values"], np.float32)
+            grid = np.asarray(images["image_grid_thw"], np.int64)
+        else:
+            if isinstance(images, np.ndarray) and images.ndim in (3, 4):
+                images = [images] if images.ndim == 3 else list(images)
+            elif not isinstance(images, (list, tuple)):
+                images = [images]
+            out = self.proc(images=images, return_tensors="np")
+            pv = out["pixel_values"].astype(np.float32)
+            grid = np.asarray(out["image_grid_thw"], np.int64)
+        counts = [int(t * h * w) // (self.merge ** 2) for t, h, w in grid]
+        tid = self.image_token_id
+        occurrences = [i for i, t in enumerate(token_ids) if t == tid]
+        spans: list[tuple[int, int]] = []
+        if len(occurrences) == sum(counts) and counts:
+            # Pre-expanded prompt: recover spans from placeholder runs.
+            expanded = list(token_ids)
+            run_start, prev = None, -2
+            runs = []
+            for i in occurrences + [-1]:
+                if i != prev + 1:
+                    if run_start is not None:
+                        runs.append((run_start, prev - run_start + 1))
+                    run_start = i
+                prev = i
+            # Runs may cover several images back-to-back; split by counts.
+            ci = 0
+            for off, ln in runs:
+                while ln > 0:
+                    spans.append((off, counts[ci]))
+                    off += counts[ci]
+                    ln -= counts[ci]
+                    ci += 1
+            if ci != len(counts) or any(n < 0 for _, n in spans):
+                raise ValueError("placeholder runs do not tile images")
+            return pv, expanded, spans, {"grid_thw": grid}
+        if len(occurrences) != len(counts):
+            raise ValueError(
+                f"prompt has {len(occurrences)} image placeholders for "
+                f"{len(counts)} images")
+        expanded: list[int] = []
+        ci = 0
+        for t in token_ids:
+            if t == tid:
+                spans.append((len(expanded), counts[ci]))
+                expanded.extend([tid] * counts[ci])
+                ci += 1
+            else:
+                expanded.append(t)
+        return pv, expanded, spans, {"grid_thw": grid}
+
+
 _ADAPTERS = {
     "LlavaForConditionalGeneration": LlavaAdapter,
     "PaliGemmaForConditionalGeneration": PaliGemmaAdapter,
     "WhisperForConditionalGeneration": WhisperAdapter,
+    "Qwen2VLForConditionalGeneration": Qwen2VLAdapter,
+    "Qwen2_5_VLForConditionalGeneration": Qwen2VLAdapter,
 }
 
 

@@ -48,6 +48,10 @@ class RequestState:
     # dropped once the prompt is fully prefilled).
     mm: Optional[object] = None
     mm_embeds: Optional[object] = None
+    # mrope (Qwen2-VL): [3, prompt_len] positions + decode delta, computed
+    # lazily on first schedule (models/qwen2_vl.py mrope_positions).
+    mrope_table: Optional[object] = None
+    mrope_delta: int = 0
 
     @property
     def num_tokens(self) -> int:
@@ -217,7 +221,7 @@ class ModelRunner:
     # ------------------------------------------------- multi-step decode scan
     def _multi_step(self, params, kv_cache, cur_tokens, seq_lens0,
                     block_tables, smd, flags, num_steps, max_logprobs,
-                    lora=None, lora_row_slots=None):
+                    lora=None, lora_row_slots=None, mrope_deltas=None):
         """K decode steps in one dispatch: sampled token feeds the next step
         in-graph (scan carry); KV slots come from the block tables; RNG/
         min-tokens counters advance via step_offset."""
@@ -242,6 +246,7 @@ class ModelRunner:
                 num_reqs=jnp.asarray(R, jnp.int32),
                 num_tokens=jnp.asarray(R, jnp.int32),
                 lora_slots=lora_row_slots,
+                mrope_deltas=mrope_deltas,
                 decode_mode=True)
             hidden, kv = self.model.apply(params, toks, kv, md,
                                           use_pallas=self.use_pallas,
@@ -286,12 +291,31 @@ class ModelRunner:
             :, np.asarray(page_ids, np.int32)].set(pages)
 
     # ------------------------------------------------------------- multimodal
+    def _mrope_state(self, st: RequestState):
+        if st.mrope_table is None:
+            from aphrodite_tpu.models.qwen2_vl import mrope_positions
+            spans = st.mm.spans if st.mm is not None else []
+            grids = None
+            if st.mm is not None and getattr(st.mm, "extra", None):
+                grids = st.mm.extra.get("grid_thw")
+            st.mrope_table, st.mrope_delta = mrope_positions(
+                st.prompt_len, spans, grids,
+                getattr(self.model, "mrope_merge_size", 2))
+        return st.mrope_table, st.mrope_delta
+
     def _mm_embeds(self, st: RequestState):
         """Per-request encoder cache: run the vision tower once per request
         (image-count-bucketed jit), keep the projected embeddings on device
         (reference: v1 encoder cache, aphrodite/v1/core/encoder_cache_manager.py)."""
         if st.mm_embeds is None:
             pv = np.asarray(st.mm.pixel_values)
+            if getattr(self.model, "mm_needs_extra", False):
+                # Variable-token encoders (Qwen2-VL): the model jits per
+                # static image-grid signature; embeddings come back as the
+                # flat concat over images in span order.
+                st.mm_embeds = self.model.encode_images(
+                    self.params, jnp.asarray(pv), **(st.mm.extra or {}))
+                return st.mm_embeds
             if getattr(st.mm, "is_embeddings", False):
                 # Soft prompts: the payload already IS the embedding rows.
                 st.mm_embeds = jnp.asarray(
@@ -560,6 +584,24 @@ class ModelRunner:
             md = __import__("dataclasses").replace(
                 md, state_slots=jnp.asarray(state_slots),
                 seg_starts=jnp.asarray(seg_starts))
+
+        if getattr(self.model, "uses_mrope", False):
+            mpos = np.zeros((3, T_pad), np.int32)
+            for r, rid in enumerate(order):
+                st = self.requests[rid]
+                n = so.num_scheduled_tokens[rid]
+                start = st.num_computed
+                a = int(seg_starts[r])
+                table, delta = self._mrope_state(st)
+                p_end = min(st.prompt_len, start + n)
+                if start < p_end:
+                    mpos[:, a:a + p_end - start] = table[:, start:p_end]
+                if start + n > p_end:
+                    k0 = p_end - start
+                    dec = np.arange(p_end, start + n, dtype=np.int32) + delta
+                    mpos[:, a + k0:a + n] = dec
+            md = __import__("dataclasses").replace(
+                md, mrope_pos=jnp.asarray(mpos))
 
         mm_arg = self._build_mm_arg(so, order, seg_starts, T_pad)
 
@@ -858,11 +900,18 @@ class ModelRunner:
                     rows[r] = self.lora_manager.slot_of(nm)
             lora_rows = jnp.asarray(rows)
             lora_arg = self.lora_manager.tensors
+        mrope_deltas = None
+        if getattr(self.model, "uses_mrope", False):
+            deltas = np.zeros((R_pad,), np.int32)
+            for r, rid in enumerate(order):
+                deltas[r] = self._mrope_state(self.requests[rid])[1]
+            mrope_deltas = jnp.asarray(deltas)
         packed, topk_v_d, topk_i_d, self.kv_cache = self._multi_step_fn(
             self.params, self.kv_cache, jnp.asarray(cur_tokens),
             jnp.asarray(seq_lens0), jnp.asarray(block_tables), smd,
             flags=flags, num_steps=num_steps, max_logprobs=max_lp,
-            lora=lora_arg, lora_row_slots=lora_rows)
+            lora=lora_arg, lora_row_slots=lora_rows,
+            mrope_deltas=mrope_deltas)
 
         packed = np.asarray(packed)  # [2, K, R_pad], single d2h
         tokens_k = packed[0, :, :R].view(np.int32)  # [K, R]
