@@ -112,6 +112,16 @@ def ref_ragged_paged_attention(
                     * (kv_pos - pos)[None, None, :])
             logits = logits + bias
         mask = kv_pos <= pos
+        if md.mm_bidir_spans is not None:
+            spans = md.mm_bidir_spans[req]  # [M, 2]
+            q_in = (spans[:, 0] <= pos) & (pos < spans[:, 1])  # [M]
+            k_in = (spans[:, 0][:, None] <= kv_pos[None, :]) \
+                & (kv_pos[None, :] < spans[:, 1][:, None])     # [M, K]
+            # bidirectional attention within each image span (HF Gemma3
+            # token-type-run masking), bounded by what has been written so
+            # far (chunked prefill cannot see the future).
+            bidir = jnp.any(q_in[:, None] & k_in, axis=0)
+            mask |= bidir & (kv_pos < md.seq_lens[req])
         if sliding_window is not None:
             mask &= kv_pos > pos - sliding_window
         logits = jnp.where(mask[None, None, :], logits, -jnp.inf)
@@ -138,11 +148,12 @@ def paged_attention(
     hd_cache = kv_cache.shape[-1]
     if hd_cache != hd:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, hd_cache - hd)))
-    if alibi is not None:
-        # ALiBi models (Bloom/MPT/Falcon-alibi/Baichuan-13B) run the XLA
-        # path: the positional bias needs per-(q,k) indices the Pallas
-        # kernels don't thread yet. XLA still fuses this into one attention
-        # program per layer.
+    if alibi is not None or md.mm_bidir_spans is not None:
+        # ALiBi models (Bloom/MPT/Falcon-alibi/Baichuan-13B) and
+        # bidirectional-image models (Gemma-3 MM) run the XLA path: the
+        # per-(q,k) bias/mask needs indices the Pallas kernels don't
+        # thread yet. XLA still fuses this into one attention program per
+        # layer.
         out = ref_ragged_paged_attention(
             q, kv_cache, md, scale, sliding_window=sliding_window,
             logits_soft_cap=logits_soft_cap, alibi=alibi)

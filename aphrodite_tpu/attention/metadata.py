@@ -56,6 +56,12 @@ class AttentionMetadata:
     # Pure-decode step (one token per request, token i belongs to request i):
     # routes to the decode-specialized kernel; metadata may be built in-graph.
     decode_mode: bool = field(default=False, metadata=dict(static=True))
+    # ---- bidirectional multimodal spans (Gemma-3 MM). ----
+    # [R, M, 2] int32 (start, end) absolute prompt positions of image-token
+    # runs; tokens whose positions both fall in ANY span of their request
+    # attend bidirectionally (reference gemma3_mm.py:679-685). (-1, -1)
+    # pads. None for ordinary causal models.
+    mm_bidir_spans: Optional[jax.Array] = None
     # ---- mrope (Qwen2-VL family): 3-channel rotary positions. ----
     # [3, T] int32 (temporal, height, width) position per token; None for
     # models without mrope. Decode tokens carry pos+delta in all 3 rows.

@@ -98,6 +98,19 @@ class ModelConfig:
                                 if a in d:
                                     d[canon] = d[a]
                                     break
+                    # Remote-code multimodal wrappers (Ultravox, ...):
+                    # materialize nested sub-configs as real config objects
+                    # so geometry properties read uniformly.
+                    from transformers import CONFIG_MAPPING
+                    for sub in ("text_config", "vision_config",
+                                "audio_config"):
+                        v = d.get(sub)
+                        if isinstance(v, dict):
+                            mt = v.get("model_type")
+                            if mt in CONFIG_MAPPING:
+                                d[sub] = CONFIG_MAPPING[mt](**v)
+                            else:
+                                d[sub] = PretrainedConfig.from_dict(v)
                     self.hf_config = PretrainedConfig.from_dict(d)
         hf = self.hf_config
         if self.architecture is None:

@@ -155,6 +155,12 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     "PaliGemmaForConditionalGeneration": (
         "aphrodite_tpu.models.paligemma",
         "PaliGemmaForConditionalGeneration"),
+    "Gemma3ForConditionalGeneration": (
+        "aphrodite_tpu.models.gemma3_mm", "Gemma3ForConditionalGeneration"),
+    "Qwen2AudioForConditionalGeneration": (
+        "aphrodite_tpu.models.audio_lm",
+        "Qwen2AudioForConditionalGeneration"),
+    "UltravoxModel": ("aphrodite_tpu.models.audio_lm", "UltravoxModel"),
     # Encoder-decoder (speech-to-text).
     "WhisperForConditionalGeneration": ("aphrodite_tpu.models.whisper",
                                         "WhisperForConditionalGeneration"),

@@ -211,6 +211,132 @@ class PaliGemmaAdapter(LlavaAdapter):
 
 PaliGemmaAdapter.media_key = "image"
 
+
+class Gemma3Adapter(LlavaAdapter):
+    """Gemma-3 MM: SigLIP grid pooled to ``mm_tokens_per_image``
+    placeholder tokens; 0.5/0.5 normalization (reference gemma3_mm.py
+    processor path, pan-and-scan off — the serving default)."""
+
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        super().__init__(hf_config)
+        vc = hf_config.vision_config
+        self.tokens_per_image = int(getattr(hf_config,
+                                            "mm_tokens_per_image", 256))
+        self.image_mean = np.asarray(
+            getattr(vc, "image_mean", (0.5, 0.5, 0.5)), np.float32)
+        self.image_std = np.asarray(
+            getattr(vc, "image_std", (0.5, 0.5, 0.5)), np.float32)
+
+class Qwen2AudioAdapter:
+    """Qwen2-Audio: 30 s log-mel chunks; per-audio token counts follow the
+    conv2/avg-pool length formula (reference qwen2_audio.py input mapping).
+    Accepts waveforms, (wav, sr) tuples, or a pre-extracted dict
+    {"input_features", "feature_attention_mask"}."""
+
+    media_key = "audio"
+
+    def __init__(self, hf_config) -> None:
+        ac = hf_config.audio_config
+        self.audio_token_id = hf_config.audio_token_index
+        self.n_mels = ac.num_mel_bins
+        self.frames = ac.max_source_positions * 2
+        self._fe = None
+
+    def _extract(self, wav) -> tuple[np.ndarray, int]:
+        if self._fe is None:
+            from transformers import WhisperFeatureExtractor
+            self._fe = WhisperFeatureExtractor(
+                feature_size=self.n_mels,
+                chunk_length=max(self.frames // 100, 1))
+        if isinstance(wav, tuple):
+            arr, sr = wav
+            arr = np.asarray(arr, np.float32).reshape(-1)
+            if sr != 16000:
+                n_out = int(round(len(arr) * 16000 / sr))
+                arr = np.interp(np.linspace(0, len(arr) - 1, n_out),
+                                np.arange(len(arr)), arr).astype(np.float32)
+        else:
+            arr = np.asarray(wav, np.float32).reshape(-1)
+        out = self._fe(arr, sampling_rate=16000, return_tensors="np",
+                       return_attention_mask=True)
+        feats = out["input_features"][0].astype(np.float32)
+        real = int(out["attention_mask"][0].sum())
+        return feats, real
+
+    def _count(self, mel_len: int) -> int:
+        from aphrodite_tpu.models.audio_lm import audio_output_lengths
+        return audio_output_lengths(mel_len)
+
+    def process(self, media, token_ids: list[int]):
+        if isinstance(media, dict):
+            feats = np.asarray(media["input_features"], np.float32)
+            fam = np.asarray(media["feature_attention_mask"])
+            lens = [int(r.sum()) for r in fam]
+        else:
+            items = media if isinstance(media, list) else [media]
+            pairs = [self._extract(w) for w in items]
+            feats = np.stack([p[0] for p in pairs])
+            lens = [p[1] for p in pairs]
+        counts = [self._count(fl) for fl in lens]
+        tid = self.audio_token_id
+        occurrences = [i for i, t in enumerate(token_ids) if t == tid]
+        spans: list[tuple[int, int]] = []
+        if len(occurrences) == sum(counts) and counts:
+            expanded = list(token_ids)
+            run_start, prev, runs = None, -2, []
+            for i in occurrences + [-1]:
+                if i != prev + 1:
+                    if run_start is not None:
+                        runs.append((run_start, prev - run_start + 1))
+                    run_start = i
+                prev = i
+            ci = 0
+            for off, ln in runs:
+                while ln > 0:
+                    spans.append((off, counts[ci]))
+                    off += counts[ci]
+                    ln -= counts[ci]
+                    ci += 1
+            if ci != len(counts):
+                raise ValueError("audio placeholder runs do not tile items")
+            return feats, expanded, spans, {"feat_lens": tuple(lens)}
+        if len(occurrences) != len(counts):
+            raise ValueError(
+                f"prompt has {len(occurrences)} audio placeholders for "
+                f"{len(counts)} audios")
+        expanded, ci = [], 0
+        for t in token_ids:
+            if t == tid:
+                spans.append((len(expanded), counts[ci]))
+                expanded.extend([tid] * counts[ci])
+                ci += 1
+            else:
+                expanded.append(t)
+        return feats, expanded, spans, {"feat_lens": tuple(lens)}
+
+
+class UltravoxAdapter(Qwen2AudioAdapter):
+    """Ultravox: unpooled Whisper features, stack_factor frame stacking
+    (reference ultravox.py processing)."""
+
+    def __init__(self, hf_config) -> None:
+        ac = hf_config.audio_config
+        # vLLM serves Ultravox with a fixed placeholder id on llama3
+        # vocabularies (ultravox.py _AUDIO_PLACEHOLDER_TOKEN).
+        self.audio_token_id = getattr(hf_config, "audio_token_index",
+                                      None) or 128002
+        self.n_mels = ac.num_mel_bins
+        self.frames = ac.max_source_positions * 2
+        self._fe = None
+        self.stack_factor = getattr(hf_config, "stack_factor", 8)
+
+    def _count(self, mel_len: int) -> int:
+        from aphrodite_tpu.models.audio_lm import ultravox_token_count
+        return ultravox_token_count(mel_len, self.stack_factor)
+
+
 class Qwen2VLAdapter:
     """Qwen2-VL family: native-resolution patch packing via the HF image
     processor; per-image token counts vary with the image grid
@@ -293,6 +419,9 @@ _ADAPTERS = {
     "WhisperForConditionalGeneration": WhisperAdapter,
     "Qwen2VLForConditionalGeneration": Qwen2VLAdapter,
     "Qwen2_5_VLForConditionalGeneration": Qwen2VLAdapter,
+    "Gemma3ForConditionalGeneration": Gemma3Adapter,
+    "Qwen2AudioForConditionalGeneration": Qwen2AudioAdapter,
+    "UltravoxModel": UltravoxAdapter,
 }
 
 

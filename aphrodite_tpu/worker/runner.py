@@ -585,6 +585,21 @@ class ModelRunner:
                 md, state_slots=jnp.asarray(state_slots),
                 seg_starts=jnp.asarray(seg_starts))
 
+        if getattr(self.model, "needs_bidir_mm", False):
+            span_lists = []
+            for rid in order:
+                st = self.requests[rid]
+                span_lists.append(st.mm.spans if st.mm is not None else [])
+            maxM = max((len(s) for s in span_lists), default=0)
+            if maxM:
+                M = next_power_of_2(max(maxM, 2))
+                arr = np.full((R_pad, M, 2), -1, np.int32)
+                for r, spans in enumerate(span_lists):
+                    for j, (off, ln) in enumerate(spans):
+                        arr[r, j] = (off, off + ln)
+                md = __import__("dataclasses").replace(
+                    md, mm_bidir_spans=jnp.asarray(arr))
+
         if getattr(self.model, "uses_mrope", False):
             mpos = np.zeros((3, T_pad), np.int32)
             for r, rid in enumerate(order):
