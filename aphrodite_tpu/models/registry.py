@@ -161,6 +161,11 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
         "aphrodite_tpu.models.audio_lm",
         "Qwen2AudioForConditionalGeneration"),
     "UltravoxModel": ("aphrodite_tpu.models.audio_lm", "UltravoxModel"),
+    "Idefics3ForConditionalGeneration": (
+        "aphrodite_tpu.models.idefics3", "Idefics3ForConditionalGeneration"),
+    "SmolVLMForConditionalGeneration": (
+        "aphrodite_tpu.models.idefics3", "SmolVLMForConditionalGeneration"),
+    "FuyuForCausalLM": ("aphrodite_tpu.models.fuyu", "FuyuForCausalLM"),
     # Encoder-decoder (speech-to-text).
     "WhisperForConditionalGeneration": ("aphrodite_tpu.models.whisper",
                                         "WhisperForConditionalGeneration"),

@@ -183,7 +183,11 @@ class VisionTower:
             x = jnp.concatenate([cls, x], axis=1)
         else:
             x = x + vp["patch_b"]
-        x = x + vp["pos"][None].astype(x.dtype)
+        pos = vp["pos"]
+        if getattr(self, "pos_ids", None) is not None:
+            # Idefics3-style bucketized position selection.
+            pos = pos[jnp.asarray(self.pos_ids)]
+        x = x + pos[None].astype(x.dtype)
         if self.cls_token:
             x = layer_norm(x, vp["pre_ln_w"], vp["pre_ln_b"], self.eps)
 

@@ -317,6 +317,90 @@ class Qwen2AudioAdapter:
         return feats, expanded, spans, {"feat_lens": tuple(lens)}
 
 
+class Idefics3Adapter(LlavaAdapter):
+    """Idefics3/SmolVLM: fixed-size square images (unsplit serving mode);
+    each image -> (grid/scale_factor)^2 placeholder tokens."""
+
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        self.hf = hf_config
+        vc = hf_config.vision_config
+        self.image_token_id = hf_config.image_token_id
+        self.image_size = vc.image_size
+        self.patch_size = vc.patch_size
+        grid = vc.image_size // vc.patch_size
+        s = getattr(hf_config, "scale_factor", 2)
+        self.tokens_per_image = (grid // s) ** 2
+        self.image_mean = np.asarray((0.5, 0.5, 0.5), np.float32)
+        self.image_std = np.asarray((0.5, 0.5, 0.5), np.float32)
+
+
+class FuyuAdapter:
+    """Fuyu: channel-last pixel patches, per-row placeholder runs separated
+    by |NEWLINE| tokens (reference fuyu.py input mapping). Images must
+    arrive pre-sized (HWC/CHW arrays; dims padded up to patch multiples)."""
+
+    media_key = "image"
+    NEWLINE_ID = 71019  # |NEWLINE| (reference fuyu.py _NEWLINE_TOKEN_ID)
+
+    def __init__(self, hf_config) -> None:
+        self.patch = getattr(hf_config, "patch_size", 30)
+        self.image_token_id = getattr(hf_config, "image_token_id", 71011)
+        vocab = getattr(hf_config, "vocab_size", 0) or \
+            getattr(getattr(hf_config, "text_config", None), "vocab_size", 0)
+        self.newline_id = self.NEWLINE_ID if vocab > self.NEWLINE_ID \
+            else vocab - 1
+
+    def _patchify(self, img) -> tuple[np.ndarray, int, int]:
+        arr = np.asarray(img, np.float32)
+        if arr.ndim == 3 and arr.shape[0] == 3 and arr.shape[-1] != 3:
+            arr = arr.transpose(1, 2, 0)  # CHW -> HWC
+        if arr.max() > 1.5:
+            arr = arr / 255.0
+        arr = (arr - 0.5) / 0.5
+        p = self.patch
+        H, W, C = arr.shape
+        ph, pw = -(-H // p), -(-W // p)
+        pad = np.ones((ph * p, pw * p, C), np.float32)
+        pad[:H, :W] = arr
+        # channel-last patch vectors (HF patchify_image: (p, p, C) order)
+        x = pad.reshape(ph, p, pw, p, C).transpose(0, 2, 1, 3, 4)
+        return x.reshape(ph * pw, p * p * C), ph, pw
+
+    def process(self, media, token_ids: list[int]):
+        items = media if isinstance(media, list) else [media]
+        if isinstance(media, np.ndarray) and media.ndim == 4:
+            items = list(media)
+        packed, geoms = [], []
+        for img in items:
+            patches, nrow, ncol = self._patchify(img)
+            packed.append(patches)
+            geoms.append((nrow, ncol))
+        pv = np.concatenate(packed, axis=0)
+        tid = self.image_token_id
+        occurrences = [i for i, t in enumerate(token_ids) if t == tid]
+        if len(occurrences) != len(items):
+            raise ValueError(
+                f"prompt has {len(occurrences)} image placeholders for "
+                f"{len(items)} images")
+        expanded: list[int] = []
+        spans: list[tuple[int, int]] = []
+        ci = 0
+        for t in token_ids:
+            if t == tid:
+                nrow, ncol = geoms[ci]
+                for _ in range(nrow):
+                    spans.append((len(expanded), ncol))
+                    expanded.extend([tid] * ncol)
+                    expanded.append(self.newline_id)
+                ci += 1
+            else:
+                expanded.append(t)
+        return pv, expanded, spans, {"patch_counts":
+                                     tuple(r * c for r, c in geoms)}
+
+
 class UltravoxAdapter(Qwen2AudioAdapter):
     """Ultravox: unpooled Whisper features, stack_factor frame stacking
     (reference ultravox.py processing)."""
@@ -422,6 +506,9 @@ _ADAPTERS = {
     "Gemma3ForConditionalGeneration": Gemma3Adapter,
     "Qwen2AudioForConditionalGeneration": Qwen2AudioAdapter,
     "UltravoxModel": UltravoxAdapter,
+    "Idefics3ForConditionalGeneration": Idefics3Adapter,
+    "SmolVLMForConditionalGeneration": Idefics3Adapter,
+    "FuyuForCausalLM": FuyuAdapter,
 }
 
 
