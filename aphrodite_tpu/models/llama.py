@@ -285,9 +285,16 @@ class LlamaForCausalLM:
             x, new_cache = self._pipeline(layer, x, scan_layers, kv_cache,
                                           md)
         else:
-            x, new_cache = jax.lax.scan(layer, x, (scan_layers, kv_cache))
+            x, new_cache = self._scan_stack(layer, x, scan_layers, kv_cache,
+                                            params)
         x = rms_norm(x, params["final_norm"], self.rms_eps)
         return x, new_cache
+
+    def _scan_stack(self, layer, x, scan_layers, kv_cache, params):
+        """Scan the layer body over the stacked weights. Hook: models with
+        heterogeneous per-layer parameter stacks (mixed dense/MoE) override
+        this with a run-segmented scan (see mixtral.py)."""
+        return jax.lax.scan(layer, x, (scan_layers, kv_cache))
 
     def _pipeline(self, layer, x, scan_layers, kv_cache, md):
         """Pipeline parallelism over the `pp` mesh axis (reference: _PP

@@ -19,6 +19,10 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                             "Qwen2MoeForCausalLM"),
     "Qwen3MoeForCausalLM": ("aphrodite_tpu.models.mixtral",
                             "Qwen3MoeForCausalLM"),
+    "DeepseekForCausalLM": ("aphrodite_tpu.models.mixtral",
+                            "DeepseekForCausalLM"),
+    "QuantMixtralForCausalLM": ("aphrodite_tpu.models.mixtral",
+                                "MixtralForCausalLM"),
     "OlmoeForCausalLM": ("aphrodite_tpu.models.mixtral",
                          "OlmoeForCausalLM"),
     "GraniteMoeForCausalLM": ("aphrodite_tpu.models.moe_variants",
@@ -93,6 +97,10 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                             "InternLMForCausalLM"),
     "InternLM2ForCausalLM": ("aphrodite_tpu.models.llama_variants",
                              "InternLM2ForCausalLM"),
+    # InternLM2-VE ("visual expert" MLP applies only to image tokens;
+    # text serving is weight-identical — reference internlm2_ve.py).
+    "InternLM2VEForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                               "InternLM2ForCausalLM"),
     "InternLM3ForCausalLM": ("aphrodite_tpu.models.llama",
                              "InternLM3ForCausalLM"),
     "ExaoneForCausalLM": ("aphrodite_tpu.models.llama_variants",
@@ -125,6 +133,7 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     "ArcticForCausalLM": ("aphrodite_tpu.models.hetero",
                           "ArcticForCausalLM"),
     # Llama-exact exports under their own architecture names.
+    "LLaMAForCausalLM": ("aphrodite_tpu.models.llama", "LlamaForCausalLM"),
     "XverseForCausalLM": ("aphrodite_tpu.models.llama", "LlamaForCausalLM"),
     "SolarForCausalLM": ("aphrodite_tpu.models.llama", "LlamaForCausalLM"),
     "AquilaForCausalLM": ("aphrodite_tpu.models.llama", "LlamaForCausalLM"),
@@ -147,6 +156,9 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     # Multimodal (vision-language).
     "LlavaForConditionalGeneration": ("aphrodite_tpu.models.llava",
                                       "LlavaForConditionalGeneration"),
+    # Mantis ships LLaVA-architecture checkpoints (reference mantis.py).
+    "MantisForConditionalGeneration": ("aphrodite_tpu.models.llava",
+                                       "LlavaForConditionalGeneration"),
     "Qwen2VLForConditionalGeneration": (
         "aphrodite_tpu.models.qwen2_vl", "Qwen2VLForConditionalGeneration"),
     "Qwen2_5_VLForConditionalGeneration": (

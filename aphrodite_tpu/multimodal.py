@@ -499,6 +499,7 @@ class Qwen2VLAdapter:
 
 _ADAPTERS = {
     "LlavaForConditionalGeneration": LlavaAdapter,
+    "MantisForConditionalGeneration": LlavaAdapter,
     "PaliGemmaForConditionalGeneration": PaliGemmaAdapter,
     "WhisperForConditionalGeneration": WhisperAdapter,
     "Qwen2VLForConditionalGeneration": Qwen2VLAdapter,
