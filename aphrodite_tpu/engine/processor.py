@@ -100,8 +100,14 @@ class Processor:
                     f"request {request_id}: multi_modal_data given but "
                     "model is not multimodal")
             from aphrodite_tpu.multimodal import MMInputs
-            media = mm_data.get(self.mm_adapter.media_key)
-            if media is None:
+            keys = getattr(self.mm_adapter, "media_keys", None)
+            if keys:
+                # Multi-media adapters (image + video): pass the whole dict.
+                media = {k: mm_data[k] for k in keys
+                         if mm_data.get(k) is not None}
+            else:
+                media = mm_data.get(self.mm_adapter.media_key)
+            if not (media if keys else media is not None):
                 raise ValueError(
                     f"request {request_id}: model expects "
                     f"'{self.mm_adapter.media_key}' in multi_modal_data")

@@ -159,6 +159,15 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     # Mantis ships LLaVA-architecture checkpoints (reference mantis.py).
     "MantisForConditionalGeneration": ("aphrodite_tpu.models.llava",
                                        "LlavaForConditionalGeneration"),
+    "LlavaNextForConditionalGeneration": (
+        "aphrodite_tpu.models.llava_next",
+        "LlavaNextForConditionalGeneration"),
+    "LlavaNextVideoForConditionalGeneration": (
+        "aphrodite_tpu.models.llava_next",
+        "LlavaNextVideoForConditionalGeneration"),
+    "LlavaOnevisionForConditionalGeneration": (
+        "aphrodite_tpu.models.llava_next",
+        "LlavaOnevisionForConditionalGeneration"),
     "Qwen2VLForConditionalGeneration": (
         "aphrodite_tpu.models.qwen2_vl", "Qwen2VLForConditionalGeneration"),
     "Qwen2_5_VLForConditionalGeneration": (

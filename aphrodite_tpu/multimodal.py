@@ -421,6 +421,168 @@ class UltravoxAdapter(Qwen2AudioAdapter):
         return ultravox_token_count(mel_len, self.stack_factor)
 
 
+class LlavaNextAdapter:
+    """LLaVA-Next family: anyres tiled images (+ videos for Next-Video /
+    OneVision). Per-image token counts replicate HF pack_image_features
+    (reference llava_next.py / llava_onevision.py input mapping).
+
+    Media items accepted per image: PIL image (HF LlavaNextImageProcessor
+    run in-process) or a dict {"pixel_values": [tiles,3,S,S] or
+    [1,tiles,3,S,S], "image_sizes": (H, W)} (pre-processed pass-through).
+    Videos: float arrays [F,3,S,S] (pre-sized frames) under key "video"."""
+
+    media_keys = ("image", "video")
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        self.hf = hf_config
+        vc = hf_config.vision_config
+        self.S = vc.image_size
+        self.g = vc.image_size // vc.patch_size
+        self.image_token_id = hf_config.image_token_index
+        self.video_token_id = getattr(hf_config, "video_token_index", None)
+        self.pinpoints = [tuple(p) for p in hf_config.image_grid_pinpoints]
+        self.strategy = getattr(hf_config, "vision_feature_select_strategy",
+                                "default")
+        self.has_cls = "siglip" not in getattr(vc, "model_type",
+                                               "clip_vision_model")
+        self.aspect = getattr(hf_config, "vision_aspect_ratio", None)
+        self.pool_mode = getattr(hf_config, "spatial_pool_mode", None)
+        self.pool_stride = getattr(hf_config, "spatial_pool_stride", 2)
+        self._proc = None
+
+    # ------------------------------------------------------------- geometry
+    def _num_tiles(self, oh: int, ow: int) -> int:
+        from aphrodite_tpu.models.llava_next import select_best_resolution
+        bh, bw = select_best_resolution((oh, ow), self.pinpoints)
+        return (bh // self.S) * (bw // self.S) + 1
+
+    def _image_tokens(self, oh: int, ow: int, n_tiles: int) -> int:
+        from aphrodite_tpu.models.llava_next import (select_best_resolution,
+                                                     unpad_dims)
+        import math as _m
+        g = self.g
+        seq = g * g + (1 if self.has_cls else 0)
+        P = seq - (1 if self.strategy == "default" else 0)
+        if n_tiles == 1:
+            return P + 1
+        bh, bw = select_best_resolution((oh, ow), self.pinpoints)
+        nph, npw = bh // self.S, bw // self.S
+        r0, r1, c0, c1 = unpad_dims(nph * g, npw * g, oh, ow)
+        rows, cols = r1 - r0, c1 - c0
+        if self.aspect:
+            max_p = int(self.aspect.removeprefix("anyres_max_"))
+            ratio = _m.sqrt(rows * cols / (max_p * g * g))
+            if ratio > 1.1:
+                rows, cols = int(rows // ratio), int(cols // ratio)
+        return P + rows * (cols + 1)
+
+    def _video_tokens(self, n_frames: int) -> int:
+        import math as _m
+        g = self.g
+        if self.pool_mode is not None:  # Next-Video
+            return n_frames * (g // self.pool_stride) ** 2
+        return n_frames * _m.ceil(g / 2) ** 2 + 1  # OneVision (+newline)
+
+    # ------------------------------------------------------------ preprocess
+    def _prep_image(self, img) -> tuple[np.ndarray, tuple[int, int]]:
+        """-> (tiles [n,3,S,S] float32, original (H, W))."""
+        if isinstance(img, dict):
+            pv = np.asarray(img["pixel_values"], np.float32)
+            if pv.ndim == 5:
+                pv = pv[0]
+            size = img.get("image_sizes", img.get("image_size"))
+            size = np.asarray(size).reshape(-1)[:2]
+            oh, ow = int(size[0]), int(size[1])
+            return pv[:self._num_tiles(oh, ow)], (oh, ow)
+        if self._proc is None:
+            from transformers.models.llava_next.image_processing_llava_next \
+                import LlavaNextImageProcessor
+            self._proc = LlavaNextImageProcessor(
+                size={"shortest_edge": self.S},
+                crop_size={"height": self.S, "width": self.S},
+                image_grid_pinpoints=[list(p) for p in self.pinpoints])
+        out = self._proc(images=[img], return_tensors="np")
+        oh, ow = (int(x) for x in out["image_sizes"][0])
+        return (out["pixel_values"][0][:self._num_tiles(oh, ow)]
+                .astype(np.float32), (oh, ow))
+
+    def _prep_video(self, vid) -> np.ndarray:
+        arr = np.asarray(vid, np.float32)
+        if arr.ndim == 4 and arr.shape[-1] == 3 and arr.shape[1] != 3:
+            arr = arr.transpose(0, 3, 1, 2)  # FHWC -> FCHW
+        if arr.shape[1:] != (3, self.S, self.S):
+            raise ValueError(
+                f"video frames must be [F,3,{self.S},{self.S}], "
+                f"got {arr.shape}")
+        return arr
+
+    # --------------------------------------------------------------- process
+    def process(self, media, token_ids: list[int]):
+        if not isinstance(media, dict) or "pixel_values" in media:
+            media = {"image": media}
+        images = media.get("image")
+        videos = media.get("video")
+
+        def listify(x):
+            if x is None:
+                return []
+            if isinstance(x, np.ndarray) and x.ndim == 5:
+                return list(x)
+            return x if isinstance(x, (list, tuple)) else [x]
+
+        images, videos = listify(images), listify(videos)
+        img_items = [self._prep_image(i) for i in images]
+        vid_items = [self._prep_video(v) for v in videos]
+
+        # Pre-expanded prompts (HF-processor style) carry one placeholder
+        # per feature token; unexpanded prompts carry one per media item.
+        img_tokens = [self._image_tokens(hw[0], hw[1], t.shape[0])
+                      for t, hw in img_items]
+        vid_tokens = [self._video_tokens(f.shape[0]) for f in vid_items]
+        occ_img = sum(1 for t in token_ids if t == self.image_token_id)
+        occ_vid = sum(1 for t in token_ids if t == self.video_token_id) \
+            if self.video_token_id is not None else 0
+        img_pre = bool(img_items) and occ_img == sum(img_tokens)
+        vid_pre = bool(vid_items) and occ_vid == sum(vid_tokens)
+
+        items, arrays, spans = [], [], []
+        expanded: list[int] = []
+        ii = vi = pos = 0
+        while pos < len(token_ids):
+            t = token_ids[pos]
+            if t == self.image_token_id and ii < len(img_items):
+                tiles, hw = img_items[ii]
+                n = img_tokens[ii]
+                items.append(("img", tiles.shape[0], hw))
+                arrays.append(tiles)
+                spans.append((len(expanded), n))
+                expanded.extend([t] * n)
+                pos += n if img_pre else 1
+                ii += 1
+            elif self.video_token_id is not None \
+                    and t == self.video_token_id and vi < len(vid_items):
+                frames = vid_items[vi]
+                n = vid_tokens[vi]
+                items.append(("vid", frames.shape[0]))
+                arrays.append(frames)
+                spans.append((len(expanded), n))
+                expanded.extend([t] * n)
+                pos += n if vid_pre else 1
+                vi += 1
+            else:
+                expanded.append(t)
+                pos += 1
+        if ii != len(img_items) or vi != len(vid_items):
+            raise ValueError(
+                f"prompt placeholders ({ii} image, {vi} video) do not match "
+                f"supplied media ({len(img_items)} image, "
+                f"{len(vid_items)} video)")
+        pv = np.concatenate(arrays, axis=0) if arrays else \
+            np.zeros((0, 3, self.S, self.S), np.float32)
+        return pv, expanded, spans, {"items": tuple(items)}
+
+
 class Qwen2VLAdapter:
     """Qwen2-VL family: native-resolution patch packing via the HF image
     processor; per-image token counts vary with the image grid
@@ -500,6 +662,9 @@ class Qwen2VLAdapter:
 _ADAPTERS = {
     "LlavaForConditionalGeneration": LlavaAdapter,
     "MantisForConditionalGeneration": LlavaAdapter,
+    "LlavaNextForConditionalGeneration": LlavaNextAdapter,
+    "LlavaNextVideoForConditionalGeneration": LlavaNextAdapter,
+    "LlavaOnevisionForConditionalGeneration": LlavaNextAdapter,
     "PaliGemmaForConditionalGeneration": PaliGemmaAdapter,
     "WhisperForConditionalGeneration": WhisperAdapter,
     "Qwen2VLForConditionalGeneration": Qwen2VLAdapter,
