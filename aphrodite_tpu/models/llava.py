@@ -136,6 +136,11 @@ _CLS_CACHE: dict[type, type] = {}
 def LlavaForConditionalGeneration(config):
     """Factory: compose the multimodal mixin over the text backbone class
     selected by the checkpoint's text_config."""
+    if getattr(config.hf_config.vision_config, "model_type",
+               "clip_vision_model") == "pixtral":
+        from aphrodite_tpu.models.pixtral import (
+            PixtralLlavaForConditionalGeneration)
+        return PixtralLlavaForConditionalGeneration(config)
     base = _TEXT_BACKBONES.get(
         getattr(config.text_config, "model_type", "llama"),
         LlamaForCausalLM)

@@ -168,6 +168,13 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     "LlavaOnevisionForConditionalGeneration": (
         "aphrodite_tpu.models.llava_next",
         "LlavaOnevisionForConditionalGeneration"),
+    "Mistral3ForConditionalGeneration": (
+        "aphrodite_tpu.models.pixtral", "Mistral3ForConditionalGeneration"),
+    # HF-format pixtral checkpoints (pixtral-hf) ship as Llava with a
+    # pixtral tower; this alias covers configs exporting the native name.
+    "PixtralForConditionalGeneration": (
+        "aphrodite_tpu.models.pixtral",
+        "PixtralLlavaForConditionalGeneration"),
     "Qwen2VLForConditionalGeneration": (
         "aphrodite_tpu.models.qwen2_vl", "Qwen2VLForConditionalGeneration"),
     "Qwen2_5_VLForConditionalGeneration": (

@@ -583,6 +583,131 @@ class LlavaNextAdapter:
         return pv, expanded, spans, {"items": tuple(items)}
 
 
+class PixtralAdapter:
+    """Pixtral / Mistral-3: variable-resolution images; the prompt carries
+    rows of image tokens separated by [IMG_BREAK] and closed by [IMG_END]
+    (reference pixtral.py / mistral3.py input mapping). Only image-token
+    positions receive features, so spans are per-row.
+
+    Accepts PIL / HWC arrays (resized per pixtral rules: fit longest side
+    into ``image_size``, round patch counts up) or pre-processed dicts
+    {"pixel_values": [[3,H,W], ...] or [N,3,H,W], "image_sizes": [(H,W)..]}.
+    Unexpanded prompts need break/end ids — read from config attrs
+    ``image_break_token_index`` / ``image_end_token_index`` when present;
+    pre-expanded prompts (HF processor output) always work."""
+
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        self.hf = hf_config
+        vc = hf_config.vision_config
+        self.image_token_id = hf_config.image_token_index
+        self.break_id = getattr(hf_config, "image_break_token_index", None)
+        self.end_id = getattr(hf_config, "image_end_token_index", None)
+        self.patch = vc.patch_size
+        self.image_size = vc.image_size
+        self.merge = getattr(hf_config, "spatial_merge_size", 1) \
+            if getattr(hf_config, "model_type", "") == "mistral3" else 1
+        self.image_mean = np.asarray(
+            getattr(vc, "image_mean", (0.48145466, 0.4578275, 0.40821073)),
+            np.float32)
+        self.image_std = np.asarray(
+            getattr(vc, "image_std", (0.26862954, 0.26130258, 0.27577711)),
+            np.float32)
+
+    def _prep_one(self, img) -> np.ndarray:
+        """-> normalized [3, H, W] with H, W multiples of patch_size."""
+        ps, S = self.patch, self.image_size
+        arr = None
+        if hasattr(img, "resize") and not isinstance(img, np.ndarray):
+            w0, h0 = img.size
+            ratio = max(h0 / S, w0 / S, 1.0)
+            th = int(np.ceil(h0 / ratio / ps) * ps)
+            tw = int(np.ceil(w0 / ratio / ps) * ps)
+            img = img.convert("RGB").resize((tw, th), resample=3)
+            arr = np.asarray(img).astype(np.float32) / 255.0
+        else:
+            arr = np.asarray(img, np.float32)
+            if arr.ndim == 3 and arr.shape[0] == 3 and arr.shape[-1] != 3:
+                # CHW pre-normalized passthrough
+                if arr.shape[1] % ps or arr.shape[2] % ps:
+                    raise ValueError("CHW pixel input dims must be patch "
+                                     "multiples")
+                return arr
+            if arr.max() > 1.5:
+                arr = arr / 255.0
+            if arr.shape[0] % ps or arr.shape[1] % ps:
+                raise ValueError(
+                    f"HWC image dims must be multiples of {ps} "
+                    "(resize first or pass PIL)")
+        arr = (arr - self.image_mean) / self.image_std
+        return arr.transpose(2, 0, 1)
+
+    def process(self, media, token_ids: list[int]):
+        if isinstance(media, dict):
+            pvs = [np.asarray(p, np.float32)
+                   for p in media["pixel_values"]]
+            sizes = media.get("image_sizes")
+            if sizes is not None:  # crop batch padding back off
+                pvs = [p[:, :int(s[0]), :int(s[1])]
+                       for p, s in zip(pvs, np.asarray(sizes))]
+        else:
+            items = media if isinstance(media, (list, tuple)) else [media]
+            if isinstance(media, np.ndarray) and media.ndim == 4:
+                items = list(media)
+            pvs = [self._prep_one(i) for i in items]
+        ps, m = self.patch, self.merge
+        grids = [(p.shape[1] // ps, p.shape[2] // ps) for p in pvs]
+        # Rows/cols of *feature* tokens (merged for Mistral-3).
+        rc = [(h // m, w // m) for h, w in grids]
+        tid = self.image_token_id
+        occ = sum(1 for t in token_ids if t == tid)
+        total = sum(r * c for r, c in rc)
+        spans: list[tuple[int, int]] = []
+        if occ == total and pvs:
+            # Pre-expanded (HF processor): recover per-row spans from runs.
+            expanded = list(token_ids)
+            runs, run_start, prev = [], None, -2
+            occurrences = [i for i, t in enumerate(token_ids) if t == tid]
+            for i in occurrences + [-1]:
+                if i != prev + 1:
+                    if run_start is not None:
+                        runs.append((run_start, prev - run_start + 1))
+                    run_start = i
+                prev = i
+            spans = runs
+        elif occ == len(pvs):
+            if self.break_id is None or self.end_id is None:
+                raise ValueError(
+                    "unexpanded pixtral prompts need image_break/"
+                    "image_end token ids (set image_break_token_index / "
+                    "image_end_token_index on the config) — or pass the "
+                    "HF-processor-expanded prompt")
+            expanded = []
+            ii = 0
+            for t in token_ids:
+                if t == tid:
+                    r, c = rc[ii]
+                    for _ in range(r):
+                        spans.append((len(expanded), c))
+                        expanded.extend([tid] * c)
+                        expanded.append(self.break_id)
+                    expanded[-1] = self.end_id
+                    ii += 1
+                else:
+                    expanded.append(t)
+        else:
+            raise ValueError(
+                f"prompt has {occ} image placeholders for {len(pvs)} "
+                f"images ({total} feature tokens)")
+        Hm = max(p.shape[1] for p in pvs)
+        Wm = max(p.shape[2] for p in pvs)
+        pv = np.zeros((len(pvs), 3, Hm, Wm), np.float32)
+        for i, p in enumerate(pvs):
+            pv[i, :, :p.shape[1], :p.shape[2]] = p
+        return pv, expanded, spans, {"sizes": tuple(grids)}
+
+
 class Qwen2VLAdapter:
     """Qwen2-VL family: native-resolution patch packing via the HF image
     processor; per-image token counts vary with the image grid
@@ -665,6 +790,8 @@ _ADAPTERS = {
     "LlavaNextForConditionalGeneration": LlavaNextAdapter,
     "LlavaNextVideoForConditionalGeneration": LlavaNextAdapter,
     "LlavaOnevisionForConditionalGeneration": LlavaNextAdapter,
+    "Mistral3ForConditionalGeneration": PixtralAdapter,
+    "PixtralForConditionalGeneration": PixtralAdapter,
     "PaliGemmaForConditionalGeneration": PaliGemmaAdapter,
     "WhisperForConditionalGeneration": WhisperAdapter,
     "Qwen2VLForConditionalGeneration": Qwen2VLAdapter,
@@ -680,7 +807,11 @@ _ADAPTERS = {
 
 def get_mm_adapter(hf_config) -> Optional[object]:
     archs = getattr(hf_config, "architectures", None) or []
+    pixtral_tower = getattr(getattr(hf_config, "vision_config", None),
+                            "model_type", None) == "pixtral"
     for a in archs:
+        if a == "LlavaForConditionalGeneration" and pixtral_tower:
+            return PixtralAdapter(hf_config)
         cls = _ADAPTERS.get(a)
         if cls is not None:
             return cls(hf_config)
