@@ -103,7 +103,7 @@ class ModelConfig:
                     # so geometry properties read uniformly.
                     from transformers import CONFIG_MAPPING
                     for sub in ("text_config", "vision_config",
-                                "audio_config"):
+                                "audio_config", "llm_config"):
                         v = d.get(sub)
                         if isinstance(v, dict):
                             mt = v.get("model_type")
@@ -134,7 +134,9 @@ class ModelConfig:
     # -- Derived geometry ----------------------------------------------------
     @property
     def text_config(self):
-        return getattr(self.hf_config, "text_config", None) or self.hf_config
+        return getattr(self.hf_config, "text_config", None) \
+            or getattr(self.hf_config, "llm_config", None) \
+            or self.hf_config
 
     @property
     def hidden_size(self) -> int:

@@ -170,6 +170,17 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
         "LlavaOnevisionForConditionalGeneration"),
     "Mistral3ForConditionalGeneration": (
         "aphrodite_tpu.models.pixtral", "Mistral3ForConditionalGeneration"),
+    # InternViT + pixel-shuffle family (internvl.py); NVLM-D / H2OVL /
+    # Skywork-R1V ship the same tower/connector with prompt-format and
+    # tiling-policy differences (reference nvlm_d.py, h2ovl.py,
+    # skyworkr1v.py).
+    "InternVLChatModel": ("aphrodite_tpu.models.internvl",
+                          "InternVLChatModel"),
+    "NVLM_D": ("aphrodite_tpu.models.internvl", "InternVLChatModel"),
+    "H2OVLChatModel": ("aphrodite_tpu.models.internvl",
+                       "InternVLChatModel"),
+    "SkyworkR1VChatModel": ("aphrodite_tpu.models.internvl",
+                            "InternVLChatModel"),
     # HF-format pixtral checkpoints (pixtral-hf) ship as Llava with a
     # pixtral tower; this alias covers configs exporting the native name.
     "PixtralForConditionalGeneration": (

@@ -583,6 +583,134 @@ class LlavaNextAdapter:
         return pv, expanded, spans, {"items": tuple(items)}
 
 
+class InternVLAdapter:
+    """InternVL family (also NVLM-D / H2OVL / Skywork-R1V): dynamic tiling
+    into fixed squares + optional thumbnail tile (reference internvl.py
+    dynamic_preprocess); every tile contributes
+    ``(grid * downsample_ratio)^2`` feature tokens, contiguous per image.
+
+    Media items: PIL images (tiled here), pre-tiled [n,3,S,S] arrays, or a
+    single [3,S,S] array. The IMG_CONTEXT token id comes from
+    ``img_context_token_id`` / ``image_token_index`` on the config."""
+
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        vc = hf_config.vision_config
+        self.S = getattr(hf_config, "force_image_size", None) or \
+            vc.image_size
+        g = self.S // vc.patch_size
+        r = float(getattr(hf_config, "downsample_ratio", 0.5))
+        self.tokens_per_tile = int(round((g * r) ** 2))
+        self.image_token_id = getattr(hf_config, "img_context_token_id",
+                                      None) or \
+            getattr(hf_config, "image_token_index", None)
+        if self.image_token_id is None:
+            raise ValueError(
+                "InternVL serving needs img_context_token_id (or "
+                "image_token_index) on the config")
+        dyn = getattr(hf_config, "dynamic_image_size", True)
+        self.min_num = getattr(hf_config, "min_dynamic_patch", 1) \
+            if dyn else 1
+        self.max_num = getattr(hf_config, "max_dynamic_patch", 12) \
+            if dyn else 1
+        self.use_thumbnail = getattr(hf_config, "use_thumbnail", True)
+        self.image_mean = np.asarray((0.485, 0.456, 0.406), np.float32)
+        self.image_std = np.asarray((0.229, 0.224, 0.225), np.float32)
+
+    def _target_ratio(self, ow: int, oh: int) -> tuple[int, int]:
+        ratios = sorted(
+            {(i, j) for n in range(self.min_num, self.max_num + 1)
+             for i in range(1, n + 1) for j in range(1, n + 1)
+             if self.min_num <= i * j <= self.max_num},
+            key=lambda x: x[0] * x[1])
+        aspect = ow / oh
+        best, best_diff = (1, 1), float("inf")
+        for i, j in ratios:
+            diff = abs(aspect - i / j)
+            if diff < best_diff:
+                best_diff, best = diff, (i, j)
+            elif diff == best_diff and \
+                    ow * oh > 0.5 * self.S * self.S * i * j:
+                best = (i, j)
+        return best
+
+    def _norm(self, arr: np.ndarray) -> np.ndarray:
+        arr = arr.astype(np.float32)
+        if arr.max() > 1.5:
+            arr = arr / 255.0
+        return ((arr - self.image_mean) / self.image_std).transpose(2, 0, 1)
+
+    def _tile(self, img) -> np.ndarray:
+        """PIL image -> [n_tiles, 3, S, S] (row-major tiles + thumbnail)."""
+        S = self.S
+        img = img.convert("RGB")
+        ow, oh = img.size
+        cols, rows = self._target_ratio(ow, oh)
+        resized = img.resize((S * cols, S * rows), resample=3)
+        arr = np.asarray(resized)
+        tiles = [self._norm(arr[r * S:(r + 1) * S, c * S:(c + 1) * S])
+                 for r in range(rows) for c in range(cols)]
+        if self.use_thumbnail and len(tiles) != 1:
+            tiles.append(self._norm(np.asarray(
+                img.resize((S, S), resample=3))))
+        return np.stack(tiles)
+
+    def _prep(self, item) -> np.ndarray:
+        if hasattr(item, "resize") and not isinstance(item, np.ndarray):
+            return self._tile(item)
+        arr = np.asarray(item, np.float32)
+        if arr.ndim == 3:
+            arr = arr[None]
+        if arr.shape[1:] != (3, self.S, self.S):
+            raise ValueError(
+                f"pre-tiled input must be [n,3,{self.S},{self.S}], "
+                f"got {arr.shape}")
+        return arr
+
+    def process(self, media, token_ids: list[int]):
+        items = media if isinstance(media, (list, tuple)) else [media]
+        if isinstance(media, np.ndarray) and media.ndim == 4:
+            items = [media]
+        tiled = [self._prep(i) for i in items]
+        counts = [t.shape[0] * self.tokens_per_tile for t in tiled]
+        tid = self.image_token_id
+        occurrences = [i for i, t in enumerate(token_ids) if t == tid]
+        spans: list[tuple[int, int]] = []
+        if len(occurrences) == sum(counts) and counts:
+            expanded = list(token_ids)
+            runs, run_start, prev = [], None, -2
+            for i in occurrences + [-1]:
+                if i != prev + 1:
+                    if run_start is not None:
+                        runs.append((run_start, prev - run_start + 1))
+                    run_start = i
+                prev = i
+            ci = 0
+            for off, ln in runs:
+                while ln > 0:
+                    spans.append((off, counts[ci]))
+                    off += counts[ci]
+                    ln -= counts[ci]
+                    ci += 1
+            if ci != len(counts):
+                raise ValueError("placeholder runs do not tile images")
+        elif len(occurrences) == len(counts):
+            expanded, ci = [], 0
+            for t in token_ids:
+                if t == tid:
+                    spans.append((len(expanded), counts[ci]))
+                    expanded.extend([tid] * counts[ci])
+                    ci += 1
+                else:
+                    expanded.append(t)
+        else:
+            raise ValueError(
+                f"prompt has {len(occurrences)} image placeholders for "
+                f"{len(counts)} images")
+        return (np.concatenate(tiled, axis=0), expanded, spans, None)
+
+
 class PixtralAdapter:
     """Pixtral / Mistral-3: variable-resolution images; the prompt carries
     rows of image tokens separated by [IMG_BREAK] and closed by [IMG_END]
@@ -792,6 +920,10 @@ _ADAPTERS = {
     "LlavaOnevisionForConditionalGeneration": LlavaNextAdapter,
     "Mistral3ForConditionalGeneration": PixtralAdapter,
     "PixtralForConditionalGeneration": PixtralAdapter,
+    "InternVLChatModel": InternVLAdapter,
+    "NVLM_D": InternVLAdapter,
+    "H2OVLChatModel": InternVLAdapter,
+    "SkyworkR1VChatModel": InternVLAdapter,
     "PaliGemmaForConditionalGeneration": PaliGemmaAdapter,
     "WhisperForConditionalGeneration": WhisperAdapter,
     "Qwen2VLForConditionalGeneration": Qwen2VLAdapter,
