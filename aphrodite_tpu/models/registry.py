@@ -174,6 +174,8 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     # Skywork-R1V ship the same tower/connector with prompt-format and
     # tiling-policy differences (reference nvlm_d.py, h2ovl.py,
     # skyworkr1v.py).
+    "Phi3VForCausalLM": ("aphrodite_tpu.models.phi3v",
+                         "Phi3VForCausalLM"),
     "InternVLChatModel": ("aphrodite_tpu.models.internvl",
                           "InternVLChatModel"),
     "NVLM_D": ("aphrodite_tpu.models.internvl", "InternVLChatModel"),

@@ -583,6 +583,146 @@ class LlavaNextAdapter:
         return pv, expanded, spans, {"items": tuple(items)}
 
 
+class Phi3VAdapter:
+    """Phi-3-Vision HD transform (reference phi3v.py + the phi3.5-vision
+    processor): landscape-orient, scale so the 336-tile grid fits
+    ``num_crops``, pad height to a tile multiple (white), tile row-major;
+    the global image is the padded image resized to one tile. Feature
+    tokens per image: 12h*(12w+1) sub + 1 glb_GN + 12*13 global.
+
+    Accepts PIL images or dicts {"pixel_values": [1+crops, 3, S, S],
+    "image_sizes" | "crops": ...}. Negative placeholder ids are mapped to
+    the image token (reference phi3v.py:389)."""
+
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        imgp = getattr(hf_config, "img_processor", None) or {}
+        vit = imgp.get("vit_config") or {}
+        self.S = vit.get("image_size", 336)
+        g = self.S // vit.get("patch_size", 14)
+        self.g2 = g // 2
+        self.num_crops = getattr(hf_config, "num_crops", None) or \
+            imgp.get("num_crops", 16)
+        self.image_token_id = getattr(hf_config, "image_token_id", 32044)
+        self.image_mean = np.asarray(
+            (0.48145466, 0.4578275, 0.40821073), np.float32)
+        self.image_std = np.asarray(
+            (0.26862954, 0.26130258, 0.27577711), np.float32)
+
+    def _tokens(self, hc: int, wc: int) -> int:
+        g2 = self.g2
+        return g2 * hc * (g2 * wc + 1) + 1 + g2 * (g2 + 1)
+
+    def _norm(self, arr: np.ndarray) -> np.ndarray:
+        arr = arr.astype(np.float32)
+        if arr.max() > 1.5:
+            arr = arr / 255.0
+        return ((arr - self.image_mean) / self.image_std).transpose(2, 0, 1)
+
+    def _hd(self, img) -> tuple[np.ndarray, int, int]:
+        """PIL -> ([1 + hc*wc, 3, S, S], hc, wc); global tile first."""
+        import math as _m
+        from PIL import Image
+        S = self.S
+        img = img.convert("RGB")
+        w, h = img.size
+        trans = False
+        if w < h:
+            img = img.transpose(Image.TRANSPOSE)
+            w, h = img.size
+            trans = True
+        ratio = w / h
+        scale = 1
+        while scale * _m.ceil(scale / ratio) <= self.num_crops:
+            scale += 1
+        scale -= 1
+        new_w = max(int(scale * S), S)
+        new_h = max(int(new_w / ratio), 1)
+        img = img.resize((new_w, new_h), resample=3)
+        target_h = int(_m.ceil(new_h / S) * S)
+        top = (target_h - new_h) // 2
+        arr = np.full((target_h, new_w, 3), 255, np.uint8)
+        arr[top:top + new_h] = np.asarray(img)
+        if trans:
+            arr = arr.transpose(1, 0, 2)
+        H, W = arr.shape[:2]
+        hc, wc = H // S, W // S
+        full = self._norm(arr)  # [3, H, W]
+        tiles = full.reshape(3, hc, S, wc, S).transpose(1, 3, 0, 2, 4)
+        tiles = tiles.reshape(hc * wc, 3, S, S)
+        glb = np.asarray(Image.fromarray(arr).resize((S, S), resample=3))
+        return np.concatenate([self._norm(glb)[None], tiles]), hc, wc
+
+    def process(self, media, token_ids: list[int]):
+        items = media if isinstance(media, (list, tuple)) else [media]
+        if isinstance(media, np.ndarray) and media.ndim == 4:
+            items = [media]
+        prepped = []
+        for it in items:
+            if isinstance(it, dict):
+                pv = np.asarray(it["pixel_values"], np.float32)
+                if pv.ndim == 5:
+                    pv = pv[0]
+                if "crops" in it:
+                    hc, wc = (int(x) for x in it["crops"])
+                else:
+                    sz = np.asarray(it["image_sizes"]).reshape(-1)[:2]
+                    hc, wc = int(sz[0]) // self.S, int(sz[1]) // self.S
+                prepped.append((pv[:1 + hc * wc], hc, wc))
+            elif isinstance(it, np.ndarray):
+                if it.ndim != 4 or it.shape[1:] != (3, self.S, self.S):
+                    raise ValueError(
+                        f"array input must be [1+crops,3,{self.S},"
+                        f"{self.S}] (global tile first), got {it.shape}")
+                n = it.shape[0] - 1
+                hc = int(np.sqrt(n)) or 1
+                while n % hc:
+                    hc -= 1
+                prepped.append((it.astype(np.float32), hc, n // hc))
+            else:
+                prepped.append(self._hd(it))
+        tid = self.image_token_id
+        token_ids = [tid if t < 0 else t for t in token_ids]
+        counts = [self._tokens(hc, wc) for _, hc, wc in prepped]
+        occurrences = [i for i, t in enumerate(token_ids) if t == tid]
+        spans: list[tuple[int, int]] = []
+        if len(occurrences) == sum(counts) and counts:
+            expanded = list(token_ids)
+            runs, run_start, prev = [], None, -2
+            for i in occurrences + [-1]:
+                if i != prev + 1:
+                    if run_start is not None:
+                        runs.append((run_start, prev - run_start + 1))
+                    run_start = i
+                prev = i
+            ci = 0
+            for off, ln in runs:
+                while ln > 0:
+                    spans.append((off, counts[ci]))
+                    off += counts[ci]
+                    ln -= counts[ci]
+                    ci += 1
+            if ci != len(counts):
+                raise ValueError("placeholder runs do not tile images")
+        elif len(occurrences) == len(counts):
+            expanded, ci = [], 0
+            for t in token_ids:
+                if t == tid:
+                    spans.append((len(expanded), counts[ci]))
+                    expanded.extend([tid] * counts[ci])
+                    ci += 1
+                else:
+                    expanded.append(t)
+        else:
+            raise ValueError(
+                f"prompt has {len(occurrences)} image placeholders for "
+                f"{len(counts)} images")
+        pv = np.concatenate([p for p, _, _ in prepped], axis=0)
+        crops = tuple((hc, wc) for _, hc, wc in prepped)
+        return pv, expanded, spans, {"crops": crops}
+
+
 class InternVLAdapter:
     """InternVL family (also NVLM-D / H2OVL / Skywork-R1V): dynamic tiling
     into fixed squares + optional thumbnail tile (reference internvl.py
@@ -920,6 +1060,7 @@ _ADAPTERS = {
     "LlavaOnevisionForConditionalGeneration": LlavaNextAdapter,
     "Mistral3ForConditionalGeneration": PixtralAdapter,
     "PixtralForConditionalGeneration": PixtralAdapter,
+    "Phi3VForCausalLM": Phi3VAdapter,
     "InternVLChatModel": InternVLAdapter,
     "NVLM_D": InternVLAdapter,
     "H2OVLChatModel": InternVLAdapter,
