@@ -87,6 +87,7 @@ class ModelConfig:
                         "num_hidden_layers": ("n_layer", "n_layers",
                                               "num_layers"),
                         "hidden_size": ("d_model", "n_embd"),
+                        "intermediate_size": ("n_inner",),
                         "max_position_embeddings": ("max_seq_len",
                                                     "model_max_length",
                                                     "seq_length",

@@ -277,13 +277,29 @@ class LLM:
         import math as _math
         if isinstance(texts_2, str):
             texts_2 = [texts_2]
-        tok = self.engine.tokenizer
+        def _ids(x):
+            return isinstance(x, (list, tuple)) and \
+                (not x or isinstance(x[0], int))
+
         pairs = []
-        for t2 in texts_2:
-            enc = tok(text_1, text_pair=t2)
-            pairs.append((enc["input_ids"],
-                          enc.get("token_type_ids")
-                          or [0] * len(enc["input_ids"])))
+        if _ids(text_1):
+            # Pre-tokenized single query vs many docs; segment ids 0/1.
+            for t2 in texts_2:
+                pairs.append((list(text_1) + list(t2),
+                              [0] * len(text_1) + [1] * len(t2)))
+        elif isinstance(text_1, (list, tuple)) and text_1 \
+                and _ids(text_1[0]):
+            # Pre-tokenized elementwise (query_i, doc_i) pairs.
+            for t1, t2 in zip(text_1, texts_2):
+                pairs.append((list(t1) + list(t2),
+                              [0] * len(t1) + [1] * len(t2)))
+        else:
+            tok = self.engine.tokenizer
+            for t2 in texts_2:
+                enc = tok(text_1, text_pair=t2)
+                pairs.append((enc["input_ids"],
+                              enc.get("token_type_ids")
+                              or [0] * len(enc["input_ids"])))
         logits = self.engine.core.worker.runner.score(pairs)
         out = []
         for row in logits:

@@ -156,16 +156,19 @@ class BertModel:
         B, S = input_ids.shape
         x = jnp.take(params["embed"], input_ids, axis=0)
         off = self.pos_offset
-        x = x + jax.lax.dynamic_slice_in_dim(params["pos_embed"], off, S,
-                                             axis=0)[None]
-        if type_ids is None:
-            x = x + params["type_embed"][0][None, None, :]
-        else:
-            x = x + jnp.take(params["type_embed"], type_ids, axis=0)
+        if "pos_embed" in params:
+            x = x + jax.lax.dynamic_slice_in_dim(params["pos_embed"], off,
+                                                 S, axis=0)[None]
+        if "type_embed" in params:
+            if type_ids is None:
+                x = x + params["type_embed"][0][None, None, :]
+            else:
+                x = x + jnp.take(params["type_embed"], type_ids, axis=0)
         x = layer_norm(x, params["embed_ln_w"], params["embed_ln_b"],
                        self.eps)
         nh, hd = self.num_heads, self.head_dim
         bias = jnp.where(attn_mask[:, None, None, :] > 0, 0.0, -1e9)
+        cos_sin = self._rope_cos_sin(S)
 
         def layer(x, lp):
             q = (jnp.einsum("bsh,hd->bsd", x, lp["wq"]) + lp["bq2"]) \
@@ -174,6 +177,9 @@ class BertModel:
                 .reshape(B, S, nh, hd)
             v = (jnp.einsum("bsh,hd->bsd", x, lp["wv"]) + lp["bv2"]) \
                 .reshape(B, S, nh, hd)
+            if cos_sin is not None:
+                q = self._rope(q, *cos_sin)
+                k = self._rope(k, *cos_sin)
             s = jnp.einsum("bqnd,bknd->bnqk", q, k) / jnp.sqrt(
                 jnp.float32(hd)).astype(x.dtype)
             s = s.astype(jnp.float32) + bias
@@ -181,19 +187,208 @@ class BertModel:
             o = jnp.einsum("bnqk,bknd->bqnd", p, v).reshape(B, S, nh * hd)
             o = jnp.einsum("bsh,hd->bsd", o, lp["wo"]) + lp["bo"]
             x = layer_norm(x + o, lp["attn_ln_w"], lp["attn_ln_b"], self.eps)
-            h = jax.nn.gelu(
-                jnp.einsum("bsh,hi->bsi", x, lp["w_in"]) + lp["b_in"],
-                approximate=False)
-            h = jnp.einsum("bsi,ih->bsh", h, lp["w_out"]) + lp["b_out"]
+            h = self._mlp(x, lp)
             x = layer_norm(x + h, lp["out_ln_w"], lp["out_ln_b"], self.eps)
             return x, None
 
         x, _ = jax.lax.scan(layer, x, params["layers"])
         return x
 
+    def _rope_cos_sin(self, S):
+        """Hook: rotary-position variants (GTE / NomicBERT) return (cos,
+        sin) [S, rot/2]; classic BERT uses learned positions (None)."""
+        return None
+
+    def _rope(self, x, cos, sin):
+        from aphrodite_tpu.layers.rotary import apply_rope
+        B, S, nh, hd = x.shape
+        out = apply_rope(x.reshape(B * S, nh, hd),
+                         jnp.tile(cos, (B, 1)), jnp.tile(sin, (B, 1)))
+        return out.reshape(B, S, nh, hd)
+
+    def _mlp(self, x, lp):
+        h = jax.nn.gelu(
+            jnp.einsum("bsh,hi->bsi", x, lp["w_in"]) + lp["b_in"],
+            approximate=False)
+        return jnp.einsum("bsi,ih->bsh", h, lp["w_out"]) + lp["b_out"]
+
 
 class BertEmbeddingModel(BertModel):
     """Registered arch entry (BertModel / BertForMaskedLM checkpoints)."""
+
+
+class _RotaryGatedBert(BertModel):
+    """Post-norm BERT body with rotary positions, fused QKV and a gated
+    (GLU) MLP — the shared shape of GTE-new and NomicBERT (reference
+    bert.py GteEmbeddingModel / NomicBertEmbeddingModel)."""
+
+    act = staticmethod(jax.nn.silu)
+    linear_bias = False
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        hf = config.text_config
+        base = getattr(hf, "rope_theta",
+                       getattr(hf, "rotary_emb_base", 10000.0))
+        frac = getattr(hf, "rotary_emb_fraction", 1.0)
+        self.rot_dim = getattr(hf, "rotary_emb_dim", None) or \
+            int(self.head_dim * frac)
+        self._inv_freq = jnp.asarray(
+            base ** -(np.arange(0, self.rot_dim, 2, dtype=np.float64)
+                      / self.rot_dim), jnp.float32)
+
+    def _layer_shapes(self):
+        shapes = super()._layer_shapes()
+        H, I, L = self.hidden_size, self.intermediate_size, self.num_layers
+        del shapes["w_in"], shapes["b_in"]
+        # Bias buffers stay allocated (zeros) — rows are filled only when
+        # the checkpoint carries them (GTE has biases, NomicBERT doesn't).
+        shapes.update(w_gate=(L, H, I), w_up=(L, H, I))
+        return shapes
+
+    def _rope_cos_sin(self, S):
+        pos = jnp.arange(S, dtype=jnp.float32)
+        ang = pos[:, None] * self._inv_freq[None, :]
+        return jnp.cos(ang), jnp.sin(ang)
+
+    def _rope(self, x, cos, sin):
+        from aphrodite_tpu.layers.rotary import apply_rope
+        B, S, nh, hd = x.shape
+        rot = self.rot_dim
+        xr = x[..., :rot].reshape(B * S, nh, rot)
+        out = apply_rope(xr, jnp.tile(cos, (B, 1)), jnp.tile(sin, (B, 1)))
+        out = out.reshape(B, S, nh, rot)
+        if rot != hd:
+            out = jnp.concatenate([out, x[..., rot:]], axis=-1)
+        return out
+
+    def _mlp(self, x, lp):
+        g = jnp.einsum("bsh,hi->bsi", x, lp["w_gate"])
+        u = jnp.einsum("bsh,hi->bsi", x, lp["w_up"])
+        return jnp.einsum("bsi,ih->bsh", self.act(g) * u, lp["w_out"]) \
+            + lp["b_out"]
+
+
+class NomicBertEmbeddingModel(_RotaryGatedBert):
+    """HF remote-code 'NomicBertModel' (nomic-embed-text): GPT2-style
+    config names, fused Wqkv, swiglu MLP (fc12 = gate, fc11 = up), emb_ln,
+    post-norm (norm1/norm2). Reference bert.py:613."""
+
+    def load_weights(self, weights: Iterable[tuple[str, np.ndarray]]):
+        import ml_dtypes  # noqa: F401
+        target = (np.dtype("bfloat16") if self.dtype == jnp.bfloat16
+                  else np.dtype(jnp.dtype(self.dtype).name))
+        bufs = {k: np.zeros(s, target)
+                for k, s in self._layer_shapes().items()}
+        params = {"layers": bufs}
+        H = self.hidden_size
+        for name, w in weights:
+            w = np.asarray(w)
+            name = name.removeprefix("bert.")
+            if name == "embeddings.word_embeddings.weight":
+                params["embed"] = w.astype(target)
+            elif name == "embeddings.token_type_embeddings.weight":
+                params["type_embed"] = w.astype(target)
+            elif name == "emb_ln.weight":
+                params["embed_ln_w"] = w.astype(target)
+            elif name == "emb_ln.bias":
+                params["embed_ln_b"] = w.astype(target)
+            elif name.startswith("encoder.layers."):
+                rest = name[len("encoder.layers."):]
+                idx_s, sub = rest.split(".", 1)
+                li = int(idx_s)
+                if sub == "attn.Wqkv.weight":
+                    q, k, v = np.split(w, 3, axis=0)
+                    bufs["wq"][li] = q.T.astype(target)
+                    bufs["wk"][li] = k.T.astype(target)
+                    bufs["wv"][li] = v.T.astype(target)
+                elif sub == "attn.Wqkv.bias":
+                    q, k, v = np.split(w, 3, axis=0)
+                    bufs["bq2"][li] = q.astype(target)
+                    bufs["bk2"][li] = k.astype(target)
+                    bufs["bv2"][li] = v.astype(target)
+                else:
+                    m = {
+                        "attn.out_proj.weight": ("wo", True),
+                        "attn.out_proj.bias": ("bo", False),
+                        "norm1.weight": ("attn_ln_w", False),
+                        "norm1.bias": ("attn_ln_b", False),
+                        "mlp.fc11.weight": ("w_up", True),
+                        "mlp.fc12.weight": ("w_gate", True),
+                        "mlp.fc2.weight": ("w_out", True),
+                        "mlp.fc2.bias": ("b_out", False),
+                        "norm2.weight": ("out_ln_w", False),
+                        "norm2.bias": ("out_ln_b", False),
+                    }.get(sub)
+                    if m is not None:
+                        key, tr = m
+                        bufs[key][li] = (w.T if tr else w).astype(target)
+        if "embed" not in params:
+            raise ValueError("missing word embeddings")
+        return params
+
+
+class GteEmbeddingModel(_RotaryGatedBert):
+    """'GteModel' / 'NewModel' (Alibaba gte-*-v1.5): rope BERT with fused
+    qkv_proj and a fused up_gate_proj ([gate | up] rows) gelu GLU.
+    Reference bert.py:667."""
+
+    act = staticmethod(lambda x: jax.nn.gelu(x, approximate=False))
+
+    def load_weights(self, weights: Iterable[tuple[str, np.ndarray]]):
+        import ml_dtypes  # noqa: F401
+        target = (np.dtype("bfloat16") if self.dtype == jnp.bfloat16
+                  else np.dtype(jnp.dtype(self.dtype).name))
+        bufs = {k: np.zeros(s, target)
+                for k, s in self._layer_shapes().items()}
+        params = {"layers": bufs}
+        I = self.intermediate_size
+        for name, w in weights:
+            w = np.asarray(w)
+            for pref in ("new.", "model."):
+                name = name.removeprefix(pref)
+            if name == "embeddings.word_embeddings.weight":
+                params["embed"] = w.astype(target)
+            elif name == "embeddings.token_type_embeddings.weight":
+                params["type_embed"] = w.astype(target)
+            elif name == "embeddings.LayerNorm.weight":
+                params["embed_ln_w"] = w.astype(target)
+            elif name == "embeddings.LayerNorm.bias":
+                params["embed_ln_b"] = w.astype(target)
+            elif name.startswith("encoder.layer."):
+                rest = name[len("encoder.layer."):]
+                idx_s, sub = rest.split(".", 1)
+                li = int(idx_s)
+                if sub == "attention.qkv_proj.weight":
+                    q, k, v = np.split(w, 3, axis=0)
+                    bufs["wq"][li] = q.T.astype(target)
+                    bufs["wk"][li] = k.T.astype(target)
+                    bufs["wv"][li] = v.T.astype(target)
+                elif sub == "attention.qkv_proj.bias":
+                    q, k, v = np.split(w, 3, axis=0)
+                    bufs["bq2"][li] = q.astype(target)
+                    bufs["bk2"][li] = k.astype(target)
+                    bufs["bv2"][li] = v.astype(target)
+                elif sub == "mlp.up_gate_proj.weight":
+                    bufs["w_gate"][li] = w[:I].T.astype(target)
+                    bufs["w_up"][li] = w[I:].T.astype(target)
+                else:
+                    m = {
+                        "attention.o_proj.weight": ("wo", True),
+                        "attention.o_proj.bias": ("bo", False),
+                        "attn_ln.weight": ("attn_ln_w", False),
+                        "attn_ln.bias": ("attn_ln_b", False),
+                        "mlp.down_proj.weight": ("w_out", True),
+                        "mlp.down_proj.bias": ("b_out", False),
+                        "mlp_ln.weight": ("out_ln_w", False),
+                        "mlp_ln.bias": ("out_ln_b", False),
+                    }.get(sub)
+                    if m is not None:
+                        key, tr = m
+                        bufs[key][li] = (w.T if tr else w).astype(target)
+        if "embed" not in params:
+            raise ValueError("missing word embeddings")
+        return params
 
 
 class BertForSequenceClassification(BertModel):

@@ -426,13 +426,35 @@ class FlexibleDecoder:
             if self.qk_norm not in (None, "flat_rms"):
                 q, k = self._apply_qk_norm(q, k, lp)
             if cos is not None:
-                q = self._rope(q, cos, sin)
-                k = self._rope(k, cos, sin)
+                if "is_sliding" in lp:
+                    # Cohere2-style: global layers carry NO positional
+                    # encoding — rope degenerates to identity (cos=1,sin=0).
+                    c = jnp.where(lp["is_sliding"] > 0, cos,
+                                  jnp.ones_like(cos))
+                    s = jnp.where(lp["is_sliding"] > 0, sin,
+                                  jnp.zeros_like(sin))
+                else:
+                    c, s = cos, sin
+                q = self._rope(q, c, s)
+                k = self._rope(k, c, s)
             kvc = write_kv(kvc, k, v, md.slot_mapping)
-            o = paged_attention(q, kvc, md, self.scale,
-                                sliding_window=self.sliding_window,
-                                logits_soft_cap=self.attn_soft_cap,
-                                use_pallas=use_pallas, alibi=alibi)
+            if self.sliding_window is not None and "is_sliding" in lp:
+                o = jax.lax.cond(
+                    lp["is_sliding"] > 0,
+                    lambda: paged_attention(
+                        q, kvc, md, self.scale,
+                        sliding_window=self.sliding_window,
+                        logits_soft_cap=self.attn_soft_cap,
+                        use_pallas=use_pallas, alibi=alibi),
+                    lambda: paged_attention(
+                        q, kvc, md, self.scale,
+                        logits_soft_cap=self.attn_soft_cap,
+                        use_pallas=use_pallas, alibi=alibi))
+            else:
+                o = paged_attention(q, kvc, md, self.scale,
+                                    sliding_window=self.sliding_window,
+                                    logits_soft_cap=self.attn_soft_cap,
+                                    use_pallas=use_pallas, alibi=alibi)
             o = lin(o.reshape(T, nq * hd), lp, "wo",
                     "bo" if self.attn_out_bias else None)
             if self.attn_output_multiplier != 1.0:
@@ -809,6 +831,43 @@ class CohereForCausalLM(FlexibleDecoder):
             self.qk_norm = "per_head_ln"
             self.qk_norm_bias = False
             self.qk_norm_eps = self.norm_eps
+
+
+class Cohere2ForCausalLM(CohereForCausalLM):
+    """HF 'Cohere2ForCausalLM' (Command-R7B; reference commandr.py handles
+    both generations): Cohere parallel-residual body where layers follow a
+    sliding/global pattern — sliding layers use rotary + sliding-window
+    attention, and every ``sliding_window_pattern``-th layer is GLOBAL with
+    no positional encoding at all (rope skipped). Expressed as a per-layer
+    ``is_sliding`` flag in the scanned stack (gemma.py idiom)."""
+
+    def _setup(self, hf):
+        super()._setup(hf)
+        self.sliding_window = getattr(hf, "sliding_window", 4096)
+        pattern = getattr(hf, "sliding_window_pattern", 4)
+        lt = getattr(hf, "layer_types", None)
+        n = hf.num_hidden_layers
+        self._sliding_flags = np.asarray(
+            [1.0 if (lt[i] == "sliding_attention" if lt
+                     else (i + 1) % pattern != 0) else 0.0
+             for i in range(n)], np.float32)
+
+    def _layer_shapes(self):
+        shapes = super()._layer_shapes()
+        shapes["is_sliding"] = (self.num_layers,)
+        return shapes
+
+    def load_weights(self, weights):
+        params = super().load_weights(weights)
+        params["layers"]["is_sliding"] = self._sliding_flags.astype(
+            params["layers"]["is_sliding"].dtype)
+        return params
+
+    def init_dummy_params(self, rng):
+        params = super().init_dummy_params(rng)
+        params["layers"]["is_sliding"] = jnp.asarray(
+            self._sliding_flags, self.dtype)
+        return params
 
 
 class OlmoForCausalLM(FlexibleDecoder):

@@ -67,6 +67,8 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                              "PersimmonForCausalLM"),
     "CohereForCausalLM": ("aphrodite_tpu.models.llama_variants",
                           "CohereForCausalLM"),
+    "Cohere2ForCausalLM": ("aphrodite_tpu.models.llama_variants",
+                           "Cohere2ForCausalLM"),
     "OlmoForCausalLM": ("aphrodite_tpu.models.llama_variants",
                         "OlmoForCausalLM"),
     "Olmo2ForCausalLM": ("aphrodite_tpu.models.llama_variants",
@@ -220,6 +222,16 @@ _EMBEDDING: dict[str, tuple[str, str]] = {
     "RobertaForMaskedLM": ("aphrodite_tpu.models.bert",
                            "BertEmbeddingModel"),
     "XLMRobertaModel": ("aphrodite_tpu.models.bert", "BertEmbeddingModel"),
+    # Rotary-position BERT variants.
+    "NomicBertModel": ("aphrodite_tpu.models.bert",
+                       "NomicBertEmbeddingModel"),
+    "GteModel": ("aphrodite_tpu.models.bert", "GteEmbeddingModel"),
+    "NewModel": ("aphrodite_tpu.models.bert", "GteEmbeddingModel"),
+    "ModernBertModel": ("aphrodite_tpu.models.modern_bert",
+                        "ModernBertEmbeddingModel"),
+    "ModernBertForSequenceClassification": (
+        "aphrodite_tpu.models.modern_bert",
+        "ModernBertForSequenceClassification"),
     # Cross-encoders (scoring/reranking via /score + /rerank).
     "BertForSequenceClassification": ("aphrodite_tpu.models.bert",
                                       "BertForSequenceClassification"),
