@@ -114,6 +114,18 @@ class ModelConfig:
                                 d[sub] = PretrainedConfig.from_dict(v)
                     self.hf_config = PretrainedConfig.from_dict(d)
         hf = self.hf_config
+        # Generation defaults HF moved out of config.json (decoder start /
+        # forced BOS for encoder-decoder models).
+        gen_path = os.path.join(str(self.model), "generation_config.json")
+        if os.path.exists(gen_path):
+            try:
+                with open(gen_path) as f:
+                    gen = json.load(f)
+                for k in ("decoder_start_token_id", "forced_bos_token_id"):
+                    if getattr(hf, k, None) is None and gen.get(k) is not None:
+                        setattr(hf, k, gen[k])
+            except (OSError, ValueError):
+                pass
         if self.architecture is None:
             archs = getattr(hf, "architectures", None) or []
             self.architecture = archs[0] if archs else None
@@ -145,7 +157,8 @@ class ModelConfig:
 
     @property
     def is_encoder_decoder(self) -> bool:
-        return self.text_config.model_type == "whisper"
+        return self.text_config.model_type in ("whisper", "bart",
+                                               "florence2")
 
     @property
     def num_layers(self) -> int:

@@ -63,13 +63,31 @@ class Processor:
                 arrival_time: Optional[float] = None,
                 lora_name: Optional[str] = None) -> Request:
         text: Optional[str] = None
+        enc_ids = None
         if isinstance(prompt, dict):
+            if "encoder_prompt_token_ids" in prompt:
+                enc_ids = list(prompt["encoder_prompt_token_ids"])
+            elif "encoder_prompt" in prompt:
+                enc_ids = self.tokenizer.encode(prompt["encoder_prompt"])
             if "prompt_token_ids" in prompt:
                 token_ids = list(prompt["prompt_token_ids"])
                 text = prompt.get("prompt")
-            else:
+            elif "prompt" in prompt:
                 text = prompt["prompt"]
                 token_ids = self.tokenizer.encode(text)
+            elif enc_ids is not None:
+                # Encoder-decoder with default decoder start (reference:
+                # enc-dec prompt handling, inputs/preprocess.py).
+                hf = self.config.model_config.hf_config
+                token_ids = [getattr(hf, "decoder_start_token_id", None)
+                             or getattr(hf, "eos_token_id", 2)]
+                forced = getattr(hf, "forced_bos_token_id", None)
+                if forced is not None:
+                    token_ids.append(forced)
+            else:
+                raise ValueError(f"request {request_id}: prompt dict needs "
+                                 "'prompt', 'prompt_token_ids' or an "
+                                 "encoder prompt")
         elif isinstance(prompt, str):
             text = prompt
             token_ids = self.tokenizer.encode(text)
@@ -77,6 +95,12 @@ class Processor:
             token_ids = list(prompt)
 
         mm_inputs = None
+        if enc_ids is not None:
+            import numpy as _np
+            from aphrodite_tpu.multimodal import MMInputs
+            mm_inputs = MMInputs(
+                pixel_values=_np.asarray(enc_ids, _np.int32)[None],
+                spans=[])
         pa = prompt.get("prompt_adapter") if isinstance(prompt, dict) \
             else None
         if pa:

@@ -209,9 +209,12 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     "SmolVLMForConditionalGeneration": (
         "aphrodite_tpu.models.idefics3", "SmolVLMForConditionalGeneration"),
     "FuyuForCausalLM": ("aphrodite_tpu.models.fuyu", "FuyuForCausalLM"),
-    # Encoder-decoder (speech-to-text).
+    # Encoder-decoder (speech-to-text / text-to-text).
     "WhisperForConditionalGeneration": ("aphrodite_tpu.models.whisper",
                                         "WhisperForConditionalGeneration"),
+    "BartForConditionalGeneration": ("aphrodite_tpu.models.bart",
+                                     "BartForConditionalGeneration"),
+    "BartModel": ("aphrodite_tpu.models.bart", "BartModel"),
 }
 
 # Embedding/encoder architectures (served via LLM.embed / /v1/embeddings).

@@ -287,9 +287,9 @@ class WhisperForConditionalGeneration:
                          jnp.clip(md.token_pos, 0, self.max_target - 1),
                          axis=0).astype(x.dtype)
         if mm is not None:
-            enc, enc_valid = mm  # [R, S, D], [R] bool
+            enc, enc_lens = mm  # [R, S, D], [R] valid-row counts
         else:
-            enc = enc_valid = None
+            enc = enc_lens = None
 
         def layer(x, xs):
             lp, kvc = xs
@@ -317,8 +317,10 @@ class WhisperForConditionalGeneration:
                 logits = jnp.einsum("tnd,tsnd->tns", q, ek,
                                     preferred_element_type=jnp.float32)
                 logits = logits * self.scale
-                valid = jnp.take(enc_valid, md.token_req_idx, axis=0)
-                logits = jnp.where(valid[:, None, None], logits, -1e9)
+                lens = jnp.take(enc_lens, md.token_req_idx, axis=0)  # [T]
+                logits = jnp.where(
+                    jnp.arange(S)[None, None, :] < lens[:, None, None],
+                    logits, -1e9)
                 p = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
                 o = jnp.einsum("tns,tsnd->tnd", p, ev).reshape(T, D)
                 x = x + jnp.dot(o, lp["ca_wo"]) + lp["ca_bo"]

@@ -310,11 +310,13 @@ class ModelRunner:
         if st.mm_embeds is None:
             pv = np.asarray(st.mm.pixel_values)
             if getattr(self.model, "mm_needs_extra", False):
-                # Variable-token encoders (Qwen2-VL): the model jits per
-                # static image-grid signature; embeddings come back as the
-                # flat concat over images in span order.
-                st.mm_embeds = self.model.encode_images(
-                    self.params, jnp.asarray(pv), **(st.mm.extra or {}))
+                # Variable-token encoders (Qwen2-VL, BART-style text
+                # encoders): the model jits per static signature;
+                # embeddings come back as the flat concat in span order.
+                enc = getattr(self.model, "encode_media", None) \
+                    or self.model.encode_images
+                st.mm_embeds = enc(self.params, jnp.asarray(pv),
+                                   **(st.mm.extra or {}))
                 return st.mm_embeds
             if getattr(st.mm, "is_embeddings", False):
                 # Soft prompts: the payload already IS the embedding rows.
@@ -345,29 +347,41 @@ class ModelRunner:
             return None
         if getattr(self.model, "mm_kind", "scatter") == "cross_attn":
             # Encoder-decoder: every step cross-attends, so ship the whole
-            # batch's encoder states [R_pad, S, D] (+ validity mask).
-            S = self.model.mm_rows_per_item
+            # batch's encoder states [R_pad, S, D] + per-request valid
+            # lengths (Whisper states are full-length; BART-style text
+            # encoders vary, padded up to a pow2 bucket).
+            S_fixed = getattr(self.model, "mm_rows_per_item", None)
             R_pad = len(seg_starts)
-            valid = np.zeros((R_pad,), bool)
+            lens = np.zeros((R_pad,), np.int32)
             rows = {}
             for r, rid in enumerate(order):
                 st = self.requests[rid]
                 if st.mm is not None:
-                    valid[r] = True
-                    rows[r] = self._mm_embeds(st)[:S]
+                    emb = self._mm_embeds(st)
+                    if S_fixed is not None:
+                        emb = emb[:S_fixed]
+                    rows[r] = emb
+                    lens[r] = int(emb.shape[0])
             if not rows:
                 return None
+            S = S_fixed if S_fixed is not None else \
+                next_power_of_2(max(int(m) for m in lens))
             D = self.model.hidden_size
+            dtype = self.params["embed"].dtype
             zero = None
             stack = []
             for r in range(R_pad):
-                if r in rows:
-                    stack.append(rows[r])
-                else:
+                emb = rows.get(r)
+                if emb is None:
                     if zero is None:
-                        zero = jnp.zeros((S, D), self.params["embed"].dtype)
+                        zero = jnp.zeros((S, D), dtype)
                     stack.append(zero)
-            return jnp.stack(stack), jnp.asarray(valid)
+                elif emb.shape[0] != S:
+                    stack.append(jnp.concatenate(
+                        [emb, jnp.zeros((S - emb.shape[0], D), emb.dtype)]))
+                else:
+                    stack.append(emb)
+            return jnp.stack(stack), jnp.asarray(lens)
         pieces, idx_parts = [], []
         for r, rid in enumerate(order):
             st = self.requests[rid]
