@@ -171,7 +171,7 @@ class JambaForCausalLM(MambaForCausalLM):
                     out[name] = jnp.ones(shape, self.dtype)
                 elif name == "A_log":
                     out[name] = jnp.log(jnp.broadcast_to(
-                        jnp.arange(1, self.d_state + 1, dtype=jnp.float32),
+                        jnp.arange(1, shape[-1] + 1, dtype=jnp.float32),
                         shape))
                 elif name == "D":
                     out[name] = jnp.ones(shape, self.dtype)
@@ -196,6 +196,18 @@ class JambaForCausalLM(MambaForCausalLM):
                 jnp.float32)).astype(self.dtype)
         return params
 
+    _MAMBA_MAP = {"mamba.in_proj.weight": ("in_proj", True),
+                  "mamba.x_proj.weight": ("x_proj", True),
+                  "mamba.dt_proj.weight": ("dt_w", True),
+                  "mamba.dt_proj.bias": ("dt_b", False),
+                  "mamba.conv1d.bias": ("conv_b", False),
+                  "mamba.A_log": ("A_log", False),
+                  "mamba.D": ("D", False),
+                  "mamba.out_proj.weight": ("out_proj", True),
+                  "mamba.dt_layernorm.weight": ("dt_norm_w", False),
+                  "mamba.b_layernorm.weight": ("b_norm_w", False),
+                  "mamba.c_layernorm.weight": ("c_norm_w", False)}
+
     def load_weights(self, weights: Iterable[tuple[str, np.ndarray]]) -> dict:
         import ml_dtypes  # noqa: F401
         target = np.dtype("bfloat16") if self.dtype == jnp.bfloat16 \
@@ -216,17 +228,7 @@ class JambaForCausalLM(MambaForCausalLM):
                     "self_attn.k_proj.weight": ("wk", True),
                     "self_attn.v_proj.weight": ("wv", True),
                     "self_attn.o_proj.weight": ("wo", True)}
-        mamba_map = {"mamba.in_proj.weight": ("in_proj", True),
-                     "mamba.x_proj.weight": ("x_proj", True),
-                     "mamba.dt_proj.weight": ("dt_w", True),
-                     "mamba.dt_proj.bias": ("dt_b", False),
-                     "mamba.conv1d.bias": ("conv_b", False),
-                     "mamba.A_log": ("A_log", False),
-                     "mamba.D": ("D", False),
-                     "mamba.out_proj.weight": ("out_proj", True),
-                     "mamba.dt_layernorm.weight": ("dt_norm_w", False),
-                     "mamba.b_layernorm.weight": ("b_norm_w", False),
-                     "mamba.c_layernorm.weight": ("c_norm_w", False)}
+        mamba_map = self._MAMBA_MAP
         dense_map = {"feed_forward.gate_proj.weight": ("w_gate", True),
                      "feed_forward.up_proj.weight": ("w_up", True),
                      "feed_forward.down_proj.weight": ("w_down", True)}
@@ -336,6 +338,12 @@ class JambaForCausalLM(MambaForCausalLM):
         pages = kv_cache.get("pages")
         conv, ssm = kv_cache["conv"], kv_cache["ssm"]
 
+        cos = sin = None
+        if getattr(self, "rope", None) is not None:
+            from aphrodite_tpu.layers.rotary import compute_cos_sin
+            cos, sin = compute_cos_sin(md.token_pos, self._inv_freq,
+                                       self._rope_mscale, None)
+
         def attn_body(moe):
             def layer(x, xs):
                 lp, pg = xs
@@ -343,6 +351,16 @@ class JambaForCausalLM(MambaForCausalLM):
                 q = jnp.dot(h, lp["wq"]).reshape(T, nq, hd)
                 k = jnp.dot(h, lp["wk"]).reshape(T, nkv, hd)
                 v = jnp.dot(h, lp["wv"]).reshape(T, nkv, hd)
+                if cos is not None:  # Bamba: (partial) rotary attention
+                    from aphrodite_tpu.layers.rotary import apply_rope
+                    rot = cos.shape[-1] * 2
+
+                    def rope(t):
+                        out = apply_rope(t[..., :rot], cos, sin)
+                        if rot != t.shape[-1]:
+                            out = jnp.concatenate([out, t[..., rot:]], -1)
+                        return out
+                    q, k = rope(q), rope(k)
                 pg = write_kv(pg, k, v, md.slot_mapping)
                 o = paged_attention(q, pg, md, self.scale,
                                     use_pallas=use_pallas)
@@ -386,3 +404,122 @@ class JambaForCausalLM(MambaForCausalLM):
         if pages is not None:
             out_cache["pages"] = pages
         return x, out_cache
+
+
+class BambaForCausalLM(JambaForCausalLM):
+    """Bamba (IBM): Mamba-2 (SSD) mixers with a few interleaved rotary GQA
+    attention layers (``attn_layer_indices``), a gated MLP on every layer.
+    Reference: aphrodite/modeling/models/bamba.py. Reuses Jamba's hybrid
+    run-segmented scan + cache pytree with the Mamba-2 mixer
+    (models/mamba.py Mamba2ForCausalLM) and partial-rotary attention."""
+
+    def __init__(self, config: ModelConfig):
+        self.config = config
+        hf = config.text_config
+        from aphrodite_tpu.utils import jax_dtype
+        self.dtype = jax_dtype(config.dtype)
+        self.hidden_size = hf.hidden_size
+        self.num_layers = hf.num_hidden_layers
+        self.vocab_size = hf.vocab_size
+        self.intermediate_size = hf.intermediate_size
+        self.rms_eps = getattr(hf, "rms_norm_eps", 1e-5)
+        self.act = ACT2MUL[getattr(hf, "hidden_act", "silu")]
+        self.tie_embeddings = getattr(hf, "tie_word_embeddings", False)
+        # Attention geometry (+ partial rotary).
+        self.num_heads = hf.num_attention_heads
+        self.num_kv_heads = hf.num_key_value_heads
+        self.head_dim = self.hidden_size // self.num_heads
+        self.scale = self.head_dim ** -0.5
+        self.sliding_window = None
+        from aphrodite_tpu.layers.rotary import (RopeConfig,
+                                                 compute_inv_freq)
+        pct = getattr(hf, "partial_rotary_factor", 0.5)
+        self.rope = RopeConfig(
+            head_dim=self.head_dim,
+            rotary_dim=int(self.head_dim * pct),
+            base=getattr(hf, "rope_theta", 10000.0),
+            max_position=getattr(hf, "max_position_embeddings", 2048),
+            scaling=getattr(hf, "rope_scaling", None))
+        inv_freq, mscale = compute_inv_freq(self.rope)
+        self._inv_freq = jnp.asarray(inv_freq)
+        self._rope_mscale = mscale
+        # Mamba-2 geometry (Mamba2ForCausalLM mixer attribute names).
+        self.d_inner = getattr(hf, "mamba_expand", 2) * hf.hidden_size
+        self.d_state = hf.mamba_d_state
+        self.d_conv = hf.mamba_d_conv
+        self.n_heads = hf.mamba_n_heads
+        self.head_dim_m2 = hf.mamba_d_head
+        self.n_groups = getattr(hf, "mamba_n_groups", 1)
+        self.conv_dim = self.d_inner + 2 * self.n_groups * self.d_state
+        self.dt_limit = tuple(getattr(hf, "time_step_limit", None)
+                              or (0.0, float("inf")))
+        self.use_conv_bias = getattr(hf, "mamba_conv_bias", True)
+        self.num_experts = 1
+        self.top_k = 1
+
+        attn_idx = set(getattr(hf, "attn_layer_indices", None) or [])
+        self.layer_kinds = [("attn" if i in attn_idx else "mamba", "dense")
+                            for i in range(self.num_layers)]
+        self.runs, counts = [], {}
+        self.attn_ordinal, self.mamba_ordinal = [], []
+        na = nm = 0
+        for i, kind in enumerate(self.layer_kinds):
+            self.attn_ordinal.append(na)
+            self.mamba_ordinal.append(nm)
+            if kind[0] == "attn":
+                na += 1
+            else:
+                nm += 1
+            if self.runs and self.runs[-1][0] == kind \
+                    and self.runs[-1][2] == i:
+                k, s, _, ks = self.runs[-1]
+                self.runs[-1] = (k, s, i + 1, ks)
+            else:
+                self.runs.append((kind, i, i + 1, counts.get(kind, 0)))
+            counts[kind] = counts.get(kind, 0) + 1
+        self.num_attn = na
+        self.num_mamba = nm
+
+    def init_cache(self, num_slots: int, cache_config=None, kv_dtype=None,
+                   use_pallas: bool = False) -> dict:
+        cache = {
+            "conv": jnp.zeros((self.num_mamba, num_slots, self.d_conv - 1,
+                               self.conv_dim), self.dtype),
+            "ssm": jnp.zeros((self.num_mamba, num_slots, self.n_heads,
+                              self.head_dim_m2, self.d_state), jnp.float32),
+        }
+        if self.num_attn and cache_config is not None:
+            shape = (self.num_attn,) + kv_cache_shape(
+                cache_config.num_blocks, cache_config.block_size,
+                self.num_kv_heads, self.head_dim, pad_head_dim=use_pallas)
+            cache["pages"] = jnp.zeros(shape, kv_dtype or self.dtype)
+        return cache
+
+    def _mamba_mixer_shapes(self, L):
+        H, Di = self.hidden_size, self.d_inner
+        nh, K = self.n_heads, self.d_conv
+        shapes = {
+            "in_proj": (L, H, Di + self.conv_dim + nh),
+            "conv_w": (L, K, self.conv_dim),
+            "dt_bias": (L, nh),
+            "A_log": (L, nh),
+            "D": (L, nh),
+            "gated_norm_w": (L, Di),
+            "out_proj": (L, Di, H),
+        }
+        if self.use_conv_bias:
+            shapes["conv_b"] = (L, self.conv_dim)
+        return shapes
+
+    _MAMBA_MAP = {"mamba.in_proj.weight": ("in_proj", True),
+                  "mamba.conv1d.bias": ("conv_b", False),
+                  "mamba.dt_bias": ("dt_bias", False),
+                  "mamba.A_log": ("A_log", False),
+                  "mamba.D": ("D", False),
+                  "mamba.norm.weight": ("gated_norm_w", False),
+                  "mamba.out_proj.weight": ("out_proj", True)}
+
+    # Mamba-2 SSD mixer (scalar-decay multihead scan).
+    from aphrodite_tpu.models.mamba import Mamba2ForCausalLM as _M2
+    _mixer = _M2._mixer
+    del _M2

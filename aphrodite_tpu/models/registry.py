@@ -155,6 +155,8 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                           "Mamba2ForCausalLM"),
     "JambaForCausalLM": ("aphrodite_tpu.models.jamba",
                          "JambaForCausalLM"),
+    "BambaForCausalLM": ("aphrodite_tpu.models.jamba",
+                         "BambaForCausalLM"),
     # Multimodal (vision-language).
     "LlavaForConditionalGeneration": ("aphrodite_tpu.models.llava",
                                       "LlavaForConditionalGeneration"),
