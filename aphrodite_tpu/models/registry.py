@@ -180,6 +180,8 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     # skyworkr1v.py).
     "Phi3VForCausalLM": ("aphrodite_tpu.models.phi3v",
                          "Phi3VForCausalLM"),
+    "MllamaForConditionalGeneration": ("aphrodite_tpu.models.mllama",
+                                       "MllamaForConditionalGeneration"),
     "InternVLChatModel": ("aphrodite_tpu.models.internvl",
                           "InternVLChatModel"),
     "NVLM_D": ("aphrodite_tpu.models.internvl", "InternVLChatModel"),

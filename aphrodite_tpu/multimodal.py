@@ -583,6 +583,49 @@ class LlavaNextAdapter:
         return pv, expanded, spans, {"items": tuple(items)}
 
 
+class MllamaAdapter:
+    """MLlama (Llama 3.2 Vision): images are consumed through
+    cross-attention — the prompt's <|image|> token stays a normal token and
+    no placeholder expansion happens (spans=[]). Pixel preprocessing uses
+    the HF MllamaImageProcessor (tile canvas selection + aspect-ratio ids);
+    pre-processed dicts {"pixel_values", "aspect_ratio_ids",
+    "aspect_ratio_mask"} pass through."""
+
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        vc = hf_config.vision_config
+        self.S = vc.image_size
+        self.max_tiles = getattr(vc, "max_num_tiles", 4)
+        self._proc = None
+
+    def process(self, media, token_ids: list[int]):
+        if isinstance(media, dict):
+            pv = np.asarray(media["pixel_values"], np.float32)
+            ar = np.asarray(media["aspect_ratio_ids"]).reshape(-1)
+            mask = np.asarray(media["aspect_ratio_mask"])
+            mask = mask.reshape(-1, mask.shape[-1])
+        else:
+            items = media if isinstance(media, (list, tuple)) else [media]
+            if self._proc is None:
+                from transformers.models.mllama.image_processing_mllama \
+                    import MllamaImageProcessor
+                self._proc = MllamaImageProcessor(
+                    size={"height": self.S, "width": self.S},
+                    max_image_tiles=self.max_tiles)
+            out = self._proc(images=[items], return_tensors="np")
+            pv = out["pixel_values"].astype(np.float32)
+            ar = np.asarray(out["aspect_ratio_ids"]).reshape(-1)
+            mask = np.asarray(out["aspect_ratio_mask"])
+            mask = mask.reshape(-1, mask.shape[-1])
+        while pv.ndim > 5:
+            pv = pv[0]
+        num_tiles = mask.sum(-1).astype(np.int32)
+        return pv, list(token_ids), [], {
+            "aspect_ratio_ids": tuple(int(a) for a in ar),
+            "num_tiles": tuple(int(t) for t in num_tiles)}
+
+
 class Phi3VAdapter:
     """Phi-3-Vision HD transform (reference phi3v.py + the phi3.5-vision
     processor): landscape-orient, scale so the 336-tile grid fits
@@ -1061,6 +1104,7 @@ _ADAPTERS = {
     "Mistral3ForConditionalGeneration": PixtralAdapter,
     "PixtralForConditionalGeneration": PixtralAdapter,
     "Phi3VForCausalLM": Phi3VAdapter,
+    "MllamaForConditionalGeneration": MllamaAdapter,
     "InternVLChatModel": InternVLAdapter,
     "NVLM_D": InternVLAdapter,
     "H2OVLChatModel": InternVLAdapter,
