@@ -86,6 +86,7 @@ def ref_ragged_paged_attention(
     sliding_window: Optional[int] = None,
     logits_soft_cap: Optional[float] = None,
     alibi: Optional[jax.Array] = None,  # [nq] per-head slopes
+    chunk_attn: Optional[int] = None,
 ) -> jax.Array:
     """Pure-JAX oracle for ragged paged attention (correct, not fast)."""
     num_pages, _, kvh, page_size, hd = kv_cache.shape
@@ -124,6 +125,8 @@ def ref_ragged_paged_attention(
             mask |= bidir & (kv_pos < md.seq_lens[req])
         if sliding_window is not None:
             mask &= kv_pos > pos - sliding_window
+        if chunk_attn is not None:  # Llama4 chunked local attention
+            mask &= (kv_pos // chunk_attn) == (pos // chunk_attn)
         logits = jnp.where(mask[None, None, :], logits, -jnp.inf)
         probs = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("hgk,khd->hgd", probs, values)
@@ -142,6 +145,7 @@ def paged_attention(
     logits_soft_cap: Optional[float] = None,
     use_pallas: bool = False,
     alibi: Optional[jax.Array] = None,
+    chunk_attn: Optional[int] = None,
 ) -> jax.Array:
     """Dispatch to the Pallas kernel (TPU) or the JAX oracle (CPU/tests)."""
     hd = q.shape[-1]
@@ -156,13 +160,15 @@ def paged_attention(
         # layer.
         out = ref_ragged_paged_attention(
             q, kv_cache, md, scale, sliding_window=sliding_window,
-            logits_soft_cap=logits_soft_cap, alibi=alibi)
+            logits_soft_cap=logits_soft_cap, alibi=alibi,
+            chunk_attn=chunk_attn)
     elif use_pallas and md.decode_mode:
         from aphrodite_tpu.ops.decode_paged_attention import (
             decode_paged_attention)
         out = decode_paged_attention(
             q, kv_cache, md.block_tables, md.seq_lens, scale,
-            sliding_window=sliding_window, logits_soft_cap=logits_soft_cap)
+            sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
+            chunk_attn=chunk_attn)
     elif use_pallas:
         from aphrodite_tpu.ops.ragged_paged_attention import (
             DEFAULT_BLOCK_Q, ragged_paged_attention)
@@ -170,10 +176,12 @@ def paged_attention(
             q, kv_cache, md, scale,
             sliding_window=sliding_window,
             logits_soft_cap=logits_soft_cap,
+            chunk_attn=chunk_attn,
             block_q=md.block_q or DEFAULT_BLOCK_Q)
     else:
         out = ref_ragged_paged_attention(
             q, kv_cache, md, scale,
             sliding_window=sliding_window,
-            logits_soft_cap=logits_soft_cap)
+            logits_soft_cap=logits_soft_cap,
+            chunk_attn=chunk_attn)
     return out[..., :hd]

@@ -21,6 +21,10 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                             "Qwen3MoeForCausalLM"),
     "DeepseekForCausalLM": ("aphrodite_tpu.models.mixtral",
                             "DeepseekForCausalLM"),
+    "Llama4ForCausalLM": ("aphrodite_tpu.models.llama4",
+                          "Llama4ForCausalLM"),
+    "Llama4ForConditionalGeneration": (
+        "aphrodite_tpu.models.llama4", "Llama4ForConditionalGeneration"),
     "QuantMixtralForCausalLM": ("aphrodite_tpu.models.mixtral",
                                 "MixtralForCausalLM"),
     "OlmoeForCausalLM": ("aphrodite_tpu.models.mixtral",

@@ -583,6 +583,80 @@ class LlavaNextAdapter:
         return pv, expanded, spans, {"items": tuple(items)}
 
 
+class Llama4Adapter:
+    """Llama 4 VLM: fixed-size tiles (+ optional global tile, produced by
+    the HF Llama4 processor); every tile contributes (g*ratio)^2 feature
+    tokens, contiguous per image. Accepts pre-tiled [n,3,S,S] arrays, a
+    single [3,S,S] tile, or {"pixel_values": ...} dicts."""
+
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        vc = hf_config.vision_config
+        self.S = vc.image_size
+        g = vc.image_size // vc.patch_size
+        r = float(getattr(vc, "pixel_shuffle_ratio", 0.5))
+        self.tokens_per_tile = int(round((g * r) ** 2))
+        self.image_token_id = getattr(hf_config, "image_token_index",
+                                      200092)
+
+    def _prep(self, item) -> np.ndarray:
+        if isinstance(item, dict):
+            item = item["pixel_values"]
+        arr = np.asarray(item, np.float32)
+        if arr.ndim == 3:
+            arr = arr[None]
+        if arr.ndim == 5:
+            arr = arr.reshape((-1,) + arr.shape[2:])
+        if arr.shape[1:] != (3, self.S, self.S):
+            raise ValueError(
+                f"Llama4 expects pre-tiled [n,3,{self.S},{self.S}] pixel "
+                f"inputs (run the HF Llama4 processor), got {arr.shape}")
+        return arr
+
+    def process(self, media, token_ids: list[int]):
+        items = media if isinstance(media, (list, tuple)) else [media]
+        if isinstance(media, np.ndarray) and media.ndim == 4:
+            items = [media]
+        tiled = [self._prep(i) for i in items]
+        counts = [t.shape[0] * self.tokens_per_tile for t in tiled]
+        tid = self.image_token_id
+        occurrences = [i for i, t in enumerate(token_ids) if t == tid]
+        spans: list[tuple[int, int]] = []
+        if len(occurrences) == sum(counts) and counts:
+            expanded = list(token_ids)
+            runs, run_start, prev = [], None, -2
+            for i in occurrences + [-1]:
+                if i != prev + 1:
+                    if run_start is not None:
+                        runs.append((run_start, prev - run_start + 1))
+                    run_start = i
+                prev = i
+            ci = 0
+            for off, ln in runs:
+                while ln > 0:
+                    spans.append((off, counts[ci]))
+                    off += counts[ci]
+                    ln -= counts[ci]
+                    ci += 1
+            if ci != len(counts):
+                raise ValueError("placeholder runs do not tile images")
+        elif len(occurrences) == len(counts):
+            expanded, ci = [], 0
+            for t in token_ids:
+                if t == tid:
+                    spans.append((len(expanded), counts[ci]))
+                    expanded.extend([tid] * counts[ci])
+                    ci += 1
+                else:
+                    expanded.append(t)
+        else:
+            raise ValueError(
+                f"prompt has {len(occurrences)} image placeholders for "
+                f"{len(counts)} images")
+        return np.concatenate(tiled, axis=0), expanded, spans, None
+
+
 class MllamaAdapter:
     """MLlama (Llama 3.2 Vision): images are consumed through
     cross-attention — the prompt's <|image|> token stays a normal token and
@@ -1105,6 +1179,7 @@ _ADAPTERS = {
     "PixtralForConditionalGeneration": PixtralAdapter,
     "Phi3VForCausalLM": Phi3VAdapter,
     "MllamaForConditionalGeneration": MllamaAdapter,
+    "Llama4ForConditionalGeneration": Llama4Adapter,
     "InternVLChatModel": InternVLAdapter,
     "NVLM_D": InternVLAdapter,
     "H2OVLChatModel": InternVLAdapter,

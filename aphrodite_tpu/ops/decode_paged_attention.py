@@ -36,6 +36,7 @@ def _decode_kernel(
     *, scale: float, chunk_pages: int, page_size: int,
     num_kv_heads: int, group: int, head_dim: int,
     sliding_window: Optional[int], logits_soft_cap: Optional[float],
+    chunk_attn: Optional[int],
     max_pages: int, q_dtype=None,
 ):
     r = pl.program_id(0)
@@ -79,6 +80,8 @@ def _decode_kernel(
             mask = kv_pos <= pos
             if sliding_window is not None:
                 mask &= kv_pos > pos - sliding_window
+            if chunk_attn is not None:  # Llama4 chunked local attention
+                mask &= (kv_pos // chunk_attn) == (pos // chunk_attn)
             for h in range(num_kv_heads):
                 k_h = kv_vmem[slot, :, 0, h].reshape(chunk_kv, head_dim)
                 v_h = kv_vmem[slot, :, 1, h].reshape(chunk_kv, head_dim)
@@ -116,6 +119,7 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "sliding_window", "logits_soft_cap",
+                     "chunk_attn",
                      "chunk_pages", "interpret"))
 def decode_paged_attention(
     q: jax.Array,  # [R, nq, hd]
@@ -124,6 +128,7 @@ def decode_paged_attention(
     seq_lens: jax.Array,  # [R]
     scale: float,
     sliding_window: Optional[int] = None,
+    chunk_attn: Optional[int] = None,
     logits_soft_cap: Optional[float] = None,
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
     interpret: Optional[bool] = None,
@@ -163,6 +168,7 @@ def decode_paged_attention(
         _decode_kernel, scale=scale, chunk_pages=chunk_pages,
         page_size=page_size, num_kv_heads=kvh, group=group, head_dim=hd,
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
+        chunk_attn=chunk_attn,
         max_pages=max_pages, q_dtype=q.dtype)
 
     out = pl.pallas_call(

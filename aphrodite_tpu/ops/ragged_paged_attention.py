@@ -53,6 +53,7 @@ def _rpa_kernel(
     *, scale: float, block_q: int, chunk_pages: int, page_size: int,
     num_q_heads: int, num_kv_heads: int, head_dim: int,
     sliding_window: Optional[int], logits_soft_cap: Optional[float],
+    chunk_attn: Optional[int],
     max_pages: int, q_dtype=None,
 ):
     it = pl.program_id(0)
@@ -116,6 +117,8 @@ def _rpa_kernel(
             mask = (kv_pos <= q_pos) & (kv_pos < kv_limit)
             if sliding_window is not None:
                 mask &= kv_pos > q_pos - sliding_window
+            if chunk_attn is not None:  # Llama4 chunked local attention
+                mask &= (kv_pos // chunk_attn) == (q_pos // chunk_attn)
             for h in range(num_kv_heads):
                 # Leading-dim slices only (Mosaic-friendly).
                 k_h = kv_vmem[slot, :, 0, h].reshape(chunk_kv, head_dim)
@@ -157,6 +160,7 @@ def _rpa_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "sliding_window", "logits_soft_cap",
+                     "chunk_attn",
                      "block_q", "chunk_pages", "interpret"))
 def ragged_paged_attention(
     q: jax.Array,  # [T, nq, hd] (flat token layout)
@@ -164,6 +168,7 @@ def ragged_paged_attention(
     md: AttentionMetadata,
     scale: float,
     sliding_window: Optional[int] = None,
+    chunk_attn: Optional[int] = None,
     logits_soft_cap: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
@@ -212,6 +217,7 @@ def ragged_paged_attention(
         _rpa_kernel, scale=scale, block_q=block_q, chunk_pages=chunk_pages,
         page_size=page_size, num_q_heads=nq, num_kv_heads=kvh, head_dim=hd,
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
+        chunk_attn=chunk_attn,
         max_pages=md.block_tables.shape[1], q_dtype=q.dtype)
 
     out_items = pl.pallas_call(
