@@ -25,6 +25,7 @@ def build_engine_config(
     quantization: Optional[str] = None,
     trust_remote_code: bool = False,
     hf_config: Any = None,
+    architecture: Optional[str] = None,
     block_size: int = 32,
     num_kv_blocks: Optional[int] = None,
     hbm_utilization: float = 0.9,
@@ -56,7 +57,8 @@ def build_engine_config(
                      seed=seed, max_model_len=max_model_len,
                      quantization=quantization,
                      trust_remote_code=trust_remote_code,
-                     hf_config=hf_config, enforce_eager=enforce_eager)
+                     hf_config=hf_config, enforce_eager=enforce_eager,
+                     architecture=architecture)
     return EngineConfig(
         model_config=mc,
         cache_config=CacheConfig(

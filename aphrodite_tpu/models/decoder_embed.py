@@ -221,3 +221,42 @@ class Qwen2ForSequenceClassification(DecoderEmbeddingModel):
     def _head(self, params, hidden):
         return jnp.dot(hidden, params["score"],
                        preferred_element_type=jnp.float32)
+
+
+class JambaForSequenceClassification(Qwen2ForSequenceClassification):
+    """Jamba hybrid backbone + single-linear score head (HF
+    JambaForSequenceClassification; reference jamba.py classification
+    entry). The throwaway forward carries the hybrid cache pytree
+    (conv/ssm state slots + one KV segment per row)."""
+
+    def __init__(self, config: ModelConfig):
+        self.config = config
+        from aphrodite_tpu.models.jamba import JambaForCausalLM
+        self.inner = JambaForCausalLM(config)
+        self.inner.tie_embeddings = True
+        self.num_kv_heads = self.inner.num_kv_heads
+        self.dtype = self.inner.dtype
+        self.num_labels = getattr(config.text_config, "num_labels", 2)
+
+    def encode(self, params, input_ids, attn_mask, type_ids=None):
+        from types import SimpleNamespace
+        B, S = input_ids.shape
+        inner = self.inner
+        cache = inner.init_cache(
+            B, cache_config=SimpleNamespace(num_blocks=B + 1, block_size=S),
+            kv_dtype=self.dtype)
+        T = B * S
+        md = AttentionMetadata(
+            token_req_idx=jnp.repeat(jnp.arange(B, dtype=jnp.int32), S),
+            token_pos=jnp.tile(jnp.arange(S, dtype=jnp.int32), B),
+            slot_mapping=jnp.arange(T, dtype=jnp.int32),
+            query_start_loc=jnp.arange(B + 1, dtype=jnp.int32) * S,
+            seq_lens=jnp.full((B,), S, jnp.int32),
+            block_tables=jnp.arange(B, dtype=jnp.int32)[:, None],
+            num_reqs=jnp.int32(B),
+            num_tokens=jnp.int32(T),
+            seg_starts=jnp.arange(B, dtype=jnp.int32) * S,
+            state_slots=jnp.arange(B, dtype=jnp.int32),
+        )
+        hidden, _ = inner.apply(params, input_ids.reshape(T), cache, md)
+        return self._head(params, hidden.reshape(B, S, -1))

@@ -279,8 +279,25 @@ _EMBEDDING: dict[str, tuple[str, str]] = {
     "LlamaForSequenceClassification": (
         "aphrodite_tpu.models.decoder_embed",
         "Qwen2ForSequenceClassification"),
+    "JambaForSequenceClassification": (
+        "aphrodite_tpu.models.decoder_embed",
+        "JambaForSequenceClassification"),
 }
 _TEXT_GENERATION.update(_EMBEDDING)
+
+# Speculative-decoding head architectures (reference registry.py
+# _SPECULATIVE_DECODING_MODELS). These are draft modules, not standalone
+# servable models: they load through SpeculativeConfig (config.py
+# autodetects the method from the draft checkpoint's architecture) and the
+# spec_decode proposers.
+SPECULATIVE_ARCHS = {
+    "MedusaModel": "medusa",
+    "MLPSpeculatorPreTrainedModel": "mlp_speculator",
+    "EAGLEModel": "eagle",
+    "EagleLlamaForCausalLM": "eagle",
+    "Eagle3LlamaForCausalLM": "eagle",
+    "DeepSeekMTPModel": "deepseek_mtp",
+}
 
 MODEL_REGISTRY = dict(_TEXT_GENERATION)
 EMBEDDING_ARCHS = set(_EMBEDDING)
@@ -294,9 +311,23 @@ def register_model(arch: str, cls_or_factory) -> None:
 def get_model_class(arch: str) -> Callable:
     if arch in _OOT:
         return _OOT[arch]
+    if arch in SPECULATIVE_ARCHS:
+        raise ValueError(
+            f"{arch!r} is a speculative-decoding head — serve it as a "
+            "draft via --speculative-config "
+            f"'{{\"draft_model\": \"<path>\"}}' (method "
+            f"{SPECULATIVE_ARCHS[arch]!r}), not as a standalone model")
     try:
         module, name = MODEL_REGISTRY[arch]
     except KeyError:
+        # Generic HF fallback (reference TransformersForCausalLM,
+        # modeling/models/transformers.py): serve llama-schema
+        # architectures that simply aren't listed by name.
+        from aphrodite_tpu.models.transformers_fallback import (
+            maybe_transformers_fallback)
+        fb = maybe_transformers_fallback(arch)
+        if fb is not None:
+            return fb
         raise ValueError(
             f"Model architecture {arch!r} is not supported. "
             f"Supported: {sorted(MODEL_REGISTRY)}") from None
@@ -304,4 +335,5 @@ def get_model_class(arch: str) -> Callable:
 
 
 def supported_architectures() -> list[str]:
-    return sorted(set(MODEL_REGISTRY) | set(_OOT))
+    return sorted(set(MODEL_REGISTRY) | set(_OOT) | set(SPECULATIVE_ARCHS)
+                  | {"TransformersForCausalLM"})
