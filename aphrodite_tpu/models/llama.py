@@ -268,6 +268,15 @@ class LlamaForCausalLM:
             if "q_norm" in lp:  # per-head QK-norm (Qwen3 family)
                 q = rms_norm(q, lp["q_norm"], self.rms_eps)
                 k = rms_norm(k, lp["k_norm"], self.rms_eps)
+            if "q_ln_w" in lp:  # per-head distinct LayerNorm (Chameleon)
+                def phln(v, w, b):
+                    vf = v.astype(jnp.float32)
+                    mu = jnp.mean(vf, -1, keepdims=True)
+                    var = jnp.var(vf, -1, keepdims=True)
+                    return ((vf - mu) * jax.lax.rsqrt(var + 1e-5) * w + b
+                            ).astype(v.dtype)
+                q = phln(q, lp["q_ln_w"], lp["q_ln_b"])
+                k = phln(k, lp["k_ln_w"], lp["k_ln_b"])
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             v = v.reshape(T, nkv, hd)

@@ -186,6 +186,11 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                          "Phi3VForCausalLM"),
     "MllamaForConditionalGeneration": ("aphrodite_tpu.models.mllama",
                                        "MllamaForConditionalGeneration"),
+    "Blip2ForConditionalGeneration": ("aphrodite_tpu.models.blip2",
+                                      "Blip2ForConditionalGeneration"),
+    "ChameleonForConditionalGeneration": (
+        "aphrodite_tpu.models.chameleon",
+        "ChameleonForConditionalGeneration"),
     "InternVLChatModel": ("aphrodite_tpu.models.internvl",
                           "InternVLChatModel"),
     "NVLM_D": ("aphrodite_tpu.models.internvl", "InternVLChatModel"),

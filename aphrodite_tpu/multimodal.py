@@ -212,6 +212,57 @@ class PaliGemmaAdapter(LlavaAdapter):
 PaliGemmaAdapter.media_key = "image"
 
 
+class ChameleonAdapter(LlavaAdapter):
+    """Chameleon: images -> VQGAN latent grid of discrete tokens; pixels
+    normalized to [-1, 1] (HF ChameleonImageProcessor rescale 1/127.5,
+    mean/std 1.0)."""
+
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        self.hf = hf_config
+        vq = hf_config.vq_config
+        self.image_size = vq.resolution
+        self.patch_size = 1
+        grid = vq.resolution // (2 ** (len(vq.channel_multiplier) - 1))
+        self.tokens_per_image = grid * grid
+        vmap = dict(getattr(hf_config, "vocabulary_map", None) or {})
+        self.image_token_id = vmap.get("<image>", 8711)
+        self.image_mean = np.asarray((0.5, 0.5, 0.5), np.float32)
+        self.image_std = np.asarray((0.5, 0.5, 0.5), np.float32)
+
+
+class Blip2Adapter(LlavaAdapter):
+    """BLIP-2: each image contributes num_query_tokens Q-Former rows.
+    Prompts may carry placeholder tokens (newer HF layout) or none at all —
+    then the image block is PREPENDED (original BLIP-2 layout)."""
+
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        self.hf = hf_config
+        vc = hf_config.vision_config
+        self.image_token_id = getattr(hf_config, "image_token_index", None)
+        self.image_size = vc.image_size
+        self.patch_size = vc.patch_size
+        self.tokens_per_image = getattr(hf_config, "num_query_tokens", 32)
+        self.image_mean = np.asarray(
+            (0.48145466, 0.4578275, 0.40821073), np.float32)
+        self.image_std = np.asarray(
+            (0.26862954, 0.26130258, 0.27577711), np.float32)
+
+    def expand_prompt(self, token_ids: list[int], num_images: int
+                      ) -> tuple[list[int], list[tuple[int, int]]]:
+        tid = self.image_token_id
+        if tid is not None and any(t == tid for t in token_ids):
+            return super().expand_prompt(token_ids, num_images)
+        # No placeholders: prepend one query block per image.
+        Q = self.tokens_per_image
+        fill = tid if tid is not None else 0
+        spans = [(i * Q, Q) for i in range(num_images)]
+        return [fill] * (num_images * Q) + list(token_ids), spans
+
+
 class Gemma3Adapter(LlavaAdapter):
     """Gemma-3 MM: SigLIP grid pooled to ``mm_tokens_per_image``
     placeholder tokens; 0.5/0.5 normalization (reference gemma3_mm.py
@@ -1180,6 +1231,8 @@ _ADAPTERS = {
     "Phi3VForCausalLM": Phi3VAdapter,
     "MllamaForConditionalGeneration": MllamaAdapter,
     "Llama4ForConditionalGeneration": Llama4Adapter,
+    "Blip2ForConditionalGeneration": Blip2Adapter,
+    "ChameleonForConditionalGeneration": ChameleonAdapter,
     "InternVLChatModel": InternVLAdapter,
     "NVLM_D": InternVLAdapter,
     "H2OVLChatModel": InternVLAdapter,
