@@ -161,6 +161,8 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                          "JambaForCausalLM"),
     "BambaForCausalLM": ("aphrodite_tpu.models.jamba",
                          "BambaForCausalLM"),
+    "Zamba2ForCausalLM": ("aphrodite_tpu.models.zamba2",
+                          "Zamba2ForCausalLM"),
     # Multimodal (vision-language).
     "LlavaForConditionalGeneration": ("aphrodite_tpu.models.llava",
                                       "LlavaForConditionalGeneration"),
