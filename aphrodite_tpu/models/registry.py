@@ -193,6 +193,9 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     "ChameleonForConditionalGeneration": (
         "aphrodite_tpu.models.chameleon",
         "ChameleonForConditionalGeneration"),
+    "AyaVisionForConditionalGeneration": (
+        "aphrodite_tpu.models.aya_vision",
+        "AyaVisionForConditionalGeneration"),
     "InternVLChatModel": ("aphrodite_tpu.models.internvl",
                           "InternVLChatModel"),
     "NVLM_D": ("aphrodite_tpu.models.internvl", "InternVLChatModel"),

@@ -708,6 +708,35 @@ class Llama4Adapter:
         return np.concatenate(tiled, axis=0), expanded, spans, None
 
 
+class AyaVisionAdapter(Llama4Adapter):
+    """Aya Vision: GotOCR-style tiles, (grid/downsample)^2 tokens per tile.
+    PIL images run through the HF GotOcr2 image processor; pre-tiled
+    arrays/dicts pass through (Llama4Adapter machinery)."""
+
+    def __init__(self, hf_config) -> None:
+        vc = hf_config.vision_config
+        self.S = vc.image_size
+        g = vc.image_size // vc.patch_size
+        ds = int(getattr(hf_config, "downsample_factor", 2))
+        self.tokens_per_tile = (g // ds) ** 2
+        self.image_token_id = getattr(hf_config, "image_token_index", None) \
+            or getattr(hf_config, "image_token_id", 255036)
+        self._proc = None
+
+    def _prep(self, item) -> np.ndarray:
+        if not isinstance(item, (dict, np.ndarray)) and \
+                hasattr(item, "resize"):
+            if self._proc is None:
+                from transformers.models.got_ocr2.image_processing_got_ocr2 \
+                    import GotOcr2ImageProcessor
+                self._proc = GotOcr2ImageProcessor(
+                    size={"height": self.S, "width": self.S},
+                    crop_to_patches=True)
+            out = self._proc(images=[item], return_tensors="np")
+            return out["pixel_values"].astype(np.float32)
+        return super()._prep(item)
+
+
 class MllamaAdapter:
     """MLlama (Llama 3.2 Vision): images are consumed through
     cross-attention — the prompt's <|image|> token stays a normal token and
@@ -1233,6 +1262,7 @@ _ADAPTERS = {
     "Llama4ForConditionalGeneration": Llama4Adapter,
     "Blip2ForConditionalGeneration": Blip2Adapter,
     "ChameleonForConditionalGeneration": ChameleonAdapter,
+    "AyaVisionForConditionalGeneration": AyaVisionAdapter,
     "InternVLChatModel": InternVLAdapter,
     "NVLM_D": InternVLAdapter,
     "H2OVLChatModel": InternVLAdapter,
