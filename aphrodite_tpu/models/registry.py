@@ -163,6 +163,11 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                          "BambaForCausalLM"),
     "Zamba2ForCausalLM": ("aphrodite_tpu.models.zamba2",
                           "Zamba2ForCausalLM"),
+    "MiniMaxText01ForCausalLM": ("aphrodite_tpu.models.minimax_text",
+                                 "MiniMaxText01ForCausalLM"),
+    "MiniMaxVL01ForConditionalGeneration": (
+        "aphrodite_tpu.models.minimax_text",
+        "MiniMaxVL01ForConditionalGeneration"),
     # Multimodal (vision-language).
     "LlavaForConditionalGeneration": ("aphrodite_tpu.models.llava",
                                       "LlavaForConditionalGeneration"),

@@ -1263,6 +1263,7 @@ _ADAPTERS = {
     "Blip2ForConditionalGeneration": Blip2Adapter,
     "ChameleonForConditionalGeneration": ChameleonAdapter,
     "AyaVisionForConditionalGeneration": AyaVisionAdapter,
+    "MiniMaxVL01ForConditionalGeneration": LlavaAdapter,
     "InternVLChatModel": InternVLAdapter,
     "NVLM_D": InternVLAdapter,
     "H2OVLChatModel": InternVLAdapter,
