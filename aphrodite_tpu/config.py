@@ -364,6 +364,7 @@ class SpeculativeConfig:
         "EAGLEModel": "eagle",
         "EagleLlamaForCausalLM": "eagle",
         "Eagle3LlamaForCausalLM": "eagle",
+        "DeepSeekMTPModel": "deepseek_mtp",
     }
 
     def __post_init__(self) -> None:
@@ -374,9 +375,6 @@ class SpeculativeConfig:
                 with open(cfg_path) as f:
                     archs = json.load(f).get("architectures") or []
                 arch = archs[0] if archs else None
-            if arch == "DeepSeekMTPModel":
-                raise NotImplementedError(
-                    "DeepSeek-MTP speculative heads: follow-up")
             self.method = self._ARCH_METHODS.get(arch, "draft_model")
 
 

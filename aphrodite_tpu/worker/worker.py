@@ -164,6 +164,25 @@ class Worker:
                                               self.runner, self.params)
             logger.info("EAGLE draft head for speculative decoding "
                         "(k=%d)", sc.num_speculative_tokens)
+        elif sc is not None and sc.method == "deepseek_mtp" \
+                and sc.num_speculative_tokens > 0:
+            import jax as _jax
+            from aphrodite_tpu.loader.weights import weights_iterator
+            from aphrodite_tpu.spec_decode.eagle import EagleProposer
+            from aphrodite_tpu.spec_decode.mtp import DeepseekMTPHead
+            head = DeepseekMTPHead(self.model)
+            if sc.draft_model and config.load_config.load_format != "dummy":
+                mparams = head.load_weights(
+                    weights_iterator(sc.draft_model))
+            else:
+                mparams = head.init_dummy_params(
+                    _jax.random.PRNGKey(config.model_config.seed + 1))
+            mparams = _jax.tree.map(_jax.device_put, mparams)
+            head.bind_head(mparams)
+            self.runner.draft = EagleProposer(config, head, mparams,
+                                              self.runner, self.params)
+            logger.info("DeepSeek-MTP draft head for speculative decoding "
+                        "(k=%d)", sc.num_speculative_tokens)
         elif sc is not None and sc.method in ("medusa", "mlp_speculator") \
                 and sc.num_speculative_tokens > 0:
             from aphrodite_tpu.spec_decode.heads import (
