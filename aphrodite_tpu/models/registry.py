@@ -201,6 +201,8 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     "AyaVisionForConditionalGeneration": (
         "aphrodite_tpu.models.aya_vision",
         "AyaVisionForConditionalGeneration"),
+    "AriaForConditionalGeneration": ("aphrodite_tpu.models.aria",
+                                     "AriaForConditionalGeneration"),
     "InternVLChatModel": ("aphrodite_tpu.models.internvl",
                           "InternVLChatModel"),
     "NVLM_D": ("aphrodite_tpu.models.internvl", "InternVLChatModel"),

@@ -232,6 +232,27 @@ class ChameleonAdapter(LlavaAdapter):
         self.image_std = np.asarray((0.5, 0.5, 0.5), np.float32)
 
 
+class AriaAdapter(LlavaAdapter):
+    """Aria: each image resamples to patch_to_query_dict[num_patches]
+    learned queries."""
+
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        self.hf = hf_config
+        vc = hf_config.vision_config
+        self.image_token_id = getattr(hf_config, "image_token_index", 9)
+        self.image_size = vc.image_size
+        self.patch_size = vc.patch_size
+        grid = vc.image_size // vc.patch_size
+        p2q = {int(k): int(v) for k, v in
+               dict(getattr(hf_config, "projector_patch_to_query_dict",
+                            {}) or {}).items()}
+        self.tokens_per_image = p2q.get(grid * grid, 128)
+        self.image_mean = np.asarray((0.5, 0.5, 0.5), np.float32)
+        self.image_std = np.asarray((0.5, 0.5, 0.5), np.float32)
+
+
 class Blip2Adapter(LlavaAdapter):
     """BLIP-2: each image contributes num_query_tokens Q-Former rows.
     Prompts may carry placeholder tokens (newer HF layout) or none at all —
@@ -1264,6 +1285,7 @@ _ADAPTERS = {
     "ChameleonForConditionalGeneration": ChameleonAdapter,
     "AyaVisionForConditionalGeneration": AyaVisionAdapter,
     "MiniMaxVL01ForConditionalGeneration": LlavaAdapter,
+    "AriaForConditionalGeneration": AriaAdapter,
     "InternVLChatModel": InternVLAdapter,
     "NVLM_D": InternVLAdapter,
     "H2OVLChatModel": InternVLAdapter,
