@@ -203,6 +203,10 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
         "AyaVisionForConditionalGeneration"),
     "AriaForConditionalGeneration": ("aphrodite_tpu.models.aria",
                                      "AriaForConditionalGeneration"),
+    # MiniCPM-V / MiniCPM-o (remote-code archs; MiniCPM-o's audio tower
+    # routes through the adapter path, vision is the shared resampler).
+    "MiniCPMV": ("aphrodite_tpu.models.minicpmv", "MiniCPMVForCausalLM"),
+    "MiniCPMO": ("aphrodite_tpu.models.minicpmv", "MiniCPMVForCausalLM"),
     "InternVLChatModel": ("aphrodite_tpu.models.internvl",
                           "InternVLChatModel"),
     "NVLM_D": ("aphrodite_tpu.models.internvl", "InternVLChatModel"),

@@ -165,16 +165,21 @@ class VisionTower:
         return mk(self.shapes())
 
     # ----------------------------------------------------------------- forward
-    def encode(self, vp: dict, pixel_values: jax.Array) -> jax.Array:
+    def encode(self, vp: dict, pixel_values: jax.Array,
+               grid_hw: tuple[int, int] | None = None,
+               pos_ids=None) -> jax.Array:
         """pixel_values [N, 3, S, S] -> features [N, P(+cls), D] at the
         configured feature layer (pre-final-LN hidden state, HF
-        hidden_states[k] semantics)."""
+        hidden_states[k] semantics). ``grid_hw`` overrides the square
+        default for variable-resolution towers (MiniCPM-V navit slices);
+        ``pos_ids`` selects bucketized position rows."""
         N = pixel_values.shape[0]
-        ps, g = self.patch, self.grid
+        ps = self.patch
+        gh, gw = grid_hw if grid_hw is not None else (self.grid, self.grid)
         x = pixel_values.astype(self.dtype)
-        # [N,3,g,ps,g,ps] -> [N, g*g, 3*ps*ps]: patchify, then one matmul.
-        x = x.reshape(N, 3, g, ps, g, ps).transpose(0, 2, 4, 1, 3, 5)
-        x = x.reshape(N, g * g, 3 * ps * ps)
+        # [N,3,gh,ps,gw,ps] -> [N, gh*gw, 3*ps*ps]: patchify, one matmul.
+        x = x.reshape(N, 3, gh, ps, gw, ps).transpose(0, 2, 4, 1, 3, 5)
+        x = x.reshape(N, gh * gw, 3 * ps * ps)
         x = jnp.einsum("npc,cd->npd", x, vp["patch_w"],
                        preferred_element_type=jnp.float32).astype(self.dtype)
         if self.cls_token:
@@ -184,9 +189,11 @@ class VisionTower:
         else:
             x = x + vp["patch_b"]
         pos = vp["pos"]
-        if getattr(self, "pos_ids", None) is not None:
-            # Idefics3-style bucketized position selection.
-            pos = pos[jnp.asarray(self.pos_ids)]
+        use_ids = pos_ids if pos_ids is not None \
+            else getattr(self, "pos_ids", None)
+        if use_ids is not None:
+            # Idefics3/navit-style bucketized position selection.
+            pos = pos[jnp.asarray(use_ids)]
         x = x + pos[None].astype(x.dtype)
         if self.cls_token:
             x = layer_norm(x, vp["pre_ln_w"], vp["pre_ln_b"], self.eps)

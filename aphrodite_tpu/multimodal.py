@@ -232,6 +232,108 @@ class ChameleonAdapter(LlavaAdapter):
         self.image_std = np.asarray((0.5, 0.5, 0.5), np.float32)
 
 
+class MiniCPMVAdapter:
+    """MiniCPM-V: variable-aspect slices, query_num resampled tokens per
+    slice. Accepts dicts {"pixel_values": [[3,h,w] slices],
+    "tgt_sizes": [(gh, gw) patch grids]} (the remote processor's output)
+    or PIL images (single adaptive slice, dims snapped to the patch
+    size)."""
+
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        vc = hf_config.vision_config
+        self.patch = vc.patch_size
+        self.max_side = vc.image_size
+        self.query_num = int(getattr(hf_config, "query_num", 64))
+        self.image_token_id = getattr(hf_config, "image_token_id", None)
+        if self.image_token_id is None:
+            raise ValueError("MiniCPM-V serving needs image_token_id on "
+                             "the config")
+        self.image_mean = np.asarray((0.5, 0.5, 0.5), np.float32)
+        self.image_std = np.asarray((0.5, 0.5, 0.5), np.float32)
+
+    def _prep_pil(self, img) -> tuple[np.ndarray, tuple[int, int]]:
+        ps, S = self.patch, self.max_side
+        img = img.convert("RGB")
+        w, h = img.size
+        scale = min(1.0, S / max(w, h))
+        tw = max(ps, int(round(w * scale / ps)) * ps)
+        th = max(ps, int(round(h * scale / ps)) * ps)
+        arr = np.asarray(img.resize((tw, th), resample=3), np.float32)
+        arr = ((arr / 255.0 - self.image_mean) / self.image_std
+               ).transpose(2, 0, 1)
+        return arr, (th // ps, tw // ps)
+
+    def process(self, media, token_ids: list[int]):
+        items = media if isinstance(media, (list, tuple)) else [media]
+        if isinstance(media, dict):
+            items = [media]
+        slices, grids, per_img = [], [], []
+        for it in items:
+            if isinstance(it, dict):
+                pvs = [np.asarray(p, np.float32) for p in it["pixel_values"]]
+                tg = [tuple(int(x) for x in t)
+                      for t in np.asarray(it["tgt_sizes"])]
+                slices.extend(pvs)
+                grids.extend(tg)
+                per_img.append(len(pvs))
+            elif isinstance(it, np.ndarray):
+                arr = it.astype(np.float32)
+                gh, gw = arr.shape[1] // self.patch, \
+                    arr.shape[2] // self.patch
+                slices.append(arr)
+                grids.append((gh, gw))
+                per_img.append(1)
+            else:
+                arr, g = self._prep_pil(it)
+                slices.append(arr)
+                grids.append(g)
+                per_img.append(1)
+        counts = [n * self.query_num for n in per_img]
+        tid = self.image_token_id
+        occurrences = [i for i, t in enumerate(token_ids) if t == tid]
+        spans: list[tuple[int, int]] = []
+        if len(occurrences) == sum(counts) and counts:
+            expanded = list(token_ids)
+            runs, run_start, prev = [], None, -2
+            for i in occurrences + [-1]:
+                if i != prev + 1:
+                    if run_start is not None:
+                        runs.append((run_start, prev - run_start + 1))
+                    run_start = i
+                prev = i
+            ci = 0
+            for off, ln in runs:
+                while ln > 0:
+                    spans.append((off, counts[ci]))
+                    off += counts[ci]
+                    ln -= counts[ci]
+                    ci += 1
+            if ci != len(counts):
+                raise ValueError("placeholder runs do not tile images")
+        elif len(occurrences) == len(counts):
+            expanded, ci = [], 0
+            for t in token_ids:
+                if t == tid:
+                    spans.append((len(expanded), counts[ci]))
+                    expanded.extend([tid] * counts[ci])
+                    ci += 1
+                else:
+                    expanded.append(t)
+        else:
+            raise ValueError(
+                f"prompt has {len(occurrences)} image placeholders for "
+                f"{len(counts)} images")
+        ps = self.patch
+        Hm = max(p.shape[1] for p in slices)
+        Wm = max(p.shape[2] for p in slices)
+        pv = np.zeros((len(slices), 3, Hm, Wm), np.float32)
+        for i, p in enumerate(slices):
+            pv[i, :, :p.shape[1], :p.shape[2]] = p
+        return pv, expanded, spans, {"sizes": tuple(grids)}
+
+
 class AriaAdapter(LlavaAdapter):
     """Aria: each image resamples to patch_to_query_dict[num_patches]
     learned queries."""
@@ -1286,6 +1388,8 @@ _ADAPTERS = {
     "AyaVisionForConditionalGeneration": AyaVisionAdapter,
     "MiniMaxVL01ForConditionalGeneration": LlavaAdapter,
     "AriaForConditionalGeneration": AriaAdapter,
+    "MiniCPMV": MiniCPMVAdapter,
+    "MiniCPMO": MiniCPMVAdapter,
     "InternVLChatModel": InternVLAdapter,
     "NVLM_D": InternVLAdapter,
     "H2OVLChatModel": InternVLAdapter,
