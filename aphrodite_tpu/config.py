@@ -102,9 +102,12 @@ class ModelConfig:
                     # Remote-code multimodal wrappers (Ultravox, ...):
                     # materialize nested sub-configs as real config objects
                     # so geometry properties read uniformly.
+                    if "language_config" in d and "text_config" not in d:
+                        d["text_config"] = d["language_config"]
                     from transformers import CONFIG_MAPPING
                     for sub in ("text_config", "vision_config",
-                                "audio_config", "llm_config"):
+                                "audio_config", "llm_config",
+                                "projector_config"):
                         v = d.get(sub)
                         if isinstance(v, dict):
                             mt = v.get("model_type")

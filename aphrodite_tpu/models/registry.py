@@ -207,6 +207,8 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     # routes through the adapter path, vision is the shared resampler).
     "MiniCPMV": ("aphrodite_tpu.models.minicpmv", "MiniCPMVForCausalLM"),
     "MiniCPMO": ("aphrodite_tpu.models.minicpmv", "MiniCPMVForCausalLM"),
+    "DeepseekVLV2ForCausalLM": ("aphrodite_tpu.models.deepseek_vl2",
+                                "DeepseekVLV2ForCausalLM"),
     "InternVLChatModel": ("aphrodite_tpu.models.internvl",
                           "InternVLChatModel"),
     "NVLM_D": ("aphrodite_tpu.models.internvl", "InternVLChatModel"),

@@ -232,6 +232,102 @@ class ChameleonAdapter(LlavaAdapter):
         self.image_std = np.asarray((0.5, 0.5, 0.5), np.float32)
 
 
+class DeepseekVL2Adapter:
+    """DeepSeek-VL2: global tile + tw x th local tiles (candidate
+    resolutions); tokens per image = h*(w+1) global + th*h*(tw*w+1) local
+    + 1 separator, h = w = ceil(grid / downsample_ratio). Accepts
+    pre-tiled [1+tw*th,3,S,S] arrays (+"crops"), dicts, or PIL (global +
+    one local view)."""
+
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        vc = hf_config.vision_config
+        pc = hf_config.projector_config
+        self.S = vc.image_size
+        g = vc.image_size // vc.patch_size
+        import math as _m
+        self.hw = _m.ceil(g / int(getattr(pc, "downsample_ratio", 2)))
+        self.image_token_id = getattr(hf_config, "image_token_id", None)
+        if self.image_token_id is None:
+            raise ValueError("DeepSeek-VL2 serving needs image_token_id on "
+                             "the config")
+        self.image_mean = np.asarray((0.5, 0.5, 0.5), np.float32)
+        self.image_std = np.asarray((0.5, 0.5, 0.5), np.float32)
+
+    def _tokens(self, tw: int, th: int) -> int:
+        h = w = self.hw
+        return h * (w + 1) + th * h * (tw * w + 1) + 1
+
+    def _prep(self, item):
+        if isinstance(item, dict):
+            pv = np.asarray(item["pixel_values"], np.float32)
+            if pv.ndim == 5:
+                pv = pv[0]
+            tw, th = (int(x) for x in item.get("crops", (1, 1)))
+            return pv[:1 + tw * th], tw, th
+        if isinstance(item, np.ndarray):
+            arr = item.astype(np.float32)
+            if arr.ndim == 3:
+                arr = np.stack([arr, arr])  # global + one local view
+            n = arr.shape[0] - 1
+            tw = int(np.sqrt(n)) or 1
+            while n % tw:
+                tw -= 1
+            return arr, tw, n // tw
+        # PIL: global view + one identical local view (1x1 crop).
+        S = self.S
+        img = item.convert("RGB").resize((S, S), resample=3)
+        arr = (np.asarray(img, np.float32) / 255.0 - self.image_mean) \
+            / self.image_std
+        tile = arr.transpose(2, 0, 1)
+        return np.stack([tile, tile]), 1, 1
+
+    def process(self, media, token_ids: list[int]):
+        items = media if isinstance(media, (list, tuple)) else [media]
+        if isinstance(media, (dict, np.ndarray)):
+            items = [media]
+        prepped = [self._prep(i) for i in items]
+        counts = [self._tokens(tw, th) for _, tw, th in prepped]
+        tid = self.image_token_id
+        occurrences = [i for i, t in enumerate(token_ids) if t == tid]
+        spans: list[tuple[int, int]] = []
+        if len(occurrences) == sum(counts) and counts:
+            expanded = list(token_ids)
+            runs, run_start, prev = [], None, -2
+            for i in occurrences + [-1]:
+                if i != prev + 1:
+                    if run_start is not None:
+                        runs.append((run_start, prev - run_start + 1))
+                    run_start = i
+                prev = i
+            ci = 0
+            for off, ln in runs:
+                while ln > 0:
+                    spans.append((off, counts[ci]))
+                    off += counts[ci]
+                    ln -= counts[ci]
+                    ci += 1
+            if ci != len(counts):
+                raise ValueError("placeholder runs do not tile images")
+        elif len(occurrences) == len(counts):
+            expanded, ci = [], 0
+            for t in token_ids:
+                if t == tid:
+                    spans.append((len(expanded), counts[ci]))
+                    expanded.extend([tid] * counts[ci])
+                    ci += 1
+                else:
+                    expanded.append(t)
+        else:
+            raise ValueError(
+                f"prompt has {len(occurrences)} image placeholders for "
+                f"{len(counts)} images")
+        pv = np.concatenate([p for p, _, _ in prepped], axis=0)
+        crops = tuple((tw, th) for _, tw, th in prepped)
+        return pv, expanded, spans, {"crops": crops}
+
+
 class MiniCPMVAdapter:
     """MiniCPM-V: variable-aspect slices, query_num resampled tokens per
     slice. Accepts dicts {"pixel_values": [[3,h,w] slices],
@@ -1390,6 +1486,7 @@ _ADAPTERS = {
     "AriaForConditionalGeneration": AriaAdapter,
     "MiniCPMV": MiniCPMVAdapter,
     "MiniCPMO": MiniCPMVAdapter,
+    "DeepseekVLV2ForCausalLM": DeepseekVL2Adapter,
     "InternVLChatModel": InternVLAdapter,
     "NVLM_D": InternVLAdapter,
     "H2OVLChatModel": InternVLAdapter,
