@@ -209,6 +209,8 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     "MiniCPMO": ("aphrodite_tpu.models.minicpmv", "MiniCPMVForCausalLM"),
     "DeepseekVLV2ForCausalLM": ("aphrodite_tpu.models.deepseek_vl2",
                                 "DeepseekVLV2ForCausalLM"),
+    "GLM4VForCausalLM": ("aphrodite_tpu.models.glm4v",
+                         "GLM4VForCausalLM"),
     "InternVLChatModel": ("aphrodite_tpu.models.internvl",
                           "InternVLChatModel"),
     "NVLM_D": ("aphrodite_tpu.models.internvl", "InternVLChatModel"),

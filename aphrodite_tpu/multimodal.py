@@ -232,6 +232,32 @@ class ChameleonAdapter(LlavaAdapter):
         self.image_std = np.asarray((0.5, 0.5, 0.5), np.float32)
 
 
+class GLM4VAdapter(LlavaAdapter):
+    """GLM-4V: (grid/2)^2 conv-downsampled tokens + boi/eoi rows."""
+
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        self.hf = hf_config
+        vc = getattr(hf_config, "vision_config", None)
+        if vc is not None and not isinstance(vc, dict):
+            vc = vc.to_dict() if hasattr(vc, "to_dict") else vars(vc)
+        vc = vc or {}
+        self.image_size = vc.get("image_size", 1120)
+        self.patch_size = vc.get("patch_size", 14)
+        grid = self.image_size // self.patch_size
+        self.tokens_per_image = (grid // 2) ** 2 + 2
+        self.image_token_id = getattr(hf_config, "image_token_id", None) \
+            or getattr(hf_config, "boi_token_id", None)
+        if self.image_token_id is None:
+            raise ValueError("GLM-4V serving needs image_token_id (or "
+                             "boi_token_id) on the config")
+        self.image_mean = np.asarray(
+            (0.48145466, 0.4578275, 0.40821073), np.float32)
+        self.image_std = np.asarray(
+            (0.26862954, 0.26130258, 0.27577711), np.float32)
+
+
 class DeepseekVL2Adapter:
     """DeepSeek-VL2: global tile + tw x th local tiles (candidate
     resolutions); tokens per image = h*(w+1) global + th*h*(tw*w+1) local
@@ -1487,6 +1513,7 @@ _ADAPTERS = {
     "MiniCPMV": MiniCPMVAdapter,
     "MiniCPMO": MiniCPMVAdapter,
     "DeepseekVLV2ForCausalLM": DeepseekVL2Adapter,
+    "GLM4VForCausalLM": GLM4VAdapter,
     "InternVLChatModel": InternVLAdapter,
     "NVLM_D": InternVLAdapter,
     "H2OVLChatModel": InternVLAdapter,
