@@ -118,8 +118,10 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     "MiniCPMForCausalLM": ("aphrodite_tpu.models.llama_variants",
                            "MiniCPMForCausalLM"),
     # Fused-QKV remote-code families + Grok-1 (misc_decoders.py).
-    "QWenLMHeadModel": ("aphrodite_tpu.models.misc_decoders",
-                        "QWenLMHeadModel"),
+    "QWenLMHeadModel": ("aphrodite_tpu.models.qwen_vl",
+                        "QWenLMHeadModelDispatch"),
+    "QwenVLForConditionalGeneration": (
+        "aphrodite_tpu.models.qwen_vl", "QwenVLForConditionalGeneration"),
     "JAISLMHeadModel": ("aphrodite_tpu.models.misc_decoders",
                         "JAISLMHeadModel"),
     "ChatGLMModel": ("aphrodite_tpu.models.misc_decoders", "ChatGLMModel"),

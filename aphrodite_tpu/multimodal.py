@@ -232,6 +232,30 @@ class ChameleonAdapter(LlavaAdapter):
         self.image_std = np.asarray((0.5, 0.5, 0.5), np.float32)
 
 
+class QwenVL1Adapter(LlavaAdapter):
+    """Qwen-VL v1: n_queries resampled tokens per image (<imgpad> runs
+    between <img>/</img> in the prompt)."""
+
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        self.hf = hf_config
+        vc = getattr(hf_config, "visual", None) or {}
+        if not isinstance(vc, dict):
+            vc = vc.to_dict() if hasattr(vc, "to_dict") else vars(vc)
+        self.image_size = vc.get("image_size", 448)
+        self.patch_size = vc.get("patch_size", 14)
+        self.tokens_per_image = int(vc.get("n_queries", 256))
+        self.image_token_id = getattr(hf_config, "image_token_id", None) \
+            or vc.get("image_start_id", 151857) + 2
+        self.image_mean = np.asarray(
+            vc.get("image_mean", (0.48145466, 0.4578275, 0.40821073)),
+            np.float32)
+        self.image_std = np.asarray(
+            vc.get("image_std", (0.26862954, 0.26130258, 0.27577711)),
+            np.float32)
+
+
 class GLM4VAdapter(LlavaAdapter):
     """GLM-4V: (grid/2)^2 conv-downsampled tokens + boi/eoi rows."""
 
@@ -1514,6 +1538,7 @@ _ADAPTERS = {
     "MiniCPMO": MiniCPMVAdapter,
     "DeepseekVLV2ForCausalLM": DeepseekVL2Adapter,
     "GLM4VForCausalLM": GLM4VAdapter,
+    "QwenVLForConditionalGeneration": QwenVL1Adapter,
     "InternVLChatModel": InternVLAdapter,
     "NVLM_D": InternVLAdapter,
     "H2OVLChatModel": InternVLAdapter,
@@ -1538,6 +1563,8 @@ def get_mm_adapter(hf_config) -> Optional[object]:
     for a in archs:
         if a == "LlavaForConditionalGeneration" and pixtral_tower:
             return PixtralAdapter(hf_config)
+        if a == "QWenLMHeadModel" and getattr(hf_config, "visual", None):
+            return QwenVL1Adapter(hf_config)
         cls = _ADAPTERS.get(a)
         if cls is not None:
             return cls(hf_config)
