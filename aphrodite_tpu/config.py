@@ -26,6 +26,30 @@ from aphrodite_tpu.utils import cdiv, logger
 KV_CACHE_DTYPES = ("auto", "fp8", "fp8_e4m3", "fp8_e5m2")
 
 
+def _materialize_subconfig(v: dict):
+    """Nested config dict -> a real config object with the RIGHT defaults.
+    HF serializes only diff-from-default fields, so reconstructing with
+    PretrainedConfig would silently flip class defaults (e.g. Qwen2.5-Omni
+    text's tie_word_embeddings)."""
+    from transformers import CONFIG_MAPPING, PretrainedConfig
+    mt = v.get("model_type")
+    cls = CONFIG_MAPPING.get(mt) if mt else None
+    if cls is None and mt:
+        try:
+            from transformers.models.qwen2_5_omni import (
+                configuration_qwen2_5_omni as _omni)
+            cls = {
+                "qwen2_5_omni_text": _omni.Qwen2_5OmniTextConfig,
+                "qwen2_5_omni_vision_encoder":
+                    _omni.Qwen2_5OmniVisionEncoderConfig,
+                "qwen2_5_omni_audio_encoder":
+                    _omni.Qwen2_5OmniAudioEncoderConfig,
+            }.get(mt)
+        except ImportError:  # pragma: no cover
+            cls = None
+    return cls(**v) if cls is not None else PretrainedConfig.from_dict(v)
+
+
 @dataclass
 class ModelConfig:
     """The model to serve and how to interpret its checkpoint."""
@@ -104,18 +128,28 @@ class ModelConfig:
                     # so geometry properties read uniformly.
                     if "language_config" in d and "text_config" not in d:
                         d["text_config"] = d["language_config"]
-                    from transformers import CONFIG_MAPPING
                     for sub in ("text_config", "vision_config",
                                 "audio_config", "llm_config",
                                 "projector_config"):
                         v = d.get(sub)
                         if isinstance(v, dict):
-                            mt = v.get("model_type")
-                            if mt in CONFIG_MAPPING:
-                                d[sub] = CONFIG_MAPPING[mt](**v)
-                            else:
-                                d[sub] = PretrainedConfig.from_dict(v)
+                            d[sub] = _materialize_subconfig(v)
                     self.hf_config = PretrainedConfig.from_dict(d)
+        # Composite configs (Qwen2.5-Omni): the served component is the
+        # thinker; talker/token2wav are speech-synthesis stages outside the
+        # serving scope (reference serves the thinker only).
+        thinker = getattr(self.hf_config, "thinker_config", None)
+        if thinker is not None:
+            if isinstance(thinker, dict):
+                from transformers import PretrainedConfig
+                thinker = PretrainedConfig.from_dict(thinker)
+            archs = getattr(self.hf_config, "architectures", None)
+            for sub in ("text_config", "vision_config", "audio_config"):
+                v = getattr(thinker, sub, None)
+                if isinstance(v, dict):
+                    setattr(thinker, sub, _materialize_subconfig(v))
+            thinker.architectures = archs
+            self.hf_config = thinker
         hf = self.hf_config
         # Generation defaults HF moved out of config.json (decoder start /
         # forced BOS for encoder-decoder models).

@@ -122,6 +122,16 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                         "QWenLMHeadModelDispatch"),
     "QwenVLForConditionalGeneration": (
         "aphrodite_tpu.models.qwen_vl", "QwenVLForConditionalGeneration"),
+    # Qwen2.5-Omni: the thinker is served (talker/token2wav = TTS stages,
+    # out of serving scope — reference qwen2_5_omni_thinker.py).
+    "Qwen2_5OmniModel": ("aphrodite_tpu.models.qwen2_5_omni",
+                         "Qwen2_5OmniThinkerForConditionalGeneration"),
+    "Qwen2_5OmniForConditionalGeneration": (
+        "aphrodite_tpu.models.qwen2_5_omni",
+        "Qwen2_5OmniThinkerForConditionalGeneration"),
+    "Qwen2_5OmniThinkerForConditionalGeneration": (
+        "aphrodite_tpu.models.qwen2_5_omni",
+        "Qwen2_5OmniThinkerForConditionalGeneration"),
     "JAISLMHeadModel": ("aphrodite_tpu.models.misc_decoders",
                         "JAISLMHeadModel"),
     "ChatGLMModel": ("aphrodite_tpu.models.misc_decoders", "ChatGLMModel"),

@@ -1452,7 +1452,8 @@ class Qwen2VLAdapter:
     def __init__(self, hf_config) -> None:
         self.hf = hf_config
         vc = hf_config.vision_config
-        self.image_token_id = hf_config.image_token_id
+        self.image_token_id = getattr(hf_config, "image_token_id", None) \
+            or getattr(hf_config, "image_token_index", None)
         self.merge = vc.spatial_merge_size
         from transformers.models.qwen2_vl.image_processing_qwen2_vl import (
             Qwen2VLImageProcessor)
@@ -1518,6 +1519,111 @@ class Qwen2VLAdapter:
         return pv, expanded, spans, {"grid_thw": grid}
 
 
+class Qwen2_5OmniAdapter(Qwen2VLAdapter):
+    """Qwen2.5-Omni thinker: images through the Qwen2.5-VL patch pipeline;
+    audios through 128-mel features chunked at 2*n_window frames (token
+    count = floor(sum(ceil(chunk/2)) / 2)). One media kind per request
+    (audio+image interleaving in one prompt is a follow-up)."""
+
+    media_keys = ("image", "audio")
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        super().__init__(hf_config)
+        self.image_token_id = getattr(hf_config, "image_token_index",
+                                      self.image_token_id)
+        ac = hf_config.audio_config
+        self.audio_token_id = getattr(hf_config, "audio_token_index", None)
+        self.n_mels = ac.num_mel_bins
+        self.a_window = getattr(ac, "n_window", 100)
+        self._fe = None
+
+    def _audio_feats(self, wav) -> tuple[np.ndarray, int]:
+        if isinstance(wav, dict):
+            f = np.asarray(wav["input_features"], np.float32)
+            if f.ndim == 3:
+                f = f[0]
+            return f, int(wav.get("feature_len", f.shape[-1]))
+        if self._fe is None:
+            from transformers import WhisperFeatureExtractor
+            self._fe = WhisperFeatureExtractor(feature_size=self.n_mels)
+        if isinstance(wav, tuple):
+            arr, sr = wav
+            arr = np.asarray(arr, np.float32).reshape(-1)
+            if sr != 16000:
+                n_out = int(round(len(arr) * 16000 / sr))
+                arr = np.interp(np.linspace(0, len(arr) - 1, n_out),
+                                np.arange(len(arr)), arr).astype(np.float32)
+        else:
+            arr = np.asarray(wav, np.float32).reshape(-1)
+        out = self._fe(arr, sampling_rate=16000, return_tensors="np",
+                       return_attention_mask=True)
+        feats = out["input_features"][0].astype(np.float32)
+        real = int(out["attention_mask"][0].sum())
+        return feats, real
+
+    def _audio_tokens(self, L: int) -> int:
+        win = 2 * self.a_window
+        aftercnn = 0
+        rem = L
+        while rem > 0:
+            c = min(win, rem)
+            aftercnn += -(-c // 2)
+            rem -= c
+        return aftercnn // 2
+
+    def process(self, media, token_ids: list[int]):
+        if isinstance(media, dict) and "audio" in media and \
+                media.get("audio") is not None:
+            if media.get("image") is not None:
+                raise NotImplementedError(
+                    "Qwen2.5-Omni: image+audio in one prompt is a "
+                    "follow-up; send them in separate requests")
+            items = media["audio"]
+            items = items if isinstance(items, list) else [items]
+            pairs = [self._audio_feats(a) for a in items]
+            counts = [self._audio_tokens(l) for _, l in pairs]
+            tid = self.audio_token_id
+            spans, expanded, ci = [], [], 0
+            occurrences = [i for i, t in enumerate(token_ids) if t == tid]
+            if len(occurrences) == sum(counts) and counts:
+                expanded = list(token_ids)
+                runs, run_start, prev = [], None, -2
+                for i in occurrences + [-1]:
+                    if i != prev + 1:
+                        if run_start is not None:
+                            runs.append((run_start, prev - run_start + 1))
+                        run_start = i
+                    prev = i
+                for off, ln in runs:
+                    while ln > 0:
+                        spans.append((off, counts[ci]))
+                        off += counts[ci]
+                        ln -= counts[ci]
+                        ci += 1
+            elif len(occurrences) == len(counts):
+                for t in token_ids:
+                    if t == tid:
+                        spans.append((len(expanded), counts[ci]))
+                        expanded.extend([tid] * counts[ci])
+                        ci += 1
+                    else:
+                        expanded.append(t)
+            else:
+                raise ValueError(
+                    f"prompt has {len(occurrences)} audio placeholders "
+                    f"for {len(counts)} audios")
+            Lm = max(f.shape[-1] for f, _ in pairs)
+            pv = np.zeros((len(pairs), self.n_mels, Lm), np.float32)
+            for i, (f, l) in enumerate(pairs):
+                pv[i, :, :f.shape[-1]] = f
+            return pv, expanded, spans, {
+                "audio_lens": tuple(l for _, l in pairs)}
+        if isinstance(media, dict) and "image" in media:
+            media = media["image"]
+        return super().process(media, token_ids)
+
+
 _ADAPTERS = {
     "LlavaForConditionalGeneration": LlavaAdapter,
     "MantisForConditionalGeneration": LlavaAdapter,
@@ -1539,6 +1645,9 @@ _ADAPTERS = {
     "DeepseekVLV2ForCausalLM": DeepseekVL2Adapter,
     "GLM4VForCausalLM": GLM4VAdapter,
     "QwenVLForConditionalGeneration": QwenVL1Adapter,
+    "Qwen2_5OmniModel": Qwen2_5OmniAdapter,
+    "Qwen2_5OmniForConditionalGeneration": Qwen2_5OmniAdapter,
+    "Qwen2_5OmniThinkerForConditionalGeneration": Qwen2_5OmniAdapter,
     "InternVLChatModel": InternVLAdapter,
     "NVLM_D": InternVLAdapter,
     "H2OVLChatModel": InternVLAdapter,
