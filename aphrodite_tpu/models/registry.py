@@ -175,6 +175,8 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                          "BambaForCausalLM"),
     "Zamba2ForCausalLM": ("aphrodite_tpu.models.zamba2",
                           "Zamba2ForCausalLM"),
+    "Plamo2ForCausalLM": ("aphrodite_tpu.models.plamo2",
+                          "Plamo2ForCausalLM"),
     "MiniMaxText01ForCausalLM": ("aphrodite_tpu.models.minimax_text",
                                  "MiniMaxText01ForCausalLM"),
     "MiniMaxVL01ForConditionalGeneration": (
