@@ -87,8 +87,16 @@ def ref_ragged_paged_attention(
     logits_soft_cap: Optional[float] = None,
     alibi: Optional[jax.Array] = None,  # [nq] per-head slopes
     chunk_attn: Optional[int] = None,
+    blocksparse: Optional[tuple] = None,
 ) -> jax.Array:
-    """Pure-JAX oracle for ragged paged attention (correct, not fast)."""
+    """Pure-JAX oracle for ragged paged attention (correct, not fast).
+
+    ``blocksparse`` = (block_size, local_blocks, vert_stride, head_step):
+    Phi-3-Small block-sparse pattern (reference
+    aphrodite/attention/ops/blocksparse_attention/utils.py:94-218) — a KV
+    block is visible if it is within ``local_blocks`` blocks of the query
+    block, or vertically strided: ``(bk + h*head_step + 1) % vert_stride
+    == 0`` (head_step=0 => homogeneous heads)."""
     num_pages, _, kvh, page_size, hd = kv_cache.shape
     nq = q.shape[1]
     group = nq // kvh
@@ -127,7 +135,16 @@ def ref_ragged_paged_attention(
             mask &= kv_pos > pos - sliding_window
         if chunk_attn is not None:  # Llama4 chunked local attention
             mask &= (kv_pos // chunk_attn) == (pos // chunk_attn)
-        logits = jnp.where(mask[None, None, :], logits, -jnp.inf)
+        mask = mask[None, None, :]
+        if blocksparse is not None:
+            bs_sz, local_blocks, vert_stride, head_step = blocksparse
+            bq, bk = pos // bs_sz, kv_pos // bs_sz  # scalar, [K]
+            h_idx = jnp.arange(nq).reshape(kvh, group)  # global q-head idx
+            local_ok = (bq - bk) < local_blocks  # [K]
+            vert_ok = (bk[None, None, :] + h_idx[:, :, None] * head_step
+                       + 1) % vert_stride == 0  # [kvh, group, K]
+            mask = mask & (local_ok[None, None, :] | vert_ok)
+        logits = jnp.where(mask, logits, -jnp.inf)
         probs = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("hgk,khd->hgd", probs, values)
         return out.reshape(nq, hd)
@@ -146,13 +163,20 @@ def paged_attention(
     use_pallas: bool = False,
     alibi: Optional[jax.Array] = None,
     chunk_attn: Optional[int] = None,
+    blocksparse: Optional[tuple] = None,
 ) -> jax.Array:
     """Dispatch to the Pallas kernel (TPU) or the JAX oracle (CPU/tests)."""
     hd = q.shape[-1]
     hd_cache = kv_cache.shape[-1]
     if hd_cache != hd:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, hd_cache - hd)))
-    if alibi is not None or md.mm_bidir_spans is not None:
+    if blocksparse is not None:
+        # Blocksparse (Phi-3-Small) runs the XLA path: the per-(head,q,k)
+        # stride mask needs indices the Pallas kernels don't thread.
+        out = ref_ragged_paged_attention(
+            q, kv_cache, md, scale, sliding_window=sliding_window,
+            logits_soft_cap=logits_soft_cap, blocksparse=blocksparse)
+    elif alibi is not None or md.mm_bidir_spans is not None:
         # ALiBi models (Bloom/MPT/Falcon-alibi/Baichuan-13B) and
         # bidirectional-image models (Gemma-3 MM) run the XLA path: the
         # per-(q,k) bias/mask needs indices the Pallas kernels don't

@@ -76,6 +76,9 @@ class FlexibleDecoder:
     clip_qkv: Optional[float] = None
     attn_soft_cap: Optional[float] = None  # logit softcap (Grok-1)
     attn_output_multiplier: float = 1.0    # post-o_proj scale (Grok-1)
+    # Phi-3-Small blocksparse: (block_size, local_blocks, vert_stride,
+    # head_step); layers with a per-layer "is_dense" flag > 0 run dense.
+    blocksparse: Optional[tuple] = None
     # --- MLP
     mlp_kind: str = "gated"        # gated | dense
     mlp_bias: bool = False
@@ -438,7 +441,16 @@ class FlexibleDecoder:
                 q = self._rope(q, c, s)
                 k = self._rope(k, c, s)
             kvc = write_kv(kvc, k, v, md.slot_mapping)
-            if self.sliding_window is not None and "is_sliding" in lp:
+            if self.blocksparse is not None:
+                bsp = self.blocksparse
+                sparse = lambda: paged_attention(  # noqa: E731
+                    q, kvc, md, self.scale, use_pallas=use_pallas,
+                    blocksparse=bsp)
+                dense = lambda: paged_attention(  # noqa: E731
+                    q, kvc, md, self.scale, use_pallas=use_pallas)
+                o = jax.lax.cond(lp["is_dense"] > 0, dense, sparse) \
+                    if "is_dense" in lp else sparse()
+            elif self.sliding_window is not None and "is_sliding" in lp:
                 o = jax.lax.cond(
                     lp["is_sliding"] > 0,
                     lambda: paged_attention(

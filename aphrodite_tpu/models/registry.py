@@ -46,6 +46,8 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                           "Gemma3ForCausalLM"),
     "Phi3ForCausalLM": ("aphrodite_tpu.models.phi3_qwen3",
                         "Phi3ForCausalLM"),
+    "Phi3SmallForCausalLM": ("aphrodite_tpu.models.phi3_small",
+                             "Phi3SmallForCausalLM"),
     "Qwen3ForCausalLM": ("aphrodite_tpu.models.phi3_qwen3",
                          "Qwen3ForCausalLM"),
     "DeepseekV2ForCausalLM": ("aphrodite_tpu.models.deepseek",
