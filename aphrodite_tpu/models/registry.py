@@ -50,6 +50,8 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                              "Phi3SmallForCausalLM"),
     "Qwen3ForCausalLM": ("aphrodite_tpu.models.phi3_qwen3",
                          "Qwen3ForCausalLM"),
+    "KimiVLForConditionalGeneration": ("aphrodite_tpu.models.kimi_vl",
+                                       "KimiVLForConditionalGeneration"),
     "DeepseekV2ForCausalLM": ("aphrodite_tpu.models.deepseek",
                               "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("aphrodite_tpu.models.deepseek",

@@ -1624,6 +1624,111 @@ class Qwen2_5OmniAdapter(Qwen2VLAdapter):
         return super().process(media, token_ids)
 
 
+class KimiVLAdapter:
+    """Kimi-VL: MoonViT native-resolution patch packing; tokens per image
+    = (h // kh) * (w // kw) with grid (h, w) in patch units (reference
+    kimi_vl.py:146-183 get_num_image_tokens). Accepts preprocessed dicts
+    {"pixel_values": [N, 3, ps, ps], "image_grid_hws": [N_img, 2]} or raw
+    HWC arrays (0.5/0.5-normalized, padded to the merge-kernel grid)."""
+
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        vc = hf_config.vision_config
+        self.patch = getattr(vc, "patch_size", 14)
+        kh, kw = tuple(getattr(vc, "merge_kernel_size", (2, 2)))
+        self.kernel = (int(kh), int(kw))
+        self.in_token_limit = getattr(hf_config, "in_token_limit", 4096)
+        self.image_token_id = getattr(hf_config,
+                                      "media_placeholder_token_id", None)
+        if self.image_token_id is None:
+            raise ValueError("Kimi-VL serving needs "
+                             "media_placeholder_token_id on the config")
+
+    def _patchify(self, img: np.ndarray) -> tuple[np.ndarray, tuple]:
+        """HWC image -> ([h*w, 3, ps, ps], (h, w)); pads to the merge
+        grid, downscales if the patch count exceeds in_token_limit."""
+        arr = np.asarray(img, np.float32)
+        if arr.max() > 1.5:
+            arr = arr / 255.0
+        arr = (arr - 0.5) / 0.5
+        ps, (kh, kw) = self.patch, self.kernel
+        H, W = arr.shape[:2]
+        if (H // ps) * (W // ps) > self.in_token_limit:
+            scale = float(np.sqrt(self.in_token_limit
+                                  / ((H // ps) * (W // ps))))
+            nh, nw = max(int(H * scale), ps), max(int(W * scale), ps)
+            ys = (np.arange(nh) * H / nh).astype(np.int64)
+            xs = (np.arange(nw) * W / nw).astype(np.int64)
+            arr = arr[ys][:, xs]
+            H, W = nh, nw
+        pad_h = (-H) % (kh * ps)
+        pad_w = (-W) % (kw * ps)
+        arr = np.pad(arr, ((0, pad_h), (0, pad_w), (0, 0)))
+        h, w = arr.shape[0] // ps, arr.shape[1] // ps
+        pv = arr.reshape(h, ps, w, ps, 3).transpose(0, 2, 4, 1, 3)
+        return pv.reshape(h * w, 3, ps, ps), (h, w)
+
+    def process(self, images: Any, token_ids: list[int]):
+        ps = self.patch
+        if isinstance(images, dict):
+            pv = np.asarray(images["pixel_values"], np.float32)
+            pv = pv.reshape(-1, 3, ps, ps)
+            grid = np.asarray(images["image_grid_hws"], np.int64)
+            grid = grid.reshape(-1, 2)
+        else:
+            if isinstance(images, np.ndarray) and images.ndim == 3:
+                images = [images]
+            elif not isinstance(images, (list, tuple)):
+                images = [images]
+            parts, hws = [], []
+            for im in images:
+                p, hw = self._patchify(np.asarray(im))
+                parts.append(p)
+                hws.append(hw)
+            pv = np.concatenate(parts)
+            grid = np.asarray(hws, np.int64)
+        kh, kw = self.kernel
+        counts = [int(h // kh) * int(w // kw) for h, w in grid]
+        tid = self.image_token_id
+        occurrences = [i for i, t in enumerate(token_ids) if t == tid]
+        spans: list[tuple[int, int]] = []
+        if len(occurrences) == sum(counts) and counts:
+            # Pre-expanded prompt: recover spans from placeholder runs.
+            expanded = list(token_ids)
+            run_start, prev, runs = None, -2, []
+            for i in occurrences + [-1]:
+                if i != prev + 1:
+                    if run_start is not None:
+                        runs.append((run_start, prev - run_start + 1))
+                    run_start = i
+                prev = i
+            ci = 0
+            for off, ln in runs:
+                while ln > 0:
+                    spans.append((off, counts[ci]))
+                    off += counts[ci]
+                    ln -= counts[ci]
+                    ci += 1
+            if ci != len(counts) or any(n < 0 for _, n in spans):
+                raise ValueError("placeholder runs do not tile images")
+            return pv, expanded, spans, {"image_grid_hws": grid}
+        if len(occurrences) != len(counts):
+            raise ValueError(
+                f"prompt has {len(occurrences)} image placeholders for "
+                f"{len(counts)} images")
+        expanded: list[int] = []
+        ci = 0
+        for t in token_ids:
+            if t == tid:
+                spans.append((len(expanded), counts[ci]))
+                expanded.extend([tid] * counts[ci])
+                ci += 1
+            else:
+                expanded.append(t)
+        return pv, expanded, spans, {"image_grid_hws": grid}
+
+
 _ADAPTERS = {
     "LlavaForConditionalGeneration": LlavaAdapter,
     "MantisForConditionalGeneration": LlavaAdapter,
@@ -1662,6 +1767,7 @@ _ADAPTERS = {
     "Idefics3ForConditionalGeneration": Idefics3Adapter,
     "SmolVLMForConditionalGeneration": Idefics3Adapter,
     "FuyuForCausalLM": FuyuAdapter,
+    "KimiVLForConditionalGeneration": KimiVLAdapter,
 }
 
 
