@@ -128,9 +128,12 @@ class ModelConfig:
                     # so geometry properties read uniformly.
                     if "language_config" in d and "text_config" not in d:
                         d["text_config"] = d["language_config"]
+                    if "llm_config" in d and "text_config" not in d:
+                        d["text_config"] = d["llm_config"]  # Ovis
                     for sub in ("text_config", "vision_config",
                                 "audio_config", "llm_config",
-                                "projector_config"):
+                                "projector_config",
+                                "visual_tokenizer_config"):
                         v = d.get(sub)
                         if isinstance(v, dict):
                             d[sub] = _materialize_subconfig(v)

@@ -50,6 +50,9 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                              "Phi3SmallForCausalLM"),
     "Qwen3ForCausalLM": ("aphrodite_tpu.models.phi3_qwen3",
                          "Qwen3ForCausalLM"),
+    "Ovis2ForConditionalGeneration": ("aphrodite_tpu.models.ovis2",
+                                      "Ovis2ForConditionalGeneration"),
+    "Ovis": ("aphrodite_tpu.models.ovis2", "Ovis2ForConditionalGeneration"),
     "KimiVLForConditionalGeneration": ("aphrodite_tpu.models.kimi_vl",
                                        "KimiVLForConditionalGeneration"),
     "DeepseekV2ForCausalLM": ("aphrodite_tpu.models.deepseek",

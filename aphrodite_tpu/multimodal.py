@@ -1624,6 +1624,109 @@ class Qwen2_5OmniAdapter(Qwen2VLAdapter):
         return super().process(media, token_ids)
 
 
+class Ovis2Adapter:
+    """Ovis2: crops of S x S squares per image (global crop + optional
+    r x c partition grid); every image position in the prompt is the
+    image-pad token; per image the expansion is
+    ``n_indicators + n_crops * T`` pads, T = (S/patch/hidden_stride)^2
+    (reference processors/ovis2.py:232-262). Accepts preprocessed dicts
+    {"pixel_values": [N_crops, 3, S, S], "grids": [[r, c], ...]} or raw
+    HWC arrays (resized square, single crop)."""
+
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        vt = hf_config.visual_tokenizer_config
+        bc = vt.backbone_config if not isinstance(vt, dict) \
+            else vt["backbone_config"]
+
+        def get(c, k, d=None):
+            return c.get(k, d) if isinstance(c, dict) else getattr(c, k, d)
+        self.S = get(bc, "image_size", 224)
+        side = self.S // get(bc, "patch_size", 14)
+        hs = int(get(vt, "hidden_stride", 1))
+        self.tokens_per_crop = (-(-side // hs)) ** 2
+        self.image_token_id = getattr(hf_config, "image_pad_token_id",
+                                      151655)
+
+    def _prep(self, item):
+        if isinstance(item, dict):
+            pv = np.asarray(item["pixel_values"], np.float32)
+            if pv.ndim == 5:
+                pv = pv.reshape((-1,) + tuple(pv.shape[-3:]))
+            grids = item.get("grids")
+            if grids is None:
+                grids = [item.get("grid", (1, 1))]
+            return pv, [tuple(int(x) for x in g) for g in np.reshape(
+                np.asarray(grids, np.int64), (-1, 2))]
+        arr = np.asarray(item, np.float32)
+        if arr.max() > 1.5:
+            arr = arr / 255.0
+        arr = (arr - 0.5) / 0.5
+        H, W = arr.shape[:2]
+        ys = (np.arange(self.S) * H / self.S).astype(np.int64)
+        xs = (np.arange(self.S) * W / self.S).astype(np.int64)
+        return arr[ys][:, xs].transpose(2, 0, 1)[None], [(1, 1)]
+
+    def _count(self, grid) -> int:
+        r, c = grid
+        crops = 1 if r * c <= 1 else 1 + r * c
+        inds = 3 if r * c <= 1 else r * c + 2
+        return inds + crops * self.tokens_per_crop
+
+    def process(self, images: Any, token_ids: list[int]):
+        if isinstance(images, dict) or (isinstance(images, np.ndarray)
+                                        and images.ndim == 3):
+            images = [images]
+        elif not isinstance(images, (list, tuple)):
+            images = [images]
+        parts, grids = [], []
+        for im in images:
+            pv, gs = self._prep(im)
+            parts.append(pv)
+            grids.extend(gs)
+        pv = np.concatenate(parts)
+        counts = [self._count(g) for g in grids]
+        tid = self.image_token_id
+        occurrences = [i for i, t in enumerate(token_ids) if t == tid]
+        spans: list[tuple[int, int]] = []
+        extra = {"grids": np.asarray(grids, np.int64)}
+        if len(occurrences) == sum(counts) and counts:
+            # Pre-expanded prompt: recover spans from placeholder runs.
+            expanded = list(token_ids)
+            run_start, prev, runs = None, -2, []
+            for i in occurrences + [-1]:
+                if i != prev + 1:
+                    if run_start is not None:
+                        runs.append((run_start, prev - run_start + 1))
+                    run_start = i
+                prev = i
+            ci = 0
+            for off, ln in runs:
+                while ln > 0:
+                    spans.append((off, counts[ci]))
+                    off += counts[ci]
+                    ln -= counts[ci]
+                    ci += 1
+            if ci != len(counts) or any(n < 0 for _, n in spans):
+                raise ValueError("placeholder runs do not tile images")
+            return pv, expanded, spans, extra
+        if len(occurrences) != len(counts):
+            raise ValueError(
+                f"prompt has {len(occurrences)} image placeholders for "
+                f"{len(counts)} images")
+        expanded: list[int] = []
+        ci = 0
+        for t in token_ids:
+            if t == tid:
+                spans.append((len(expanded), counts[ci]))
+                expanded.extend([tid] * counts[ci])
+                ci += 1
+            else:
+                expanded.append(t)
+        return pv, expanded, spans, extra
+
+
 class KimiVLAdapter:
     """Kimi-VL: MoonViT native-resolution patch packing; tokens per image
     = (h // kh) * (w // kw) with grid (h, w) in patch units (reference
@@ -1768,6 +1871,8 @@ _ADAPTERS = {
     "SmolVLMForConditionalGeneration": Idefics3Adapter,
     "FuyuForCausalLM": FuyuAdapter,
     "KimiVLForConditionalGeneration": KimiVLAdapter,
+    "Ovis2ForConditionalGeneration": Ovis2Adapter,
+    "Ovis": Ovis2Adapter,
 }
 
 
