@@ -50,6 +50,7 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
                              "Phi3SmallForCausalLM"),
     "Qwen3ForCausalLM": ("aphrodite_tpu.models.phi3_qwen3",
                          "Qwen3ForCausalLM"),
+    "MolmoForCausalLM": ("aphrodite_tpu.models.molmo", "MolmoForCausalLM"),
     "Ovis2ForConditionalGeneration": ("aphrodite_tpu.models.ovis2",
                                       "Ovis2ForConditionalGeneration"),
     "Ovis": ("aphrodite_tpu.models.ovis2", "Ovis2ForConditionalGeneration"),

@@ -1624,6 +1624,56 @@ class Qwen2_5OmniAdapter(Qwen2VLAdapter):
         return super().process(media, token_ids)
 
 
+class MolmoAdapter:
+    """Molmo: crops arrive preprocessed (the Molmo processor is remote
+    code) as {"images"/"pixel_values": [T_crops, P, 3*ps*ps],
+    "image_masks": [T_crops, P], "feat_is_patch": [T_crops,
+    tokens_per_crop] bool, optional "img_patch_id"} with a PRE-EXPANDED
+    prompt: pooled features scatter onto <im_patch> runs in order
+    (reference molmo.py:1449-1501); im_start/im_col/im_end markers stay
+    ordinary tokens."""
+
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        self.hf = hf_config
+        self.image_token_id = getattr(hf_config, "img_patch_id", None)
+
+    def process(self, media: Any, token_ids: list[int]):
+        if not isinstance(media, dict):
+            raise ValueError(
+                "Molmo needs preprocessed inputs: pass the Molmo "
+                "processor's images/image_masks/feat_is_patch plus the "
+                "expanded prompt ids")
+        pv = np.asarray(media.get("images", media.get("pixel_values")),
+                        np.float32)
+        if pv.ndim == 4:
+            pv = pv.reshape((-1,) + tuple(pv.shape[-2:]))
+        masks = media.get("image_masks")
+        masks = np.ones(pv.shape[:2], np.float32) if masks is None \
+            else np.asarray(masks, np.float32).reshape(pv.shape[:2])
+        fis = np.asarray(media["feat_is_patch"]).astype(bool)
+        tid = media.get("img_patch_id", self.image_token_id)
+        if tid is None:
+            raise ValueError("Molmo serving needs img_patch_id (pass it in "
+                             "multi_modal_data or set it on the config)")
+        total = int(fis.sum())
+        occurrences = [i for i, t in enumerate(token_ids) if t == int(tid)]
+        if len(occurrences) != total:
+            raise ValueError(
+                f"prompt has {len(occurrences)} <im_patch> tokens for "
+                f"{total} pooled patch features")
+        spans, run_start, prev = [], None, -2
+        for i in occurrences + [-1]:
+            if i != prev + 1:
+                if run_start is not None:
+                    spans.append((run_start, prev - run_start + 1))
+                run_start = i
+            prev = i
+        return pv, list(token_ids), spans, {
+            "image_masks": masks, "feat_is_patch": fis}
+
+
 class Ovis2Adapter:
     """Ovis2: crops of S x S squares per image (global crop + optional
     r x c partition grid); every image position in the prompt is the
@@ -1873,6 +1923,7 @@ _ADAPTERS = {
     "KimiVLForConditionalGeneration": KimiVLAdapter,
     "Ovis2ForConditionalGeneration": Ovis2Adapter,
     "Ovis": Ovis2Adapter,
+    "MolmoForCausalLM": MolmoAdapter,
 }
 
 
