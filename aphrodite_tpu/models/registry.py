@@ -51,6 +51,9 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     "Qwen3ForCausalLM": ("aphrodite_tpu.models.phi3_qwen3",
                          "Qwen3ForCausalLM"),
     "MolmoForCausalLM": ("aphrodite_tpu.models.molmo", "MolmoForCausalLM"),
+    "GraniteSpeechForConditionalGeneration": (
+        "aphrodite_tpu.models.granite_speech",
+        "GraniteSpeechForConditionalGeneration"),
     "Ovis2ForConditionalGeneration": ("aphrodite_tpu.models.ovis2",
                                       "Ovis2ForConditionalGeneration"),
     "Ovis": ("aphrodite_tpu.models.ovis2", "Ovis2ForConditionalGeneration"),

@@ -1624,6 +1624,100 @@ class Qwen2_5OmniAdapter(Qwen2VLAdapter):
         return super().process(media, token_ids)
 
 
+class GraniteSpeechAdapter:
+    """Granite Speech: log-mel features stacked in frame pairs
+    ([1, T, 2*n_mels]); tokens per audio = ceil(T/window) *
+    (window/downsample) with the first ``audio_embed_sizes`` kept
+    (reference transformers GraniteSpeechFeatureExtractor). Accepts
+    preprocessed dicts {"input_features": [1, T, 160], optional
+    "audio_embed_sizes"} or raw waveforms (numpy reimplementation of the
+    torchaudio mel pipeline: hann stft, HTK mels, log10, max-8 floor,
+    /4 + 1, frame pairs)."""
+
+    media_key = "audio"
+
+    def __init__(self, hf_config) -> None:
+        self.hf = hf_config
+        self.audio_token_id = getattr(hf_config, "audio_token_index", None)
+        self.window = hf_config.window_size
+        self.nq = hf_config.window_size // hf_config.downsample_rate
+        ec = hf_config.encoder_config
+        self.input_dim = getattr(ec, "input_dim", 160)
+        # torchaudio MelSpectrogram defaults used by the HF extractor.
+        self.sr, self.n_fft, self.win, self.hop = 16000, 512, 400, 160
+        self.n_mels = self.input_dim // 2
+
+    def _mel(self, wav: np.ndarray) -> np.ndarray:
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        pad = self.n_fft // 2
+        x = np.pad(wav, (pad, pad), mode="reflect")
+        win = np.hanning(self.win + 1)[:-1].astype(np.float32)
+        wpad = (self.n_fft - self.win) // 2
+        win = np.pad(win, (wpad, self.n_fft - self.win - wpad))
+        n_frames = 1 + len(wav) // self.hop
+        idx = np.arange(self.n_fft)[None] + \
+            self.hop * np.arange(n_frames)[:, None]
+        frames = x[idx] * win[None]
+        spec = np.abs(np.fft.rfft(frames, self.n_fft, axis=-1)) ** 2
+        # HTK mel filterbank, norm=None (torchaudio defaults).
+        def hz2mel(f):
+            return 2595.0 * np.log10(1.0 + f / 700.0)
+        mels = np.linspace(0.0, hz2mel(self.sr / 2), self.n_mels + 2)
+        freqs = 700.0 * (10.0 ** (mels / 2595.0) - 1.0)
+        fft_freqs = np.linspace(0, self.sr / 2, self.n_fft // 2 + 1)
+        fb = np.zeros((self.n_fft // 2 + 1, self.n_mels), np.float64)
+        for m in range(self.n_mels):
+            lo, c, hi = freqs[m], freqs[m + 1], freqs[m + 2]
+            up = (fft_freqs - lo) / (c - lo)
+            down = (hi - fft_freqs) / (hi - c)
+            fb[:, m] = np.maximum(0, np.minimum(up, down))
+        logmel = np.log10(np.clip(spec @ fb, 1e-10, None))
+        logmel = np.maximum(logmel, logmel.max() - 8.0) / 4 + 1
+        if logmel.shape[0] % 2 == 1:
+            logmel = logmel[:-1]
+        return logmel.reshape(1, -1, 2 * self.n_mels).astype(np.float32)
+
+    def _tokens(self, enc_len: int) -> int:
+        return -(-enc_len // self.window) * self.nq
+
+    def process(self, media: Any, token_ids: list[int]):
+        if isinstance(media, (list, tuple)) and len(media) == 1:
+            media = media[0]
+        if isinstance(media, dict):
+            feats = np.asarray(media["input_features"], np.float32)
+            feats = feats.reshape(1, -1, self.input_dim)
+            sizes = media.get("audio_embed_sizes")
+            count = int(np.asarray(sizes).reshape(-1)[0]) if sizes is not \
+                None else self._tokens(feats.shape[1])
+        else:
+            feats = self._mel(media)
+            # raw_len//hop + 1 mel frames, floored to pairs (reference
+            # _get_num_audio_features uses mel_length // 2).
+            count = self._tokens((len(np.reshape(media, -1)) // self.hop
+                                  + 1) // 2)
+        tid = self.audio_token_id
+        if tid is None:
+            raise ValueError("Granite Speech serving needs "
+                             "audio_token_index on the config")
+        occurrences = [i for i, t in enumerate(token_ids) if t == tid]
+        spans: list[tuple[int, int]] = []
+        extra = {"audio_embed_sizes": np.asarray([count], np.int64)}
+        if len(occurrences) == count and count:
+            return feats, list(token_ids), [(occurrences[0], count)], extra
+        if len(occurrences) != 1:
+            raise ValueError(
+                f"prompt has {len(occurrences)} audio placeholders; Granite "
+                "Speech supports one audio per request")
+        expanded: list[int] = []
+        for t in token_ids:
+            if t == tid:
+                spans.append((len(expanded), count))
+                expanded.extend([tid] * count)
+            else:
+                expanded.append(t)
+        return feats, expanded, spans, extra
+
+
 class MolmoAdapter:
     """Molmo: crops arrive preprocessed (the Molmo processor is remote
     code) as {"images"/"pixel_values": [T_crops, P, 3*ps*ps],
@@ -1924,6 +2018,7 @@ _ADAPTERS = {
     "Ovis2ForConditionalGeneration": Ovis2Adapter,
     "Ovis": Ovis2Adapter,
     "MolmoForCausalLM": MolmoAdapter,
+    "GraniteSpeechForConditionalGeneration": GraniteSpeechAdapter,
 }
 
 
