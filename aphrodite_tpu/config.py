@@ -198,7 +198,8 @@ class ModelConfig:
     @property
     def is_encoder_decoder(self) -> bool:
         return self.text_config.model_type in ("whisper", "bart",
-                                               "florence2")
+                                               "florence2",
+                                               "florence2_language")
 
     @property
     def num_layers(self) -> int:

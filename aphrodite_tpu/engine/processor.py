@@ -115,6 +115,18 @@ class Processor:
                                  is_embeddings=True)
         mm_data = prompt.get("multi_modal_data") \
             if isinstance(prompt, dict) else None
+        if mm_data and enc_ids is not None and self.mm_adapter is not None \
+                and getattr(self.mm_adapter, "enc_dec_mm", False):
+            # Multimodal encoder-decoder (Florence-2): media rows merge
+            # into the text encoder input at placeholder positions.
+            import numpy as _np
+            from aphrodite_tpu.multimodal import MMInputs
+            media = mm_data.get(self.mm_adapter.media_key)
+            enc_ids, extra = self.mm_adapter.process_encoder(media, enc_ids)
+            mm_inputs = MMInputs(
+                pixel_values=_np.asarray(enc_ids, _np.int32)[None],
+                spans=[], extra=extra)
+            mm_data = None
         if mm_data and mm_inputs is not None:
             raise ValueError(f"request {request_id}: prompt_adapter and "
                              "multi_modal_data are mutually exclusive")

@@ -227,11 +227,12 @@ class BartForConditionalGeneration:
             self._enc_cache[S_pad] = fn
         return fn(params, ids, jnp.asarray(S, jnp.int32))[:S]
 
-    def _encode(self, params, ids, n_valid):
+    def _encode(self, params, ids, n_valid, inputs_embeds=None):
         D = self.d_model
         nh, hd = self.enc_heads, self.d_model // self.enc_heads
         S = ids.shape[0]
-        x = jnp.take(params["embed"], ids, axis=0) * self.embed_scale
+        x = inputs_embeds if inputs_embeds is not None else \
+            jnp.take(params["embed"], ids, axis=0) * self.embed_scale
         pos = jnp.arange(S) + self.POS_OFFSET
         x = x + jnp.take(params["enc_pos"], pos, axis=0).astype(x.dtype)
         x = layer_norm(x, params["enc_emb_ln_w"], params["enc_emb_ln_b"],

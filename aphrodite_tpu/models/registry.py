@@ -54,6 +54,11 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     "GraniteSpeechForConditionalGeneration": (
         "aphrodite_tpu.models.granite_speech",
         "GraniteSpeechForConditionalGeneration"),
+    "Florence2ForConditionalGeneration": (
+        "aphrodite_tpu.models.florence2",
+        "Florence2ForConditionalGeneration"),
+    "Florence2LanguageForConditionalGeneration": (
+        "aphrodite_tpu.models.bart", "BartForConditionalGeneration"),
     "Ovis2ForConditionalGeneration": ("aphrodite_tpu.models.ovis2",
                                       "Ovis2ForConditionalGeneration"),
     "Ovis": ("aphrodite_tpu.models.ovis2", "Ovis2ForConditionalGeneration"),
@@ -361,6 +366,17 @@ def register_model(arch: str, cls_or_factory) -> None:
 def get_model_class(arch: str) -> Callable:
     if arch in _OOT:
         return _OOT[arch]
+    if arch == "PrithviGeoSpatialMAE":
+        # Explicit drop (SURVEY.md §2.7): the reference's Prithvi support
+        # (prithvi_geospatial_mae.py) instantiates the entire model through
+        # the external `terratorch` library at startup; there is no
+        # self-contained architecture to re-implement. Serve it via a
+        # terratorch plugin with register_model() instead.
+        raise ValueError(
+            "PrithviGeoSpatialMAE requires the external 'terratorch' "
+            "library (the reference delegates the whole model to it). "
+            "Install terratorch and register the model with "
+            "aphrodite_tpu.models.registry.register_model().")
     if arch in SPECULATIVE_ARCHS:
         raise ValueError(
             f"{arch!r} is a speculative-decoding head — serve it as a "

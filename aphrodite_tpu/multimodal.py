@@ -1624,6 +1624,52 @@ class Qwen2_5OmniAdapter(Qwen2VLAdapter):
         return super().process(media, token_ids)
 
 
+class Florence2Adapter:
+    """Florence-2: an encoder-decoder multimodal adapter — DaViT feature
+    rows ([1 spatial-avg] + grid tokens by image_feature_source) are
+    inserted as pad tokens at the START of the encoder prompt (reference
+    florence2.py:851-871 PromptInsertion) and replaced with projected
+    image rows at embed time. Accepts {"pixel_values": [1, 3, H, W]} or a
+    raw HWC array (CLIP-normalized)."""
+
+    media_key = "image"
+    enc_dec_mm = True
+
+    _MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+    _STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+    def __init__(self, hf_config) -> None:
+        vc = hf_config.vision_config
+
+        def get(c, k, d=None):
+            return c.get(k, d) if isinstance(c, dict) else getattr(c, k, d)
+        stride = 1
+        for s in get(vc, "patch_stride"):
+            stride *= int(s)
+        self.total_stride = stride
+        self.sources = list(get(vc, "image_feature_source",
+                                ["spatial_avg_pool", "temporal_avg_pool"]))
+        self.pad_token_id = getattr(hf_config, "pad_token_id", 1)
+
+    def process_encoder(self, media: Any, enc_ids: list[int]):
+        if isinstance(media, dict):
+            pv = np.asarray(media["pixel_values"], np.float32)
+            pv = pv.reshape((1,) + tuple(pv.shape[-3:]))
+        else:
+            arr = np.asarray(media, np.float32)
+            if arr.max() > 1.5:
+                arr = arr / 255.0
+            arr = (arr - self._MEAN) / self._STD
+            pv = arr.transpose(2, 0, 1)[None]
+        side = pv.shape[-1] // self.total_stride
+        n = sum(1 if s == "spatial_avg_pool" else side * side
+                for s in self.sources)
+        pad = self.pad_token_id
+        if enc_ids[:n].count(pad) != n:
+            enc_ids = [pad] * n + list(enc_ids)
+        return enc_ids, {"images": pv}
+
+
 class GraniteSpeechAdapter:
     """Granite Speech: log-mel features stacked in frame pairs
     ([1, T, 2*n_mels]); tokens per audio = ceil(T/window) *
@@ -2019,6 +2065,7 @@ _ADAPTERS = {
     "Ovis": Ovis2Adapter,
     "MolmoForCausalLM": MolmoAdapter,
     "GraniteSpeechForConditionalGeneration": GraniteSpeechAdapter,
+    "Florence2ForConditionalGeneration": Florence2Adapter,
 }
 
 
