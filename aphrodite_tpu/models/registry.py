@@ -57,6 +57,8 @@ _TEXT_GENERATION: dict[str, tuple[str, str]] = {
     "Florence2ForConditionalGeneration": (
         "aphrodite_tpu.models.florence2",
         "Florence2ForConditionalGeneration"),
+    "Phi4MMForCausalLM": ("aphrodite_tpu.models.phi4mm",
+                          "Phi4MMForCausalLM"),
     "Florence2LanguageForConditionalGeneration": (
         "aphrodite_tpu.models.bart", "BartForConditionalGeneration"),
     "Ovis2ForConditionalGeneration": ("aphrodite_tpu.models.ovis2",

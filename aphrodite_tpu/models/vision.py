@@ -192,9 +192,14 @@ class VisionTower:
         use_ids = pos_ids if pos_ids is not None \
             else getattr(self, "pos_ids", None)
         if use_ids is not None:
-            # Idefics3/navit-style bucketized position selection.
-            pos = pos[jnp.asarray(use_ids)]
-        x = x + pos[None].astype(x.dtype)
+            # Idefics3/navit-style bucketized position selection. A 2D id
+            # array selects per-image rows (Phi-4-MM crops share one call
+            # but carry different masks).
+            ids = jnp.asarray(use_ids)
+            pos = pos[ids]
+            x = x + (pos if ids.ndim == 2 else pos[None]).astype(x.dtype)
+        else:
+            x = x + pos[None].astype(x.dtype)
         if self.cls_token:
             x = layer_norm(x, vp["pre_ln_w"], vp["pre_ln_b"], self.eps)
 

@@ -1624,6 +1624,176 @@ class Qwen2_5OmniAdapter(Qwen2VLAdapter):
         return super().process(media, token_ids)
 
 
+class Phi4MMAdapter:
+    """Phi-4-multimodal: dynamic-HD image crops + conformer audio.
+    Accepts the HF processor's outputs per modality:
+    image: {"input_image_embeds": [N_img, crops, 3, S, S], "image_sizes":
+    [N_img, 2], "image_attention_mask": [N_img, crops, g, g],
+    "num_img_tokens": [N_img]}; audio: {"input_audio_embeds": [1, T, 80],
+    "audio_embed_sizes": [n]}. Raw HWC images run a single-crop global
+    path. Placeholders: 200010 (image) / 200011 (audio), one run per item
+    or pre-expanded; image spans must precede audio spans or vice versa
+    (no interleaving across modalities)."""
+
+    media_keys = ("image", "audio")
+    media_key = "image"
+
+    def __init__(self, hf_config) -> None:
+        self.hf = hf_config
+        self.image_token_id = getattr(hf_config, "image_token_id", 200010)
+        self.audio_token_id = getattr(hf_config, "audio_token_id", 200011)
+        vc = getattr(hf_config, "vision_config", None)
+
+        def get(c, k, d=None):
+            return (c.get(k, d) if isinstance(c, dict)
+                    else getattr(c, k, d)) if c is not None else d
+        self.S = get(vc, "image_size", 448)
+        self.grid = self.S // get(vc, "patch_size", 14)
+        self.cg = self.grid // 2
+        ap = getattr(hf_config, "audio_processor", None) or {}
+        aconf = ap.get("config", ap) if isinstance(ap, dict) else ap
+        tr = get(aconf, "time_reduction", 8)
+        self.n_sample = int(np.round(np.log2(tr)))
+        emb = getattr(hf_config, "embd_layer", None) or {}
+        al = emb.get("audio_embd_layer", {}) if isinstance(emb, dict) else {}
+        self.compression = al.get("compression_rate", tr)
+
+    def _prep_image(self, media):
+        if isinstance(media, dict):
+            pv = np.asarray(media.get("input_image_embeds",
+                                      media.get("pixel_values")), np.float32)
+            if pv.ndim == 4:
+                pv = pv[None]
+            sizes = np.asarray(media["image_sizes"], np.int64).reshape(-1, 2)
+            mask = np.asarray(media["image_attention_mask"], np.float32)
+            mask = mask.reshape(pv.shape[0], pv.shape[1], self.grid,
+                                self.grid)
+            n_tok = media.get("num_img_tokens")
+            if n_tok is None:
+                n_tok = []
+                for i in range(pv.shape[0]):
+                    h, w = int(sizes[i, 0]) // self.S, \
+                        int(sizes[i, 1]) // self.S
+                    m = mask[i, 1:1 + h * w, ::2, ::2]
+                    uh = int(m[:, :, 0].reshape(h, w, self.cg)[:, 0].sum())
+                    n_tok.append(int(mask[i, :1 + h * w, ::2, ::2].sum())
+                                 + uh + 1 + self.cg)
+            return pv, sizes, mask, [int(x) for x in np.reshape(n_tok, -1)]
+        arr = np.asarray(media, np.float32)
+        if arr.max() > 1.5:
+            arr = arr / 255.0
+        arr = (arr - 0.5) / 0.5
+        H, W = arr.shape[:2]
+        ys = (np.arange(self.S) * H / self.S).astype(np.int64)
+        xs = (np.arange(self.S) * W / self.S).astype(np.int64)
+        crop = arr[ys][:, xs].transpose(2, 0, 1)
+        pv = np.stack([crop, crop])[None]  # global + one sub crop
+        sizes = np.asarray([[self.S, self.S]], np.int64)
+        mask = np.ones((1, 2, self.grid, self.grid), np.float32)
+        n_tok = [2 * self.cg * self.cg + 2 * self.cg + 1]
+        return pv, sizes, mask, n_tok
+
+    def _prep_audio(self, media):
+        if not isinstance(media, dict):
+            raise ValueError(
+                "Phi-4-MM audio needs the processor's input_audio_embeds "
+                "(raw-waveform mel extraction is not bundled)")
+        mel = np.asarray(media.get("input_audio_embeds",
+                                   media.get("audio_features")), np.float32)
+        mel = mel.reshape(1, -1, mel.shape[-1])
+        sizes = media.get("audio_embed_sizes")
+        if sizes is not None:
+            count = int(np.asarray(sizes).reshape(-1)[0])
+        else:
+            t = mel.shape[1]
+            c = self.compression
+            count = t // c + (1 if t % c else 0)
+        return mel, count
+
+    @staticmethod
+    def _spans(token_ids, tid, counts):
+        """Spans for one modality: existing runs or single-placeholder
+        expansion. Returns (expanded_ids, spans)."""
+        occurrences = [i for i, t in enumerate(token_ids) if t == tid]
+        if len(occurrences) == sum(counts) and counts:
+            spans, run_start, prev, runs = [], None, -2, []
+            for i in occurrences + [-1]:
+                if i != prev + 1:
+                    if run_start is not None:
+                        runs.append((run_start, prev - run_start + 1))
+                    run_start = i
+                prev = i
+            ci = 0
+            for off, ln in runs:
+                while ln > 0:
+                    spans.append((off, counts[ci]))
+                    off += counts[ci]
+                    ln -= counts[ci]
+                    ci += 1
+            if ci != len(counts) or any(n < 0 for _, n in spans):
+                raise ValueError("placeholder runs do not tile items")
+            return list(token_ids), spans
+        if len(occurrences) != len(counts):
+            raise ValueError(
+                f"prompt has {len(occurrences)} placeholders ({tid}) for "
+                f"{len(counts)} items")
+        expanded, spans, ci = [], [], 0
+        for t in token_ids:
+            if t == tid:
+                spans.append((len(expanded), counts[ci]))
+                expanded.extend([tid] * counts[ci])
+                ci += 1
+            else:
+                expanded.append(t)
+        return expanded, spans
+
+    def process(self, media: Any, token_ids: list[int]):
+        if not isinstance(media, dict) or not (
+                "image" in media or "audio" in media):
+            media = {"image": media}
+        extra: dict = {}
+        pv = None
+        img_counts: list[int] = []
+        aud_count = None
+        if media.get("image") is not None:
+            pv, sizes, mask, img_counts = self._prep_image(media["image"])
+            extra.update(image_sizes=sizes, image_attention_mask=mask)
+        if media.get("audio") is not None:
+            mel, aud_count = self._prep_audio(media["audio"])
+            if pv is None:
+                pv = mel
+            else:
+                extra["audio_features"] = mel
+            extra["audio_embed_sizes"] = np.asarray([aud_count], np.int64)
+        token_ids = list(token_ids)
+        img_spans: list[tuple[int, int]] = []
+        aud_spans: list[tuple[int, int]] = []
+        if img_counts:
+            token_ids, img_spans = self._spans(token_ids,
+                                               self.image_token_id,
+                                               img_counts)
+        if aud_count is not None:
+            token_ids, aud_spans = self._spans(token_ids,
+                                               self.audio_token_id,
+                                               [aud_count])
+        order = []
+        if img_spans:
+            order.append(("image", img_spans[0][0]))
+        if aud_spans:
+            order.append(("audio", aud_spans[0][0]))
+        order.sort(key=lambda x: x[1])
+        if img_spans and aud_spans:
+            lo, hi = order[0][0], order[1][0]
+            last_lo = (img_spans if lo == "image" else aud_spans)[-1]
+            first_hi = (img_spans if hi == "image" else aud_spans)[0]
+            if last_lo[0] > first_hi[0]:
+                raise ValueError("Phi-4-MM: image and audio placeholders "
+                                 "must not interleave")
+        extra["mm_order"] = tuple(kind for kind, _ in order)
+        spans = sorted(img_spans + aud_spans)
+        return pv, token_ids, spans, extra
+
+
 class Florence2Adapter:
     """Florence-2: an encoder-decoder multimodal adapter — DaViT feature
     rows ([1 spatial-avg] + grid tokens by image_feature_source) are
@@ -2066,6 +2236,7 @@ _ADAPTERS = {
     "MolmoForCausalLM": MolmoAdapter,
     "GraniteSpeechForConditionalGeneration": GraniteSpeechAdapter,
     "Florence2ForConditionalGeneration": Florence2Adapter,
+    "Phi4MMForCausalLM": Phi4MMAdapter,
 }
 
 
