@@ -143,7 +143,8 @@ def load_model_params(model, model_config: ModelConfig,
             it = {"bnb4": importers.bnb4_dequant_iterator,
                   "bnb8": importers.bnb8_dequant_iterator,
                   "modelopt_fp8": importers.modelopt_fp8_dequant_iterator,
-                  "nvfp4": importers.nvfp4_dequant_iterator}[pre](it)
+                  "nvfp4": importers.nvfp4_dequant_iterator,
+                  "ct_pack8": importers.ct_pack8_dequant_iterator}[pre](it)
             logger.info("dequantizing %s checkpoint at load", pre)
         params = model.load_weights(it)
         if quant_config is not None and quant_config.method != "dequant":

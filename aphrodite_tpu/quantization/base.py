@@ -101,13 +101,31 @@ class QuantizationConfig:
             # llm-compressor checkpoints (reference:
             # quantization/compressed_tensors/): map the weight/activation
             # scheme onto the native TPU formats. Supported: W8A8 int8
-            # (dynamic per-token acts), W8A16 int8 weight-only, FP8.
+            # (dynamic per-token acts), W8A16 int8 weight-only, FP8, and
+            # pack-quantized wNa16 (4-bit -> native w4a16; 8-bit ->
+            # dequant at load + per-channel w8a16 recompress).
             groups = hf_quant_cfg.get("config_groups") or {}
             spec = next(iter(groups.values()), {})
             w = spec.get("weights") or {}
             acts = spec.get("input_activations")
             bits = w.get("num_bits", 8)
             wtype = (w.get("type") or "int").lower()
+            fmt = (hf_quant_cfg.get("format") or "").lower()
+            if fmt == "pack-quantized" or (wtype == "int" and bits == 4):
+                if wtype != "int" or bits not in (4, 8):
+                    raise ValueError(
+                        f"pack-quantized {bits}-bit {wtype} not supported")
+                if bits == 8:
+                    return QuantizationConfig(method="w8a16",
+                                              preprocess="ct_pack8")
+                strategy = (w.get("strategy") or "group").lower()
+                return QuantizationConfig(
+                    method="gptq", weight_bits=4,
+                    group_size=(w.get("group_size") or -1)
+                    if strategy == "group" else -1,
+                    zero_point=not w.get("symmetric", True),
+                    desc_act=(w.get("actorder") or "") in ("group", "weight"),
+                    from_checkpoint=True, checkpoint_layout="ct_packed")
             if wtype == "float" and bits == 8:
                 return QuantizationConfig(
                     method="fp8", from_checkpoint=True,
@@ -118,9 +136,8 @@ class QuantizationConfig:
                     from_checkpoint=True,
                     checkpoint_layout="compressed_tensors")
             raise ValueError(
-                f"compressed-tensors scheme not supported yet: "
-                f"{bits}-bit {wtype} weights (pack-quantized wNa16 is a "
-                "planned follow-up)")
+                f"compressed-tensors scheme not supported: "
+                f"{bits}-bit {wtype} weights (format {fmt!r})")
         raise ValueError(f"unsupported quantization method {m!r}")
 
     @staticmethod
@@ -206,8 +223,9 @@ def get_quantization_config(model_config) -> Optional[QuantizationConfig]:
                 hf_q.__dict__)
         qcfg = QuantizationConfig.from_hf_config(hf_q)
         if qcfg.preprocess and model_config.quantization and \
-                model_config.quantization not in (qcfg.method, "bitsandbytes",
-                                                  "modelopt", "nvfp4"):
+                model_config.quantization not in (
+                    qcfg.method, "bitsandbytes", "modelopt", "nvfp4",
+                    (hf_q.get("quant_method") or "").lower()):
             # Explicit --quantization on a dequantize-at-load checkpoint:
             # recompress on the fly into the requested runtime format.
             qcfg.method = QuantizationConfig.from_name(
@@ -280,3 +298,47 @@ def unpack_awq(qweight: np.ndarray, qzeros: np.ndarray, scales: np.ndarray,
     return {"format": "w4a16", "qweight": w,
             "scales": scales.astype(np.float32), "zeros": z,
             "group_size": k // G, "out_features": n}
+
+
+def unpack_ct_packed(parts: dict, bits: int = 4) -> dict:
+    """compressed-tensors pack-quantized (llm-compressor wNa16) -> w4a16.
+
+    weight_packed int32 [out, in/8] holds 8 consecutive input-dim values
+    per word, little-endian nibbles (reference
+    quantization/utils/quant_utils.py:151 unpack_quantized_values_into_int32
+    with packed_dim=1). Symmetric checkpoints store biased-unsigned values
+    (uint4b8 — compressed_tensors_wNa16.py:25-27): zero == 2^(bits-1).
+    Asymmetric ones pack weight_zero_point [out/8, G] along the output dim.
+    weight_scale is [out, G] (group) or [out, 1] (channel); optional
+    weight_g_idx [in] carries actorder like GPTQ desc_act.
+    """
+    assert bits == 4, "only 4-bit pack-quantized reaches the w4a16 runtime"
+    pf = 32 // bits
+    qp = np.asarray(parts["weight_packed"])
+    out, kw = qp.shape
+    k = kw * pf
+    shifts = np.arange(pf, dtype=np.uint32) * bits
+    w = ((qp.astype(np.uint32)[:, :, None] >> shifts[None, None, :])
+         & 0xF).astype(np.int8).reshape(out, k)
+    scales = np.asarray(parts["weight_scale"], np.float32)
+    G = scales.shape[1] if scales.ndim == 2 else 1
+    scales = scales.reshape(out, G)
+    zp = parts.get("weight_zero_point")
+    if zp is not None and np.asarray(zp).size:
+        zp = np.asarray(zp)
+        z = ((zp.astype(np.uint32)[:, None, :] >> shifts[None, :, None])
+             & 0xF).astype(np.float32).reshape(out, G)
+    else:
+        z = np.full((out, G), float(1 << (bits - 1)), np.float32)
+    res = {"format": "w4a16",
+           "qweight": np.ascontiguousarray(w.T),
+           "scales": np.ascontiguousarray(scales.T),
+           "zeros": np.ascontiguousarray(z.T),
+           "group_size": k // G, "out_features": out}
+    g_idx = parts.get("weight_g_idx")
+    if g_idx is not None and len(g_idx) and \
+            not np.all(np.diff(np.asarray(g_idx)) >= 0):
+        perm = np.argsort(np.asarray(g_idx), kind="stable")
+        res["qweight"] = res["qweight"][perm]
+        res["input_perm"] = perm.astype(np.int32)
+    return res

@@ -159,6 +159,50 @@ def nvfp4_dequant_iterator(weights: Iterable[Weight]) -> Iterator[Weight]:
             yield name, w
 
 
+# ------------------------------------------------- compressed-tensors pack
+def ct_pack8_dequant_iterator(weights: Iterable[Weight]) -> Iterator[Weight]:
+    """compressed-tensors pack-quantized int8 (llm-compressor w8a16 with
+    format=pack-quantized): '<module>.weight_packed' int32 [out, in/4]
+    (4 consecutive values per word, little-endian bytes; stored biased by
+    128 when symmetric — reference quant_utils.py:151 +
+    compressed_tensors_wNa16.py:25-27) + '.weight_scale' [out, G].
+    Dequantizes to fp32 '<module>.weight'; per-channel w8a16 recompression
+    happens downstream (near-lossless: channel scales are at least as fine
+    as the stored group scales after dequant)."""
+    items = list(weights)
+    by_name = dict(items)
+    for name, w in items:
+        if name.endswith((".weight_scale", ".weight_zero_point",
+                          ".weight_shape", ".weight_g_idx", ".input_scale")):
+            continue
+        if not name.endswith(".weight_packed"):
+            yield name, w
+            continue
+        mod = name[:-len(".weight_packed")]
+        qp = np.asarray(w)
+        out, kw = qp.shape
+        k = kw * 4
+        shifts = np.arange(4, dtype=np.uint32) * 8
+        q = ((qp.astype(np.uint32)[:, :, None] >> shifts[None, None, :])
+             & 0xFF).astype(np.float32).reshape(out, k)
+        scales = np.asarray(by_name[mod + ".weight_scale"],
+                            np.float32).reshape(out, -1)
+        G = scales.shape[1]
+        zp = by_name.get(mod + ".weight_zero_point")
+        if zp is not None and np.asarray(zp).size:
+            zp = np.asarray(zp)
+            z = ((zp.astype(np.uint32)[:, None, :] >> shifts[None, :, None])
+                 & 0xFF).astype(np.float32).reshape(out, G)
+        else:
+            z = np.full((out, G), 128.0, np.float32)
+        g_idx = by_name.get(mod + ".weight_g_idx")
+        if g_idx is not None and len(g_idx):
+            gi = np.asarray(g_idx, np.int64)  # column -> group
+        else:
+            gi = np.arange(k) // (k // G)
+        yield mod + ".weight", (q - z[:, gi]) * scales[:, gi]
+
+
 # ---------------------------------------------------------------------- HQQ
 def unpack_hqq(parts: dict, out_features: int) -> dict:
     """HQQ tensors (W_q packed uint8 half-rows; zero/scale stored

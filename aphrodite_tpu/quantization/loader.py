@@ -119,6 +119,7 @@ _PROJ_MAP = {
 _QPARTS = ("qweight", "qzeros", "scales", "g_idx", "bias",
            # compressed-tensors naming (llm-compressor checkpoints)
            "weight", "weight_scale", "weight_zero_point", "input_scale",
+           "weight_packed", "weight_shape", "weight_g_idx",
            # HQQ naming
            "W_q", "zero", "scale")
 
@@ -198,7 +199,10 @@ def load_llama_quantized(model, weights: Iterable[tuple[str, np.ndarray]],
             if parts is None:
                 raise ValueError(f"missing quantized tensors for layer {li} "
                                  f"{key}")
-            if qcfg.checkpoint_layout == "compressed_tensors":
+            if qcfg.checkpoint_layout == "ct_packed":
+                from aphrodite_tpu.quantization.base import unpack_ct_packed
+                unpacked = unpack_ct_packed(parts, bits=qcfg.weight_bits)
+            elif qcfg.checkpoint_layout == "compressed_tensors":
                 unpacked = _unpack_compressed(parts, qcfg.method, target)
             elif qcfg.checkpoint_layout == "hqq":
                 from aphrodite_tpu.quantization.importers import unpack_hqq
