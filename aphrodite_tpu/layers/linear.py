@@ -36,6 +36,10 @@ def apply_linear(x: jax.Array, w: Weight,
             from aphrodite_tpu.ops.quant_gemm import w4a16_matmul
             out = w4a16_matmul(x, w["qweight"], w["scales"], w.get("zeros"),
                                input_perm=w.get("input_perm"))
+        elif fmt is not None and fmt.startswith("fpx_e"):
+            from aphrodite_tpu.ops.quant_gemm import fpx_matmul
+            ebits, mbits = (int(s) for s in fmt[5:].split("m"))
+            out = fpx_matmul(x, w["qweight"], w["scales"], ebits, mbits)
         else:
             raise ValueError(f"unknown quant format {fmt!r}")
     else:

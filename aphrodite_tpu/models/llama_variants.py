@@ -150,8 +150,8 @@ class FlexibleDecoder:
         raise NotImplementedError
 
     def set_quant_config(self, qcfg) -> None:
-        self.quant_fmt = {"gptq": "w4a16", "awq": "w4a16", "int8": "int8",
-                          "w8a16": "w8a16", "fp8": "fp8"}[qcfg.method]
+        from aphrodite_tpu.quantization.base import runtime_format
+        self.quant_fmt = runtime_format(qcfg)
 
     # ------------------------------------------------------------- geometry
     def _weight_keys(self) -> list[str]:

@@ -59,6 +59,31 @@ def fp8_matmul(x: jax.Array, qweight: jax.Array, weight_scale: jax.Array,
     return (acc * weight_scale.astype(jnp.float32)[None, :]).astype(x.dtype)
 
 
+def fpx_matmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
+               ebits: int, mbits: int) -> jax.Array:
+    """QuantLLM FPx (fp4/fp5/fp6/fp7) weight-only matmul: uint8
+    sign|exp|mantissa codes decode elementwise (an XLA producer fused into
+    the dot operand stream — the TPU analog of the reference's
+    kernels/quantization/fp6/ dequant-GEMM), per-output-channel scales
+    applied on the accumulator. exp==0 rows are denormals; the full
+    exponent range is finite (no inf/nan), reference fp6_utils.py:185-200."""
+    bias = (1 << (ebits - 1)) - 1
+    emask = (1 << ebits) - 1
+    mmask = (1 << mbits) - 1
+    c = codes.astype(jnp.int32)
+    e = (c >> mbits) & emask
+    man = c & mmask
+    sign = jnp.where((c >> (ebits + mbits)) & 1, -1.0, 1.0)
+    mag = jnp.where(
+        e == 0,
+        man.astype(jnp.float32) * (2.0 ** (1 - bias - mbits)),
+        ((1 << mbits) + man).astype(jnp.float32)
+        * jnp.exp2((e - (bias + mbits)).astype(jnp.float32)))
+    w = (sign * mag).astype(x.dtype)
+    acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return (acc * scales.astype(jnp.float32)[None, :]).astype(x.dtype)
+
+
 def w4a16_matmul(x: jax.Array, qweight: jax.Array, scales: jax.Array,
                  zeros: Optional[jax.Array],
                  group_size: Optional[int] = None,

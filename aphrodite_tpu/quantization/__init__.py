@@ -21,7 +21,9 @@ from typing import Optional
 from aphrodite_tpu.quantization.base import (QuantizationConfig,
                                              get_quantization_config)
 
-QUANTIZATION_METHODS = ["gptq", "awq", "int8", "tpu_int8", "w8a16", "fp8"]
+QUANTIZATION_METHODS = ["gptq", "awq", "int8", "tpu_int8", "w8a16", "fp8",
+                        "fp4", "fp5", "fp6", "fp7", "quant_llm",
+                        "deepspeedfp"]
 
 __all__ = ["QuantizationConfig", "get_quantization_config",
            "QUANTIZATION_METHODS"]

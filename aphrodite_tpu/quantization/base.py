@@ -27,8 +27,9 @@ QUANTIZABLE = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 @dataclasses.dataclass
 class QuantizationConfig:
-    method: str                  # gptq | awq | int8 | w8a16 | fp8
+    method: str                  # gptq | awq | int8 | w8a16 | fp8 | fpx
     weight_bits: int = 8
+    exp_bits: int = 2            # fpx only: eXmY exponent bits
     group_size: int = -1         # -1 = per-channel (k-wide group)
     desc_act: bool = False       # GPTQ activation reordering (g_idx)
     zero_point: bool = True      # asymmetric (awq) vs symmetric
@@ -155,6 +156,15 @@ class QuantizationConfig:
         if name == "awq":
             return QuantizationConfig(method="awq", weight_bits=4,
                                       group_size=128)
+        if name in ("fp4", "fp5", "fp6", "fp7", "quant_llm", "deepspeedfp"):
+            # QuantLLM FPx / DeepSpeedFP: eXmY floating-point weight grids
+            # with per-output-channel absmax scales (reference
+            # quantization/fp6.py:29-36 — exp_bits defaults to 2, so
+            # fp6 == e2m3; deepspeedfp's default is 6-bit too,
+            # quantization/deepspeedfp.py).
+            bits = 6 if name in ("quant_llm", "deepspeedfp") else int(name[2])
+            return QuantizationConfig(method="fpx", weight_bits=bits,
+                                      exp_bits=2)
         raise ValueError(f"unknown quantization {name!r}")
 
     # --------------------------------------------------- quantize-on-the-fly
@@ -201,6 +211,54 @@ class QuantizationConfig:
                     "zeros": zero.astype(np.float32),
                     "group_size": g, "out_features": n}
         raise ValueError(self.method)
+
+
+def runtime_format(qcfg: "QuantizationConfig") -> str:
+    """The static format tag the model passes to apply_linear."""
+    if qcfg.method == "fpx":
+        m = qcfg.weight_bits - qcfg.exp_bits - 1
+        return f"fpx_e{qcfg.exp_bits}m{m}"
+    return {"gptq": "w4a16", "awq": "w4a16", "int8": "int8",
+            "w8a16": "w8a16", "fp8": "fp8"}[qcfg.method]
+
+
+def fpx_grid(ebits: int, mbits: int) -> np.ndarray:
+    """All non-negative eXmY magnitudes (IEEE-style: denormals at exp==0,
+    no inf/nan — the whole exponent range is normal numbers; reference
+    fp6_utils.py:185-200)."""
+    bias = (1 << (ebits - 1)) - 1
+    vals = []
+    for e in range(1 << ebits):
+        for man in range(1 << mbits):
+            if e == 0:
+                vals.append(man * 2.0 ** (1 - bias - mbits))
+            else:
+                vals.append(((1 << mbits) + man) * 2.0 ** (e - bias - mbits))
+    return np.asarray(vals, np.float64)
+
+
+def fpx_encode(w: np.ndarray, ebits: int, mbits: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Quantize [in, out] fp weights to eXmY codes + per-output-channel
+    scales (scale = absmax / max_normal, reference fp6_utils.py:493-504
+    to_scaled_tc_fpx). Codes are uint8 sign|exp|mantissa; rounding is
+    nearest, ties to even mantissa (RNE, matching the magic-adder path)."""
+    w = np.asarray(w, np.float64)
+    grid = fpx_grid(ebits, mbits)
+    max_normal = grid[-1]
+    scale = np.maximum(np.abs(w).max(axis=0) / max_normal, 1e-12)
+    x = w / scale[None, :]
+    mag = np.abs(x)
+    mids = (grid[:-1] + grid[1:]) / 2.0
+    idx = np.searchsorted(mids, mag, side="left").astype(np.int64)
+    # ties-to-even: an exact midpoint with side="left" landed on the lower
+    # code; if that lower code is odd, step up to the even one above.
+    tie = (idx < len(mids)) & \
+        (mag == np.take(mids, idx, mode="clip")) & ((idx & 1) == 1)
+    idx = np.where(tie, idx + 1, idx)
+    sign = (x < 0).astype(np.uint8)
+    codes = (sign << (ebits + mbits)) | idx.astype(np.uint8)
+    return codes, scale.astype(np.float32)
 
 
 def get_quantization_config(model_config) -> Optional[QuantizationConfig]:

@@ -88,6 +88,16 @@ def quantize_stacked_params(params: dict, qcfg: QuantizationConfig,
                 sub[key] = {
                     "qweight": np.asarray(q).reshape(*lead, K, N),
                     "weight_scale": np.asarray(scale).reshape(*lead, N)}
+            elif qcfg.method == "fpx":
+                from aphrodite_tpu.quantization.base import fpx_encode
+                mbits = qcfg.weight_bits - qcfg.exp_bits - 1
+                codes = np.empty(w.shape, np.uint8)
+                scales = np.empty(w.shape[:1] + (N,), np.float32)
+                for i in range(w.shape[0]):
+                    codes[i], scales[i] = fpx_encode(
+                        np.asarray(w[i], np.float32), qcfg.exp_bits, mbits)
+                sub[key] = {"qweight": codes.reshape(*lead, K, N),
+                            "scales": scales.reshape(*lead, N)}
             elif qcfg.method in ("gptq", "awq"):
                 if len(lead) > 1:
                     raise NotImplementedError(

@@ -253,3 +253,78 @@ def test_gptq_checkpoint_loading(tmp_path):
                        SamplingParams(temperature=0.0, max_tokens=6,
                                       ignore_eos=True))[0]
     assert got.outputs[0].token_ids == exp
+
+
+# --------------------------------------------------------------------------- #
+# QuantLLM FPx (fp4/fp5/fp6/fp7 eXmY grids)
+# --------------------------------------------------------------------------- #
+def _fpx_decode_np(codes, ebits, mbits):
+    """Independent numpy decode oracle for uint8 sign|exp|mantissa codes."""
+    bias = (1 << (ebits - 1)) - 1
+    c = codes.astype(np.int64)
+    e = (c >> mbits) & ((1 << ebits) - 1)
+    man = c & ((1 << mbits) - 1)
+    sign = np.where((c >> (ebits + mbits)) & 1, -1.0, 1.0)
+    mag = np.where(e == 0, man * 2.0 ** (1 - bias - mbits),
+                   ((1 << mbits) + man) * np.exp2(e - bias - mbits + 0.0))
+    return sign * mag
+
+
+@pytest.mark.parametrize("ebits,mbits", [(2, 3), (2, 2), (2, 1), (3, 2),
+                                         (2, 4)])
+def test_fpx_encode_grid(ebits, mbits):
+    from aphrodite_tpu.quantization.base import fpx_encode, fpx_grid
+    grid = fpx_grid(ebits, mbits)
+    # grid values must be monotone and max_normal = (2 - 2^-m) * 2^(emax-bias)
+    assert np.all(np.diff(grid) > 0)
+    bias = (1 << (ebits - 1)) - 1
+    emax = (1 << ebits) - 1
+    assert grid[-1] == (2 - 2.0 ** -mbits) * 2.0 ** (emax - bias)
+    # encode of exactly-representable scaled values is exact
+    rs = np.random.RandomState(0)
+    n = 16
+    scale_true = rs.rand(n).astype(np.float32) + 0.5
+    pick = rs.randint(0, len(grid), (64, n))
+    signs = rs.choice([-1.0, 1.0], (64, n))
+    # force one absmax entry per column so the recovered scale matches
+    pick[0] = len(grid) - 1
+    signs[0] = 1.0
+    w = (signs * grid[pick]) * scale_true[None, :]
+    codes, scale = fpx_encode(w, ebits, mbits)
+    np.testing.assert_allclose(scale, scale_true, rtol=1e-6)
+    dec = _fpx_decode_np(codes, ebits, mbits) * scale[None, :]
+    np.testing.assert_allclose(dec, w, rtol=1e-6)
+    # random weights: error bounded by half a grid step
+    w = rs.randn(128, n).astype(np.float32)
+    codes, scale = fpx_encode(w, ebits, mbits)
+    dec = _fpx_decode_np(codes, ebits, mbits) * scale[None, :]
+    step = np.max(np.diff(grid))  # largest grid gap, in scaled units
+    assert np.max(np.abs(dec - w) / scale[None, :]) <= step / 2 + 1e-9
+
+
+def test_fpx_matmul_oracle():
+    from aphrodite_tpu.ops.quant_gemm import fpx_matmul
+    from aphrodite_tpu.quantization.base import fpx_encode
+    x = RS.randn(8, 64).astype(np.float32)
+    w = RS.randn(64, 32).astype(np.float32)
+    codes, scale = fpx_encode(w, 2, 3)  # fp6 e2m3
+    import jax.numpy as jnp
+    got = np.asarray(fpx_matmul(jnp.asarray(x), jnp.asarray(codes),
+                                jnp.asarray(scale), 2, 3))
+    wd = _fpx_decode_np(codes, 2, 3) * scale[None, :]
+    np.testing.assert_allclose(got, x @ wd, rtol=1e-4, atol=1e-4)
+    assert np.abs(wd - w).max() < 0.25  # fp6 grid error bound
+
+
+@pytest.mark.parametrize("method", ["fp6", "fp4"])
+def test_engine_runs_fpx(tiny_fp_ckpt, method):
+    d, _ = tiny_fp_ckpt
+    from aphrodite_tpu.entrypoints.llm import LLM
+    from aphrodite_tpu.sampling_params import SamplingParams
+    llm = LLM(model=str(d), dtype="float32", block_size=16,
+              num_kv_blocks=64, max_num_batched_tokens=64, max_num_seqs=4,
+              max_model_len=256, tokenizer="unused", quantization=method)
+    out = llm.generate([[1, 5, 9, 20, 3]],
+                       SamplingParams(temperature=0.0, max_tokens=5,
+                                      ignore_eos=True))[0]
+    assert len(out.outputs[0].token_ids) == 5
