@@ -45,11 +45,28 @@ def main(argv=None) -> None:
     batch_p.add_argument("-o", "--output-file", required=True)
     batch_p.add_argument("--served-model-name", default=None)
 
+    sub.add_parser("collect-env",
+                   help="print environment info for bug reports "
+                        "(reference: endpoints/cli/collect_env.py)")
+
+    chat_p = sub.add_parser("openai", help="talk to a running server "
+                            "(reference: endpoints/cli/openai.py)")
+    chat_p.add_argument("mode", choices=["chat", "complete"])
+    chat_p.add_argument("--url", default="http://localhost:2242/v1")
+    chat_p.add_argument("--model-name", default=None)
+    chat_p.add_argument("--system-prompt", default=None)
+    chat_p.add_argument("-q", "--quick", default=None,
+                        help="send one message and print the reply")
+
     args = parser.parse_args(argv)
     if args.cmd == "run":
         serve(args)
     elif args.cmd == "bench":
         bench(args)
+    elif args.cmd == "collect-env":
+        collect_env()
+    elif args.cmd == "openai":
+        openai_client(args)
     elif args.cmd == "run-batch":
         from aphrodite_tpu.engine.args import EngineArgs as _EA
         from aphrodite_tpu.entrypoints.run_batch import run_batch
@@ -57,6 +74,82 @@ def main(argv=None) -> None:
         run_batch(engine_args.create_engine_config(),
                   args.served_model_name or engine_args.model,
                   args.input_file, args.output_file)
+
+
+def collect_env() -> None:
+    """Environment report for bug filing (reference collect_env.py,
+    trimmed to what matters for a JAX/TPU deployment)."""
+    import importlib
+    import platform
+
+    print(f"OS               : {platform.platform()}")
+    print(f"Python           : {sys.version.replace(chr(10), ' ')}")
+    for mod in ("jax", "jaxlib", "numpy", "transformers", "safetensors",
+                "aiohttp", "zmq", "flax", "optax"):
+        try:
+            m = importlib.import_module(mod)
+            print(f"{mod:<17}: {getattr(m, '__version__', '?')}")
+        except Exception as e:  # noqa: BLE001
+            print(f"{mod:<17}: not importable ({type(e).__name__})")
+    try:
+        import jax
+        print(f"jax backend      : {jax.default_backend()}")
+        print(f"devices          : {jax.devices()}")
+    except Exception as e:  # noqa: BLE001
+        print(f"devices          : unavailable ({e})")
+    import os
+    flags = {k: v for k, v in os.environ.items()
+             if k.startswith(("APHRODITE_", "JAX_", "XLA_", "TPU_",
+                              "LIBTPU_"))}
+    for k in sorted(flags):
+        print(f"env {k}={flags[k]}")
+
+
+def openai_client(args) -> None:
+    """Minimal interactive client against a running server."""
+    import json as _json
+    import urllib.request
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            args.url.rstrip("/") + path,
+            data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            return _json.loads(r.read())
+
+    model = args.model_name
+    if model is None:
+        with urllib.request.urlopen(args.url.rstrip("/") + "/models") as r:
+            model = _json.loads(r.read())["data"][0]["id"]
+
+    history = []
+    if args.system_prompt:
+        history.append({"role": "system", "content": args.system_prompt})
+
+    def ask(text):
+        if args.mode == "chat":
+            history.append({"role": "user", "content": text})
+            out = post("/chat/completions",
+                       {"model": model, "messages": history})
+            reply = out["choices"][0]["message"]["content"]
+            history.append({"role": "assistant", "content": reply})
+        else:
+            out = post("/completions", {"model": model, "prompt": text})
+            reply = out["choices"][0]["text"]
+        return reply
+
+    if args.quick is not None:
+        print(ask(args.quick))
+        return
+    try:
+        while True:
+            text = input("> ")
+            if not text.strip():
+                continue
+            print(ask(text))
+    except (EOFError, KeyboardInterrupt):
+        pass
 
 
 def bench(args) -> None:
