@@ -441,8 +441,12 @@ class TPUConfig:
     # Run K consecutive decode steps in ONE device dispatch (in-graph token
     # feedback + sampling). Amortizes host<->device round trips — the TPU
     # analog of the reference's multi-step scheduling
-    # (aphrodite/worker/multi_step_model_runner.py). 1 = off.
-    multi_step_decode: int = 8
+    # (aphrodite/worker/multi_step_model_runner.py). 1 = off. The runner
+    # adapts K downward per dispatch (power-of-2) so no request overshoots
+    # its max_tokens/max_model_len budget; through a tunneled chip each
+    # dispatch carries ~25 ms of fixed RPC cost, so bigger K wins whenever
+    # requests have decode budget left.
+    multi_step_decode: int = 32
 
 
 @dataclass

@@ -221,10 +221,17 @@ class ModelRunner:
     # ------------------------------------------------- multi-step decode scan
     def _multi_step(self, params, kv_cache, cur_tokens, seq_lens0,
                     block_tables, smd, flags, num_steps, max_logprobs,
-                    lora=None, lora_row_slots=None, mrope_deltas=None):
+                    step_budget=None, lora=None, lora_row_slots=None,
+                    mrope_deltas=None):
         """K decode steps in one dispatch: sampled token feeds the next step
         in-graph (scan carry); KV slots come from the block tables; RNG/
-        min-tokens counters advance via step_offset."""
+        min-tokens counters advance via step_offset.
+
+        ``step_budget`` [R] caps each request's live steps: rows past their
+        budget freeze (no KV write, no seq_len advance, token held) so K can
+        be sized for the LONGEST remaining budget in the batch — a ragged
+        tail costs idle lanes instead of extra dispatches (each dispatch
+        carries ~25 ms of tunnel RPC)."""
         R = cur_tokens.shape[0]
         ps = self.block_size
         arange_r = jnp.arange(R, dtype=jnp.int32)
@@ -232,6 +239,8 @@ class ModelRunner:
         def sub(carry, i):
             kv, toks, seqlens = carry
             live = seqlens > 0
+            if step_budget is not None:
+                live &= i < step_budget
             pos = jnp.maximum(seqlens - 1, 0)
             pages = jnp.take_along_axis(
                 block_tables, (pos // ps)[:, None], axis=1)[:, 0]
@@ -254,7 +263,7 @@ class ModelRunner:
             logits = self.model.compute_logits(params, hidden)
             out = sample_tokens(logits, smd, flags, max_logprobs,
                                 step_offset=i)
-            new_tok = out["tokens"]
+            new_tok = jnp.where(live, out["tokens"], toks)
             ys = (new_tok, out["logprob"],
                   out.get("topk_values"), out.get("topk_indices"))
             return (kv, new_tok, seqlens + live.astype(jnp.int32)), ys
@@ -478,10 +487,11 @@ class ModelRunner:
             base_seed=self._base_seed)
         max_lp = next_power_of_2(max_logprobs) if max_logprobs else 0
 
-        num_steps = self._multi_step_eligibility(so, order, flags)
+        num_steps, step_budgets = self._multi_step_eligibility(
+            so, order, flags)
         if num_steps > 1:
             return self._execute_multi_step(so, order, R, R_pad, smd, flags,
-                                            max_lp, num_steps)
+                                            max_lp, num_steps, step_budgets)
 
         # Each request's q segment is aligned so the Pallas kernel's dynamic
         # q DMA offsets satisfy Mosaic's sublane alignment.
@@ -882,35 +892,56 @@ class ModelRunner:
     # --------------------------------------------------- multi-step machinery
     def _multi_step_eligibility(self, so: SchedulerOutput, order, flags
                                 ) -> int:
-        """K>1 when the whole batch is plain single-token decode with no
-        token-history samplers (penalties/DRY/ngram need fresh context) and
-        room for K tokens within max_model_len and allocated lookahead."""
-        K = self.config.tpu_config.multi_step_decode
-        if K <= 1 or not self.use_graph_multi_step or self.is_ssm \
+        """(K, budgets): K>1 when the whole batch is plain single-token
+        decode with no token-history samplers (penalties/DRY/ngram need
+        fresh context). K is sized for the LARGEST per-request remaining
+        decode budget (max_tokens / max_model_len), rounded up to a power
+        of 2 within the configured cap; requests with less budget idle in
+        the scan past their own limit (step_budget masking) — idle lanes
+        are far cheaper than extra ~25 ms dispatches. One jit
+        specialization per distinct K actually used."""
+        K_cap = self.config.tpu_config.multi_step_decode
+        if K_cap <= 1 or not self.use_graph_multi_step or self.is_ssm \
                 or getattr(self.model, "is_encoder_decoder", False):
-            return 1
+            return 1, None
         if self.draft is not None:
             # The draft must ingest every token to stay in lockstep; the
             # multi-step scan samples K tokens without a draft ingest.
-            return 1
+            return 1, None
         if so.scheduled_spec_decode_tokens or so.grammar_bitmask is not None:
-            return 1
+            return 1, None
         if flags.do_penalties or flags.do_dry or flags.do_ngram:
-            return 1
+            return 1, None
         max_len = self.config.scheduler_config.max_model_len
+        budgets = []
         for rid in order:
             st = self.requests[rid]
             if so.num_scheduled_tokens[rid] != 1:
-                return 1
+                return 1, None
             if st.num_computed + 1 != st.num_tokens:
-                return 1
-            if st.num_tokens + K > max_len:
-                return 1
-        return K
+                return 1, None
+            b = max_len - st.num_tokens
+            mt = st.sampling_params.max_tokens
+            if mt is not None:
+                # This step's token counts toward max_tokens too.
+                b = min(b, mt - st.output_len)
+            if not st.sampling_params.ignore_eos:
+                # EOS can cut generation anywhere: bound the whole-batch
+                # speculation depth so post-EOS waste stays moderate.
+                K_cap = min(K_cap, 16)
+            budgets.append(max(b, 1))
+        K = min(K_cap, max(budgets))
+        if K < 2:
+            return 1, None
+        # Power-of-2 floor (one jit program per K): rounding UP would burn
+        # whole-batch idle steps (~10 ms each) beyond every request's
+        # budget, which quickly exceeds the ~25 ms cost of one more
+        # dispatch for the remainder.
+        return 1 << (K.bit_length() - 1), budgets
 
     def _execute_multi_step(self, so: SchedulerOutput, order, R, R_pad,
-                            smd, flags, max_lp, num_steps
-                            ) -> ModelRunnerOutput:
+                            smd, flags, max_lp, num_steps,
+                            step_budgets=None) -> ModelRunnerOutput:
         cur_tokens = np.zeros((R_pad,), np.int32)
         seq_lens0 = np.zeros((R_pad,), np.int32)
         block_tables = np.zeros((R_pad, self.max_pages_per_req), np.int32)
@@ -919,6 +950,11 @@ class ModelRunner:
             cur_tokens[r] = st.token_ids[-1]
             seq_lens0[r] = st.num_tokens
             block_tables[r, :len(st.block_ids)] = st.block_ids
+        budgets_arr = None
+        if step_budgets is not None:
+            budgets = np.full((R_pad,), num_steps, np.int32)
+            budgets[:R] = np.minimum(step_budgets, num_steps)
+            budgets_arr = jnp.asarray(budgets)
 
         lora_arg = lora_rows = None
         if self.lora_manager is not None and self.lora_manager.slots:
@@ -939,6 +975,7 @@ class ModelRunner:
             self.params, self.kv_cache, jnp.asarray(cur_tokens),
             jnp.asarray(seq_lens0), jnp.asarray(block_tables), smd,
             flags=flags, num_steps=num_steps, max_logprobs=max_lp,
+            step_budget=budgets_arr,
             lora=lora_arg, lora_row_slots=lora_rows,
             mrope_deltas=mrope_deltas)
 
@@ -953,7 +990,9 @@ class ModelRunner:
         any_lp = False
         for r, rid in enumerate(order):
             st = self.requests[rid]
-            toks = [int(t) for t in tokens_k[:, r]]
+            n_r = num_steps if step_budgets is None \
+                else min(step_budgets[r], num_steps)
+            toks = [int(t) for t in tokens_k[:n_r, r]]
             sampled.append(toks)
             st.token_ids.extend(toks)
             p = st.sampling_params

@@ -222,6 +222,19 @@ class Worker:
             in_use = stats.get("bytes_in_use", 0)
         except Exception:
             limit = 0
+        if not limit and self.device_kind == "tpu":
+            # Some PJRT plugins (e.g. tunneled devices) report no memory
+            # stats. Estimate: HBM by device generation, in-use = loaded
+            # parameter bytes (undersizing the pool causes preemption storms
+            # on full batches — see bench notes).
+            kind = getattr(jax.devices()[0], "device_kind", "").lower()
+            hbm_by_kind = {"v5 lite": 16, "v5e": 16, "v6 lite": 32,
+                           "v6e": 32, "v4": 32, "v5p": 95, "v5": 95}
+            gib = next((g for k, g in hbm_by_kind.items() if k in kind), 16)
+            limit = gib * 2**30
+            in_use = sum(
+                np.prod(leaf.shape) * jnp.dtype(leaf.dtype).itemsize
+                for leaf in jax.tree.leaves(self.params))
         if not limit:
             # CPU or unknown platform: small default for tests.
             return 512

@@ -41,7 +41,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--quick", action="store_true",
                     help="tiny model + workload (CI sanity)")
-    ap.add_argument("--max-num-batched-tokens", type=int, default=2048)
+    # Through a tunneled chip every dispatch costs ~25 ms of RPC overhead:
+    # fewer, fatter prefill steps win (device time is FLOPs-bound either way).
+    ap.add_argument("--max-num-batched-tokens", type=int, default=8192)
     args = ap.parse_args()
 
     from aphrodite_tpu.entrypoints.llm import LLM
