@@ -153,6 +153,62 @@ def ref_ragged_paged_attention(
     return out.astype(q.dtype)
 
 
+def window_attention(
+    q: jax.Array,            # [T=R, nq, hd]
+    cache: jax.Array,        # [L, P, 2, kvh, page, hd_c] (frozen)
+    tail_k: jax.Array,       # [L, R, kvh, Kw, hd_c]
+    tail_v: jax.Array,
+    layer_idx: jax.Array,
+    md: AttentionMetadata,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    logits_soft_cap: Optional[float] = None,
+    chunk_attn: Optional[int] = None,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Multi-step window decode: frozen paged cache + in-window tail
+    (ops/window_decode_attention.py). Dispatches Pallas kernel (TPU) or the
+    oracle (CPU/tests)."""
+    hd = q.shape[-1]
+    hd_c = cache.shape[-1]
+    if hd_c != hd:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, hd_c - hd)))
+    if use_pallas:
+        from aphrodite_tpu.ops.window_decode_attention import (
+            window_decode_attention)
+        out = window_decode_attention(
+            q, cache, tail_k, tail_v, layer_idx, md.window_step,
+            md.paged_lens, md.block_tables, scale,
+            sliding_window=sliding_window, chunk_attn=chunk_attn,
+            logits_soft_cap=logits_soft_cap)
+    else:
+        from aphrodite_tpu.ops.window_decode_attention import (
+            ref_window_decode_attention)
+        cache_l = jax.lax.dynamic_index_in_dim(cache, layer_idx, 0,
+                                               keepdims=False)
+        tk_l = jax.lax.dynamic_index_in_dim(tail_k, layer_idx, 0,
+                                            keepdims=False)
+        tv_l = jax.lax.dynamic_index_in_dim(tail_v, layer_idx, 0,
+                                            keepdims=False)
+        out = ref_window_decode_attention(
+            q, cache_l, tk_l, tv_l, md.window_step, md.paged_lens,
+            md.block_tables, scale, sliding_window=sliding_window,
+            chunk_attn=chunk_attn, logits_soft_cap=logits_soft_cap)
+    return out[..., :hd]
+
+
+def write_tail(tail: jax.Array, rows: jax.Array, layer_idx, step
+               ) -> jax.Array:
+    """Write this step's K (or V) rows into the per-layer tail buffer.
+    tail: [L, R, kvh, Kw, hd_c]; rows: [R, kvh, hd]."""
+    hd_c = tail.shape[-1]
+    if rows.shape[-1] != hd_c:
+        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, hd_c - rows.shape[-1])))
+    upd = rows[None, :, :, None, :].astype(tail.dtype)
+    return jax.lax.dynamic_update_slice(
+        tail, upd, (layer_idx, 0, 0, step, 0))
+
+
 def paged_attention(
     q: jax.Array,
     kv_cache: jax.Array,

@@ -56,6 +56,12 @@ class AttentionMetadata:
     # Pure-decode step (one token per request, token i belongs to request i):
     # routes to the decode-specialized kernel; metadata may be built in-graph.
     decode_mode: bool = field(default=False, metadata=dict(static=True))
+    # ---- multi-step window decode (ops/window_decode_attention.py). ----
+    # [] int32 step index within the window; paged_lens [R] int32 = tokens
+    # frozen in the paged cache at window entry. Set only by the runner's
+    # window multi-step path.
+    window_step: Optional[jax.Array] = None
+    paged_lens: Optional[jax.Array] = None
     # ---- bidirectional multimodal spans (Gemma-3 MM). ----
     # [R, M, 2] int32 (start, end) absolute prompt positions of image-token
     # runs; tokens whose positions both fall in ANY span of their request

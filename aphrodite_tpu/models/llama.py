@@ -217,6 +217,17 @@ class LlamaForCausalLM:
         return specs
 
     # ----------------------------------------------------------------- forward
+    @property
+    def supports_window_decode(self) -> bool:
+        """True when the multi-step runner may use the frozen-cache + tail
+        window path (ops/window_decode_attention.py). Only the base scan
+        machinery qualifies; subclasses with their own apply/_scan_stack
+        (MoE segmented scans, MLA, pipelines) keep the v1 decode path."""
+        cls = type(self)
+        return (cls.apply is LlamaForCausalLM.apply
+                and cls._scan_stack is LlamaForCausalLM._scan_stack
+                and self.pp_size == 1)
+
     def _cos_sin(self, md):
         """Rotary cos/sin for this step's tokens (hook: Qwen2-VL overrides
         with the 3-channel mrope computation)."""
@@ -240,21 +251,8 @@ class LlamaForCausalLM:
         scan_layers = (params["layers"] if lora is None
                        else {**params["layers"], **lora})
 
-        def layer(x, xs, slots=None):
-            lp, kvc = xs
-            if slots is None:
-                slots = md.slot_mapping
-
-            def lin(h, key, bias=None):
-                y = apply_linear(h, lp[key], bias, fmt=self.quant_fmt)
-                A = lp.get("lora_A_" + key)
-                if A is not None:
-                    from aphrodite_tpu.lora.models import lora_apply
-                    y = y + lora_apply(h, A, lp["lora_B_" + key],
-                                       md.lora_slots)
-                return y
-
-            # -- attention block
+        def qkv_proj(x, lp, lin):
+            """Shared attention-block projections: norms, QKV, rope."""
             h = rms_norm(x, lp["input_norm"], self.rms_eps)
             q = lin(h, "wq", lp.get("bq"))
             k = lin(h, "wk", lp.get("bk"))
@@ -279,15 +277,62 @@ class LlamaForCausalLM:
                 k = phln(k, lp["k_ln_w"], lp["k_ln_b"])
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-            v = v.reshape(T, nkv, hd)
+            return q, k, v.reshape(T, nkv, hd)
+
+        def make_lin(lp):
+            def lin(h, key, bias=None):
+                y = apply_linear(h, lp[key], bias, fmt=self.quant_fmt)
+                A = lp.get("lora_A_" + key)
+                if A is not None:
+                    from aphrodite_tpu.lora.models import lora_apply
+                    y = y + lora_apply(h, A, lp["lora_B_" + key],
+                                       md.lora_slots)
+                return y
+            return lin
+
+        def finish_layer(x, o, lp, lin):
+            T = o.shape[0]
+            x = self._sp(x + lin(o.reshape(T, nq * hd), "wo"))
+            h = rms_norm(x, lp["post_norm"], self.rms_eps)
+            return self._sp(x + self._mlp(h, lp, lin=lin))
+
+        if isinstance(kv_cache, tuple):
+            # Multi-step window decode (worker/runner.py): the paged cache
+            # is frozen; per-layer K/V tails ride the scan carry and are
+            # updated in place (ops/window_decode_attention.py rationale).
+            from aphrodite_tpu.attention.backend import (window_attention,
+                                                         write_tail)
+            cache, tail_k, tail_v = kv_cache
+
+            def layer_w(carry, xs):
+                x, tk, tv = carry
+                lp, l = xs
+                lin = make_lin(lp)
+                q, k, v = qkv_proj(x, lp, lin)
+                tk = write_tail(tk, k, l, md.window_step)
+                tv = write_tail(tv, v, l, md.window_step)
+                o = window_attention(q, cache, tk, tv, l, md, self.scale,
+                                     sliding_window=self.sliding_window,
+                                     use_pallas=use_pallas)
+                return (x := finish_layer(x, o, lp, lin), tk, tv), None
+
+            (x, tail_k, tail_v), _ = jax.lax.scan(
+                layer_w, (x, tail_k, tail_v),
+                (scan_layers, jnp.arange(self.num_layers)))
+            x = rms_norm(x, params["final_norm"], self.rms_eps)
+            return x, (cache, tail_k, tail_v)
+
+        def layer(x, xs, slots=None):
+            lp, kvc = xs
+            if slots is None:
+                slots = md.slot_mapping
+            lin = make_lin(lp)
+            q, k, v = qkv_proj(x, lp, lin)
             kvc = write_kv(kvc, k, v, slots)
             o = paged_attention(q, kvc, md, self.scale,
                                 sliding_window=self.sliding_window,
                                 use_pallas=use_pallas)
-            x = self._sp(x + lin(o.reshape(T, nq * hd), "wo"))
-            # -- MLP block
-            h = rms_norm(x, lp["post_norm"], self.rms_eps)
-            x = self._sp(x + self._mlp(h, lp, lin=lin))
+            x = finish_layer(x, o, lp, lin)
             return x, kvc
 
         if self.pp_size > 1:

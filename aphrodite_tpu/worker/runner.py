@@ -158,6 +158,11 @@ class ModelRunner:
         self._multi_step_fn = jax.jit(
             self._multi_step, donate_argnums=(1,),
             static_argnames=("flags", "num_steps", "max_logprobs"))
+        self._multi_step_window_fn = jax.jit(
+            self._multi_step_window, donate_argnums=(1,),
+            static_argnames=("flags", "num_steps", "max_logprobs"))
+        self.use_window_decode = getattr(model, "supports_window_decode",
+                                         False) and not self.is_ssm
 
     # -------------------------------------------------------------- jit step
     def _step(self, params, kv_cache, input_ids, md: AttentionMetadata,
@@ -272,6 +277,91 @@ class ModelRunner:
             sub, (kv_cache, cur_tokens, seq_lens0),
             jnp.arange(num_steps, dtype=jnp.int32))
         tokens_k, lp_k, topk_v, topk_i = ys  # [K, R], ...
+        packed = jnp.stack([
+            jax.lax.bitcast_convert_type(tokens_k, jnp.float32), lp_k])
+        return packed, topk_v, topk_i, kv_cache
+
+    # ---------------------------------------------- window multi-step decode
+    def _multi_step_window(self, params, kv_cache, cur_tokens, seq_lens0,
+                           block_tables, smd, flags, num_steps, max_logprobs,
+                           step_budget=None, lora=None, lora_row_slots=None,
+                           mrope_deltas=None):
+        """K decode steps with a FROZEN paged cache: each step's K/V rows go
+        into per-layer tail buffers updated in place in the scan carry; one
+        batched scatter flushes the window into the pages at the end. This
+        removes the per-step whole-cache copy the v1 path paid for scanning
+        the cache through xs/ys (see ops/window_decode_attention.py)."""
+        model = self.model
+        R = cur_tokens.shape[0]
+        ps = self.block_size
+        L = model.num_layers
+        kvh = model.num_kv_heads
+        hd_c = kv_cache.shape[-1]
+        arange_r = jnp.arange(R, dtype=jnp.int32)
+        paged_lens = jnp.maximum(seq_lens0 - 1, 0)
+        live0 = seq_lens0 > 0
+        tail_dtype = (jnp.bfloat16 if self.kv_dtype in
+                      (jnp.float8_e4m3, jnp.float8_e5m2) else self.kv_dtype)
+        tk0 = jnp.zeros((L, R, kvh, num_steps, hd_c), tail_dtype)
+        tv0 = jnp.zeros((L, R, kvh, num_steps, hd_c), tail_dtype)
+
+        def sub(carry, i):
+            tk, tv, toks = carry
+            live = live0
+            if step_budget is not None:
+                live = live & (i < step_budget)
+            pos = paged_lens + i
+            md = AttentionMetadata(
+                token_req_idx=arange_r,
+                token_pos=pos,
+                slot_mapping=jnp.full((R,), -1, jnp.int32),
+                query_start_loc=jnp.arange(R + 1, dtype=jnp.int32),
+                seq_lens=jnp.where(live0, pos + 1, 0),
+                block_tables=block_tables,
+                num_reqs=jnp.asarray(R, jnp.int32),
+                num_tokens=jnp.asarray(R, jnp.int32),
+                lora_slots=lora_row_slots,
+                mrope_deltas=mrope_deltas,
+                decode_mode=True,
+                window_step=i,
+                paged_lens=paged_lens)
+            hidden, (_, tk, tv) = model.apply(
+                params, toks, (kv_cache, tk, tv), md,
+                use_pallas=self.use_pallas, lora=lora)
+            logits = model.compute_logits(params, hidden)
+            out = sample_tokens(logits, smd, flags, max_logprobs,
+                                step_offset=i)
+            new_tok = jnp.where(live, out["tokens"], toks)
+            ys = (new_tok, out["logprob"],
+                  out.get("topk_values"), out.get("topk_indices"))
+            return (tk, tv, new_tok), ys
+
+        (tk, tv, _), ys = jax.lax.scan(
+            sub, (tk0, tv0, cur_tokens),
+            jnp.arange(num_steps, dtype=jnp.int32))
+        tokens_k, lp_k, topk_v, topk_i = ys  # [K, R], ...
+
+        # ---- flush the window tails into the paged cache -----------------
+        j = jnp.arange(num_steps, dtype=jnp.int32)
+        abs_pos = paged_lens[:, None] + j[None, :]            # [R, K]
+        valid = live0[:, None]
+        if step_budget is not None:
+            valid = valid & (j[None, :] < step_budget[:, None])
+        pages = jnp.take_along_axis(block_tables, abs_pos // ps, axis=1)
+        num_pages = kv_cache.shape[1]
+        pf = jnp.where(valid, pages, num_pages).reshape(-1)    # drop sentinel
+        of = (abs_pos % ps).reshape(-1)
+        # tails [L, R, kvh, K, hd] -> values [R*K, L, kvh, hd] (advanced
+        # indices on non-adjacent dims broadcast to the front).
+        val_k = tk.transpose(1, 3, 0, 2, 4).reshape(R * num_steps, L, kvh,
+                                                    hd_c)
+        val_v = tv.transpose(1, 3, 0, 2, 4).reshape(R * num_steps, L, kvh,
+                                                    hd_c)
+        kv_cache = kv_cache.at[:, pf, 0, :, of, :].set(
+            val_k.astype(kv_cache.dtype), mode="drop")
+        kv_cache = kv_cache.at[:, pf, 1, :, of, :].set(
+            val_v.astype(kv_cache.dtype), mode="drop")
+
         packed = jnp.stack([
             jax.lax.bitcast_convert_type(tokens_k, jnp.float32), lp_k])
         return packed, topk_v, topk_i, kv_cache
@@ -971,7 +1061,9 @@ class ModelRunner:
             for r, rid in enumerate(order):
                 deltas[r] = self._mrope_state(self.requests[rid])[1]
             mrope_deltas = jnp.asarray(deltas)
-        packed, topk_v_d, topk_i_d, self.kv_cache = self._multi_step_fn(
+        ms_fn = (self._multi_step_window_fn if self.use_window_decode
+                 else self._multi_step_fn)
+        packed, topk_v_d, topk_i_d, self.kv_cache = ms_fn(
             self.params, self.kv_cache, jnp.asarray(cur_tokens),
             jnp.asarray(seq_lens0), jnp.asarray(block_tables), smd,
             flags=flags, num_steps=num_steps, max_logprobs=max_lp,
