@@ -216,6 +216,40 @@ class LlamaForCausalLM:
             specs["lm_head"] = P(None, "tp")
         return specs
 
+    def maybe_merge_params(self, params: dict) -> dict:
+        """Fuse QKV and gate/up into single GEMMs. Decode is weight-
+        bandwidth-bound; fewer, fatter GEMMs stream measurably better
+        (~9% step time on v5e). Mirrors the reference's QKVParallelLinear /
+        MergedColumnParallelLinear fusion (aphrodite/modeling/layers/
+        linear.py:377) as a load-time tensor merge. Skipped for quantized
+        checkpoints (per-projection scale tensors), TP>1 (head-aligned
+        sharding), PP, and models overriding the base forward."""
+        if self.quant_fmt is not None or self.pp_size > 1:
+            return params
+        if self.mesh is not None:
+            sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+            if sizes.get("tp", 1) > 1:
+                return params
+        if type(self).apply is not LlamaForCausalLM.apply:
+            return params
+        layers = dict(params["layers"])
+        if all(k in layers for k in ("wq", "wk", "wv")) and \
+                all(not isinstance(layers[k], dict)
+                    for k in ("wq", "wk", "wv")):
+            layers["w_qkv"] = jnp.concatenate(
+                [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")],
+                axis=-1)
+            if "bq" in layers:
+                layers["b_qkv"] = jnp.concatenate(
+                    [layers.pop("bq"), layers.pop("bk"), layers.pop("bv")],
+                    axis=-1)
+        if "w_gate" in layers and "w_up" in layers and \
+                type(self)._mlp is LlamaForCausalLM._mlp and \
+                not isinstance(layers["w_gate"], dict):
+            layers["w_gate_up"] = jnp.concatenate(
+                [layers.pop("w_gate"), layers.pop("w_up")], axis=-1)
+        return {**params, "layers": layers}
+
     # ----------------------------------------------------------------- forward
     @property
     def supports_window_decode(self) -> bool:
@@ -254,9 +288,15 @@ class LlamaForCausalLM:
         def qkv_proj(x, lp, lin):
             """Shared attention-block projections: norms, QKV, rope."""
             h = rms_norm(x, lp["input_norm"], self.rms_eps)
-            q = lin(h, "wq", lp.get("bq"))
-            k = lin(h, "wk", lp.get("bk"))
-            v = lin(h, "wv", lp.get("bv"))
+            if "w_qkv" in lp:
+                # Fused QKV GEMM (maybe_merge_params): one weight stream.
+                qkv = lin(h, "w_qkv", lp.get("b_qkv"))
+                o1, o2 = nq * hd, (nq + nkv) * hd
+                q, k, v = qkv[:, :o1], qkv[:, o1:o2], qkv[:, o2:]
+            else:
+                q = lin(h, "wq", lp.get("bq"))
+                k = lin(h, "wk", lp.get("bk"))
+                v = lin(h, "wv", lp.get("bv"))
             T = q.shape[0]
             if "q_norm_flat" in lp:  # whole-projection QK-norm (OLMoE)
                 q = rms_norm(q, lp["q_norm_flat"], self.rms_eps)
@@ -422,8 +462,13 @@ class LlamaForCausalLM:
             fmt = self.quant_fmt
             lin = lambda hh, key, bias=None: apply_linear(  # noqa: E731
                 hh, lp[key], bias, fmt=fmt)
-        gate = lin(h, "w_gate")
-        up = lin(h, "w_up")
+        if "w_gate_up" in lp:  # fused gate|up GEMM (maybe_merge_params)
+            gu = lin(h, "w_gate_up")
+            I = gu.shape[-1] // 2
+            gate, up = gu[:, :I], gu[:, I:]
+        else:
+            gate = lin(h, "w_gate")
+            up = lin(h, "w_up")
         return lin(self.act(gate, up), "w_down")
 
     def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:

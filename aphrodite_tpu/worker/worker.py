@@ -87,6 +87,11 @@ class Worker:
             self.model, config.model_config, config.load_config,
             mesh=self.mesh, rng_seed=config.model_config.seed,
             quant_config=self.quant_config)
+        if config.lora_config is None and \
+                hasattr(self.model, "maybe_merge_params"):
+            # Fused QKV / gate-up GEMMs (decode weight streaming); LoRA
+            # keeps split projections (adapters target them individually).
+            self.params = self.model.maybe_merge_params(self.params)
 
         if getattr(self.model, "is_encoder", False):
             # Encoder/embedding models: no paged KV, no decode runner.
