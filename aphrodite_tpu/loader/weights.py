@@ -144,7 +144,8 @@ def load_model_params(model, model_config: ModelConfig,
                   "bnb8": importers.bnb8_dequant_iterator,
                   "modelopt_fp8": importers.modelopt_fp8_dequant_iterator,
                   "nvfp4": importers.nvfp4_dequant_iterator,
-                  "ct_pack8": importers.ct_pack8_dequant_iterator}[pre](it)
+                  "ct_pack8": lambda i2: importers.ct_pack8_dequant_iterator(
+                      i2, symmetric=not quant_config.zero_point)}[pre](it)
             logger.info("dequantizing %s checkpoint at load", pre)
         params = model.load_weights(it)
         if quant_config is not None and quant_config.method != "dequant":

@@ -112,20 +112,24 @@ class QuantizationConfig:
             bits = w.get("num_bits", 8)
             wtype = (w.get("type") or "int").lower()
             fmt = (hf_quant_cfg.get("format") or "").lower()
-            if fmt == "pack-quantized" or (wtype == "int" and bits == 4):
+            if fmt == "pack-quantized":
                 if wtype != "int" or bits not in (4, 8):
                     raise ValueError(
                         f"pack-quantized {bits}-bit {wtype} not supported")
                 if bits == 8:
-                    return QuantizationConfig(method="w8a16",
-                                              preprocess="ct_pack8")
+                    return QuantizationConfig(
+                        method="w8a16", preprocess="ct_pack8",
+                        zero_point=not w.get("symmetric", True))
                 strategy = (w.get("strategy") or "group").lower()
                 return QuantizationConfig(
                     method="gptq", weight_bits=4,
                     group_size=(w.get("group_size") or -1)
                     if strategy == "group" else -1,
                     zero_point=not w.get("symmetric", True),
-                    desc_act=(w.get("actorder") or "") in ("group", "weight"),
+                    # g_idx is only serialized for ActivationOrdering.GROUP
+                    # (reference CompressedTensorsWNA16.has_g_idx);
+                    # "weight"-ordered checkpoints permute rows offline.
+                    desc_act=(w.get("actorder") or "") == "group",
                     from_checkpoint=True, checkpoint_layout="ct_packed")
             if wtype == "float" and bits == 8:
                 return QuantizationConfig(
@@ -156,15 +160,20 @@ class QuantizationConfig:
         if name == "awq":
             return QuantizationConfig(method="awq", weight_bits=4,
                                       group_size=128)
-        if name in ("fp4", "fp5", "fp6", "fp7", "quant_llm", "deepspeedfp"):
-            # QuantLLM FPx / DeepSpeedFP: eXmY floating-point weight grids
-            # with per-output-channel absmax scales (reference
+        if name in ("fp4", "fp5", "fp6", "fp7", "quant_llm"):
+            # QuantLLM FPx: eXmY floating-point weight grids with
+            # per-output-channel absmax scales (reference
             # quantization/fp6.py:29-36 — exp_bits defaults to 2, so
-            # fp6 == e2m3; deepspeedfp's default is 6-bit too,
-            # quantization/deepspeedfp.py).
-            bits = 6 if name in ("quant_llm", "deepspeedfp") else int(name[2])
+            # fp6 == e2m3).
+            bits = 6 if name == "quant_llm" else int(name[2])
             return QuantizationConfig(method="fpx", weight_bits=bits,
                                       exp_bits=2)
+        if name == "deepspeedfp":
+            # Reference DeepSpeedFPConfig defaults to weight_bits=8
+            # (group_size=512, quantization/deepspeedfp.py); 8-bit FP with
+            # absmax scales == e4m3 on our eXmY grid.
+            return QuantizationConfig(method="fpx", weight_bits=8,
+                                      exp_bits=4, group_size=512)
         raise ValueError(f"unknown quantization {name!r}")
 
     # --------------------------------------------------- quantize-on-the-fly
@@ -358,7 +367,8 @@ def unpack_awq(qweight: np.ndarray, qzeros: np.ndarray, scales: np.ndarray,
             "group_size": k // G, "out_features": n}
 
 
-def unpack_ct_packed(parts: dict, bits: int = 4) -> dict:
+def unpack_ct_packed(parts: dict, bits: int = 4,
+                     symmetric: bool = False) -> dict:
     """compressed-tensors pack-quantized (llm-compressor wNa16) -> w4a16.
 
     weight_packed int32 [out, in/8] holds 8 consecutive input-dim values
@@ -382,12 +392,15 @@ def unpack_ct_packed(parts: dict, bits: int = 4) -> dict:
     G = scales.shape[1] if scales.ndim == 2 else 1
     scales = scales.reshape(out, G)
     zp = parts.get("weight_zero_point")
-    if zp is not None and np.asarray(zp).size:
+    if symmetric or zp is None or not np.asarray(zp).size:
+        # Symmetric schemes store values biased by 2^(bits-1) (uint4b8);
+        # a serialized all-zeros zp tensor must NOT override that bias
+        # (reference CompressedTensorsWNA16: symmetric flag wins).
+        z = np.full((out, G), float(1 << (bits - 1)), np.float32)
+    else:
         zp = np.asarray(zp)
         z = ((zp.astype(np.uint32)[:, None, :] >> shifts[None, :, None])
              & 0xF).astype(np.float32).reshape(out, G)
-    else:
-        z = np.full((out, G), float(1 << (bits - 1)), np.float32)
     res = {"format": "w4a16",
            "qweight": np.ascontiguousarray(w.T),
            "scales": np.ascontiguousarray(scales.T),

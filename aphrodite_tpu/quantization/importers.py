@@ -160,7 +160,8 @@ def nvfp4_dequant_iterator(weights: Iterable[Weight]) -> Iterator[Weight]:
 
 
 # ------------------------------------------------- compressed-tensors pack
-def ct_pack8_dequant_iterator(weights: Iterable[Weight]) -> Iterator[Weight]:
+def ct_pack8_dequant_iterator(weights: Iterable[Weight],
+                              symmetric: bool = False) -> Iterator[Weight]:
     """compressed-tensors pack-quantized int8 (llm-compressor w8a16 with
     format=pack-quantized): '<module>.weight_packed' int32 [out, in/4]
     (4 consecutive values per word, little-endian bytes; stored biased by
@@ -189,12 +190,14 @@ def ct_pack8_dequant_iterator(weights: Iterable[Weight]) -> Iterator[Weight]:
                             np.float32).reshape(out, -1)
         G = scales.shape[1]
         zp = by_name.get(mod + ".weight_zero_point")
-        if zp is not None and np.asarray(zp).size:
+        if symmetric or zp is None or not np.asarray(zp).size:
+            # uint8b128 bias; a serialized all-zeros zp on a symmetric
+            # scheme must not override it (see unpack_ct_packed).
+            z = np.full((out, G), 128.0, np.float32)
+        else:
             zp = np.asarray(zp)
             z = ((zp.astype(np.uint32)[:, None, :] >> shifts[None, :, None])
                  & 0xFF).astype(np.float32).reshape(out, G)
-        else:
-            z = np.full((out, G), 128.0, np.float32)
         g_idx = by_name.get(mod + ".weight_g_idx")
         if g_idx is not None and len(g_idx):
             gi = np.asarray(g_idx, np.int64)  # column -> group

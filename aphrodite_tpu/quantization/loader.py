@@ -211,7 +211,8 @@ def load_llama_quantized(model, weights: Iterable[tuple[str, np.ndarray]],
                                  f"{key}")
             if qcfg.checkpoint_layout == "ct_packed":
                 from aphrodite_tpu.quantization.base import unpack_ct_packed
-                unpacked = unpack_ct_packed(parts, bits=qcfg.weight_bits)
+                unpacked = unpack_ct_packed(parts, bits=qcfg.weight_bits,
+                                            symmetric=not qcfg.zero_point)
             elif qcfg.checkpoint_layout == "compressed_tensors":
                 unpacked = _unpack_compressed(parts, qcfg.method, target)
             elif qcfg.checkpoint_layout == "hqq":
