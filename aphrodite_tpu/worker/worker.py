@@ -42,10 +42,32 @@ def load_params_to_device(host_params, model, mesh):
     return rec(host_params, specs)
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: a cold engine start compiles
+    ~10 large programs at 20-40 s each on a tunneled TPU; the disk cache
+    drops warm restarts to seconds (the reference relies on torch-xla's
+    XLA_CACHE_DIR the same way, ref: v1/worker/tpu_worker.py env handling).
+    Opt out with APHRODITE_DISABLE_COMPILE_CACHE=1."""
+    import os
+    if os.environ.get("APHRODITE_DISABLE_COMPILE_CACHE") == "1":
+        return
+    try:
+        path = os.environ.get(
+            "APHRODITE_COMPILE_CACHE_DIR",
+            os.path.expanduser("~/.cache/aphrodite_tpu/xla"))
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # cache is best-effort
+        logger.debug("compilation cache unavailable: %s", e)
+
+
 class Worker:
 
     def __init__(self, config: EngineConfig) -> None:
         self.config = config
+        _enable_compile_cache()
         if config.device_config.device == "cpu":
             # Make an explicit --device cpu authoritative even when a TPU
             # plugin (e.g. axon sitecustomize) pre-selected itself.
