@@ -25,10 +25,10 @@ DEFAULT_CHUNK_PAGES = 8
 
 def _decode_kernel(
     # scalar prefetch
-    seq_lens, block_tables,
+    layer_idx, seq_lens, block_tables,
     # inputs: q blocked per request
     q_ref,   # [1, kvh, group, hd] VMEM
-    kv_hbm,  # [P, 2, kvh, page, hd] HBM
+    kv_hbm,  # [L, P, 2, kvh, page, hd] HBM
     # output
     out_ref,  # [1, kvh, group, hd] VMEM
     # scratch
@@ -40,6 +40,7 @@ def _decode_kernel(
     max_pages: int, q_dtype=None,
 ):
     r = pl.program_id(0)
+    l = layer_idx[0]
     chunk_kv = chunk_pages * page_size
     seq_len = seq_lens[r]
 
@@ -56,13 +57,13 @@ def _decode_kernel(
                     page_id = block_tables[
                         r, jnp.minimum(page_idx, max_pages - 1)]
                     pltpu.make_async_copy(
-                        kv_hbm.at[page_id], kv_vmem.at[slot, k],
+                        kv_hbm.at[l, page_id], kv_vmem.at[slot, k],
                         kv_sem.at[slot, k]).start()
 
         def wait_chunk(slot):
             for k in range(chunk_pages):
                 pltpu.make_async_copy(
-                    kv_hbm.at[0], kv_vmem.at[slot, k],
+                    kv_hbm.at[0, 0], kv_vmem.at[slot, k],
                     kv_sem.at[slot, k]).wait()
 
         start_chunk(0, 0)
@@ -123,7 +124,7 @@ def _decode_kernel(
                      "chunk_pages", "interpret"))
 def decode_paged_attention(
     q: jax.Array,  # [R, nq, hd]
-    kv_cache: jax.Array,  # [P, 2, kvh, page, hd]
+    kv_cache: jax.Array,  # [P, 2, kvh, page, hd] or [L, P, ...] + layer_idx
     block_tables: jax.Array,  # [R, max_pages]
     seq_lens: jax.Array,  # [R]
     scale: float,
@@ -132,11 +133,16 @@ def decode_paged_attention(
     logits_soft_cap: Optional[float] = None,
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
     interpret: Optional[bool] = None,
+    layer_idx=None,
 ) -> jax.Array:
     if interpret is None:
         interpret = os.environ.get("APHRODITE_PALLAS_INTERPRET", "0") == "1"
     R, nq, hd = q.shape
-    num_pages, _, kvh, page_size, hd_c = kv_cache.shape
+    if kv_cache.ndim == 5:
+        kv_cache = kv_cache[None]
+        layer_idx = jnp.zeros((), jnp.int32)
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    _, num_pages, _, kvh, page_size, hd_c = kv_cache.shape
     assert hd == hd_c, "pad q to the cache head_dim before calling"
     group = nq // kvh
     max_pages = block_tables.shape[1]
@@ -144,7 +150,7 @@ def decode_paged_attention(
     q4 = q.reshape(R, kvh, group, hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(R,),
         in_specs=[
             pl.BlockSpec((1, kvh, group, hd), lambda r, *_: (r, 0, 0, 0),
@@ -178,5 +184,5 @@ def decode_paged_attention(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(seq_lens, block_tables, q4, kv_cache)
+    )(lidx, seq_lens, block_tables, q4, kv_cache)
     return out.reshape(R, nq, hd)

@@ -41,11 +41,11 @@ DEFAULT_CHUNK_PAGES = 8
 
 def _rpa_kernel(
     # scalar prefetch (SMEM)
-    item_req, item_qstart, item_qlen, item_pos, seq_lens, block_tables,
-    num_items,
+    layer_idx, item_req, item_qstart, item_qlen, item_pos, seq_lens,
+    block_tables, num_items,
     # tensor inputs
     q_hbm,   # [kvh, (T+BQ)*group, hd]
-    kv_hbm,  # [P, 2, kvh, page, hd]
+    kv_hbm,  # [L, P, 2, kvh, page, hd]
     # output (blocked per item): [1, kvh, BQ*group, hd]
     out_ref,
     # scratch
@@ -57,6 +57,7 @@ def _rpa_kernel(
     max_pages: int, q_dtype=None,
 ):
     it = pl.program_id(0)
+    l = layer_idx[0]
     group = num_q_heads // num_kv_heads
     rows = block_q * group
     chunk_kv = chunk_pages * page_size
@@ -87,7 +88,7 @@ def _rpa_kernel(
                     page_id = block_tables[
                         req, jnp.minimum(page_idx, max_pages - 1)]
                     pltpu.make_async_copy(
-                        kv_hbm.at[page_id],
+                        kv_hbm.at[l, page_id],
                         kv_vmem.at[slot, k],
                         kv_sem.at[slot, k],
                     ).start()
@@ -95,7 +96,7 @@ def _rpa_kernel(
         def wait_chunk(slot):
             for k in range(chunk_pages):
                 pltpu.make_async_copy(
-                    kv_hbm.at[0], kv_vmem.at[slot, k], kv_sem.at[slot, k]
+                    kv_hbm.at[0, 0], kv_vmem.at[slot, k], kv_sem.at[slot, k]
                 ).wait()
 
         start_chunk(0, 0)
@@ -164,7 +165,7 @@ def _rpa_kernel(
                      "block_q", "chunk_pages", "interpret"))
 def ragged_paged_attention(
     q: jax.Array,  # [T, nq, hd] (flat token layout)
-    kv_cache: jax.Array,  # [P, 2, kvh, page, hd]
+    kv_cache: jax.Array,  # [P, 2, kvh, page, hd] or [L, P, ...] + layer_idx
     md: AttentionMetadata,
     scale: float,
     sliding_window: Optional[int] = None,
@@ -173,6 +174,7 @@ def ragged_paged_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
     interpret: Optional[bool] = None,
+    layer_idx=None,
 ) -> jax.Array:
     if interpret is None:
         # Env override lets the full engine run the Pallas path on CPU.
@@ -180,9 +182,17 @@ def ragged_paged_attention(
     assert md.item_req is not None, \
         "AttentionMetadata lacks work items (runner must build them)"
     T, nq, hd = q.shape
-    num_pages, _, kvh, page_size, _ = kv_cache.shape
+    if kv_cache.ndim == 5:
+        # Per-layer view: wrap as a 1-layer stack (free reshape). The
+        # 6-D + dynamic-layer form exists so the layer scan can carry the
+        # FULL cache without materializing per-layer slices.
+        kv_cache = kv_cache[None]
+        layer_idx = jnp.zeros((), jnp.int32)
+    num_pages = kv_cache.shape[1]
+    _, _, _, kvh, page_size, _ = kv_cache.shape
     max_items = md.item_req.shape[0]
     group = nq // kvh
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
     # [T, nq, hd] -> [kvh, (T+BQ)*group, hd]: rows grouped per kv head so the
     # kernel's q-block DMA is one contiguous leading-dim slice per head.
@@ -192,7 +202,7 @@ def ragged_paged_attention(
         kvh, (T + block_q) * group, hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=8,
         grid=(max_items,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # q
@@ -228,7 +238,7 @@ def ragged_paged_attention(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(md.item_req, md.item_qstart, md.item_qlen, md.item_pos,
+    )(lidx, md.item_req, md.item_qstart, md.item_qlen, md.item_pos,
       md.seq_lens, md.block_tables, md.num_items_arr, q_arr, kv_cache)
 
     # [items, kvh, BQ*G, hd] -> [items, BQ, nq, hd] -> flat [T, nq, hd].
