@@ -232,6 +232,7 @@ def paged_attention(
     chunk_attn: Optional[int] = None,
     blocksparse: Optional[tuple] = None,
     layer_idx=None,
+    with_cache: bool = False,
 ) -> jax.Array:
     """Dispatch to the Pallas kernel (TPU) or the JAX oracle (CPU/tests).
     kv_cache is a per-layer [P, ...] view, or the full [L, P, ...] stack
@@ -268,14 +269,14 @@ def paged_attention(
     elif use_pallas and md.decode_mode:
         from aphrodite_tpu.ops.decode_paged_attention import (
             decode_paged_attention)
-        out = decode_paged_attention(
+        out, kv_cache = decode_paged_attention(
             q, kv_cache, md.block_tables, md.seq_lens, scale,
             sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
             chunk_attn=chunk_attn, layer_idx=layer_idx)
     elif use_pallas:
         from aphrodite_tpu.ops.ragged_paged_attention import (
             DEFAULT_BLOCK_Q, ragged_paged_attention)
-        out = ragged_paged_attention(
+        out, kv_cache = ragged_paged_attention(
             q, kv_cache, md, scale,
             sliding_window=sliding_window,
             logits_soft_cap=logits_soft_cap,
@@ -288,4 +289,7 @@ def paged_attention(
             sliding_window=sliding_window,
             logits_soft_cap=logits_soft_cap,
             chunk_attn=chunk_attn)
-    return out[..., :hd]
+    out = out[..., :hd]
+    # with_cache: thread the (kernel-aliased) cache back to the caller so
+    # the carry-cache layer scan stays a single linear buffer chain.
+    return (out, kv_cache) if with_cache else out

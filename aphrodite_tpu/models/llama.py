@@ -380,9 +380,10 @@ class LlamaForCausalLM:
                 lin = make_lin(lp)
                 q, k, v = qkv_proj(x, lp, lin)
                 cache = write_kv(cache, k, v, md.slot_mapping, layer_idx=l)
-                o = paged_attention(q, cache, md, self.scale,
-                                    sliding_window=self.sliding_window,
-                                    use_pallas=use_pallas, layer_idx=l)
+                o, cache = paged_attention(q, cache, md, self.scale,
+                                           sliding_window=self.sliding_window,
+                                           use_pallas=use_pallas,
+                                           layer_idx=l, with_cache=True)
                 x = finish_layer(x, o, lp, lin)
                 return (x, cache), None
 

@@ -29,8 +29,9 @@ def _decode_kernel(
     # inputs: q blocked per request
     q_ref,   # [1, kvh, group, hd] VMEM
     kv_hbm,  # [L, P, 2, kvh, page, hd] HBM
-    # output
+    # outputs
     out_ref,  # [1, kvh, group, hd] VMEM
+    cache_out_ref,  # aliased cache pass-through (untouched)
     # scratch
     kv_vmem, acc, m_i, l_i, kv_sem,
     *, scale: float, chunk_pages: int, page_size: int,
@@ -157,9 +158,10 @@ def decode_paged_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec(
+        out_specs=(pl.BlockSpec(
             (1, kvh, group, hd), lambda r, *_: (r, 0, 0, 0),
             memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
             pltpu.VMEM((2, chunk_pages, 2, kvh, page_size, hd),
                        kv_cache.dtype),
@@ -177,12 +179,14 @@ def decode_paged_attention(
         chunk_attn=chunk_attn,
         max_pages=max_pages, q_dtype=q.dtype)
 
-    out = pl.pallas_call(
+    out, kv_cache_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((R, kvh, group, hd), q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((R, kvh, group, hd), q.dtype),
+                   jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype)),
+        input_output_aliases={4: 1},  # kv_cache -> cache pass-through
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(lidx, seq_lens, block_tables, q4, kv_cache)
-    return out.reshape(R, nq, hd)
+    return out.reshape(R, nq, hd), kv_cache_out

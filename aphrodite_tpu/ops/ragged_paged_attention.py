@@ -46,8 +46,11 @@ def _rpa_kernel(
     # tensor inputs
     q_hbm,   # [kvh, (T+BQ)*group, hd]
     kv_hbm,  # [L, P, 2, kvh, page, hd]
-    # output (blocked per item): [1, kvh, BQ*group, hd]
+    # outputs: per-item [1, kvh, BQ*group, hd] + aliased cache pass-through
     out_ref,
+    cache_out_ref,  # aliased to kv_hbm: never touched, only threads the
+                    # buffer through so the carry-cache scan stays linear
+                    # (no XLA copy-insertion around the custom call)
     # scratch
     q_vmem, kv_vmem, acc, m_i, l_i, q_sem, kv_sem,
     *, scale: float, block_q: int, chunk_pages: int, page_size: int,
@@ -208,9 +211,10 @@ def ragged_paged_attention(
             pl.BlockSpec(memory_space=pltpu.HBM),  # q
             pl.BlockSpec(memory_space=pltpu.HBM),  # kv
         ],
-        out_specs=pl.BlockSpec(
+        out_specs=(pl.BlockSpec(
             (1, kvh, block_q * group, hd), lambda i, *_: (i, 0, 0, 0),
             memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
             pltpu.VMEM((kvh, block_q * group, hd), q.dtype),
             pltpu.VMEM((2, chunk_pages, 2, kvh, page_size, hd),
@@ -230,11 +234,13 @@ def ragged_paged_attention(
         chunk_attn=chunk_attn,
         max_pages=md.block_tables.shape[1], q_dtype=q.dtype)
 
-    out_items = pl.pallas_call(
+    out_items, kv_cache_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
+        out_shape=(jax.ShapeDtypeStruct(
             (max_items, kvh, block_q * group, hd), q.dtype),
+            jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype)),
+        input_output_aliases={9: 1},  # kv_cache -> cache pass-through
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
@@ -245,4 +251,4 @@ def ragged_paged_attention(
     out = out_items.reshape(max_items, kvh, block_q, group, hd)
     out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(
         max_items, block_q, nq, hd)
-    return out[md.token_item, md.token_item_row]
+    return out[md.token_item, md.token_item_row], kv_cache_out

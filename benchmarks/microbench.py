@@ -149,7 +149,7 @@ def main():
     @jax.jit
     def attn_scan(q, kvL, bt, sl):
         def layer(_, kvl):
-            o = decode_paged_attention(q, kvl, bt, sl, scale=0.088)
+            o, _ = decode_paged_attention(q, kvl, bt, sl, scale=0.088)
             return _, jnp.sum(o)
         _, outs = jax.lax.scan(layer, 0, kvL)
         return outs

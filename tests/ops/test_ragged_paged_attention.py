@@ -54,7 +54,7 @@ def test_kernel_matches_oracle(prompts):
     q, kv_cache, md = setup_case(prompts)
     scale = HD ** -0.5
     ref = ref_ragged_paged_attention(q, kv_cache, md, scale)
-    got = ragged_paged_attention(q, kv_cache, md, scale, block_q=BLOCK_Q,
+    got, _ = ragged_paged_attention(q, kv_cache, md, scale, block_q=BLOCK_Q,
                                  chunk_pages=2, interpret=True)
     T = int(np.asarray(md.num_tokens))
     np.testing.assert_allclose(np.asarray(got)[:T], np.asarray(ref)[:T],
@@ -66,7 +66,7 @@ def test_kernel_sliding_window():
     scale = HD ** -0.5
     ref = ref_ragged_paged_attention(q, kv_cache, md, scale,
                                      sliding_window=16)
-    got = ragged_paged_attention(q, kv_cache, md, scale, sliding_window=16,
+    got, _ = ragged_paged_attention(q, kv_cache, md, scale, sliding_window=16,
                                  block_q=BLOCK_Q, chunk_pages=2,
                                  interpret=True)
     T = int(np.asarray(md.num_tokens))
@@ -79,7 +79,7 @@ def test_kernel_soft_cap():
     scale = HD ** -0.5
     ref = ref_ragged_paged_attention(q, kv_cache, md, scale,
                                      logits_soft_cap=30.0)
-    got = ragged_paged_attention(q, kv_cache, md, scale,
+    got, _ = ragged_paged_attention(q, kv_cache, md, scale,
                                  logits_soft_cap=30.0, block_q=BLOCK_Q,
                                  chunk_pages=2, interpret=True)
     T = int(np.asarray(md.num_tokens))
@@ -93,7 +93,7 @@ def test_kernel_padded_buckets():
     q, kv_cache, md = setup_case(prompts, t_pad=64, r_pad=8)
     scale = HD ** -0.5
     ref = ref_ragged_paged_attention(q, kv_cache, md, scale)
-    got = ragged_paged_attention(q, kv_cache, md, scale, block_q=BLOCK_Q,
+    got, _ = ragged_paged_attention(q, kv_cache, md, scale, block_q=BLOCK_Q,
                                  chunk_pages=2, interpret=True)
     T = 12
     np.testing.assert_allclose(np.asarray(got)[:T], np.asarray(ref)[:T],
@@ -139,7 +139,7 @@ def test_kernel_decode_after_prefill():
         md, **{k2: jnp.asarray(v2) for k2, v2 in items.items()})
     scale = HD ** -0.5
     ref = ref_ragged_paged_attention(q, kv_cache, md, scale)
-    got = ragged_paged_attention(q, kv_cache, md, scale, block_q=BLOCK_Q,
+    got, _ = ragged_paged_attention(q, kv_cache, md, scale, block_q=BLOCK_Q,
                                  chunk_pages=2, interpret=True)
     np.testing.assert_allclose(np.asarray(got)[:1], np.asarray(ref)[:1],
                                rtol=2e-3, atol=2e-3)
