@@ -368,31 +368,13 @@ class LlamaForCausalLM:
             x = rms_norm(x, params["final_norm"], self.rms_eps)
             return x, (cache, tail_k, tail_v)
 
-        if self.pp_size == 1 and self._base_forward:
-            # Carry-cache scan: the FULL [L, ...] cache rides the scan
-            # carry; writes are in-place scatters at a dynamic layer index
-            # and the Pallas kernels slice the layer during page DMAs.
-            # This avoids the whole-cache xs->ys copy per layer (measured
-            # ~30 ms per 8k-token dispatch on v5e).
-            def layer_c(carry, xs):
-                x, cache = carry
-                lp, l = xs
-                lin = make_lin(lp)
-                q, k, v = qkv_proj(x, lp, lin)
-                cache = write_kv(cache, k, v, md.slot_mapping, layer_idx=l)
-                o, cache = paged_attention(q, cache, md, self.scale,
-                                           sliding_window=self.sliding_window,
-                                           use_pallas=use_pallas,
-                                           layer_idx=l, with_cache=True)
-                x = finish_layer(x, o, lp, lin)
-                return (x, cache), None
-
-            (x, new_cache), _ = jax.lax.scan(
-                layer_c, (x, kv_cache),
-                (scan_layers, jnp.arange(self.num_layers)))
-            x = rms_norm(x, params["final_norm"], self.rms_eps)
-            return x, new_cache
-
+        # NOTE: a carry-cache variant (full cache in the scan carry with
+        # in-place layer-indexed scatters + kernel-aliased pass-through) was
+        # benchmarked at +150 ms/dispatch: XLA copy-insertion materializes
+        # the whole cache around the custom call when a scatter feeds it
+        # inside a while body. The xs/ys dataflow below costs one cache
+        # copy per dispatch (~30 ms at 8k tokens) and stays until KV writes
+        # move into the kernel (page-aligned staging design).
         def layer(x, xs, slots=None):
             lp, kvc = xs
             if slots is None:
