@@ -54,6 +54,18 @@ def moe_combine(h: jax.Array, lp: dict, act, topi: jax.Array,
                        preferred_element_type=jnp.float32).astype(h.dtype)
         return jnp.einsum("te,eto->to", gates, y)
 
+    # Large token batches (prefill): sorted-token grouped GEMM — FLOPs
+    # scale with top_k, not E (the reference's fused_moe grouped kernel,
+    # fused_moe.py; here via lax.ragged_dot, which XLA lowers to a
+    # group-offset MXU loop). Small batches (decode) keep the scan over
+    # experts: every expert's weights stream from HBM exactly once, which
+    # is bandwidth-optimal when most experts are hit anyway, and avoids
+    # gather/scatter latency on tiny T. Quantized experts stay on the scan
+    # path (ragged_dot needs plain arrays).
+    T = h.shape[0]
+    if quant_fmt is None and T * topi.shape[1] >= 4 * E:
+        return _grouped_moe(h, lp, act, topi, topw, E)
+
     def expert(acc, xs):
         wg, wu, wd, e = xs
         y = act(apply_linear(h, wg, fmt=quant_fmt),
@@ -67,6 +79,68 @@ def moe_combine(h: jax.Array, lp: dict, act, topi: jax.Array,
         (lp["we_gate"], lp["we_up"], lp["we_down"],
          jnp.arange(E, dtype=jnp.int32)))
     return acc
+
+
+def _grouped_moe(h: jax.Array, lp: dict, act, topi: jax.Array,
+                 topw: jax.Array, E: int) -> jax.Array:
+    """Sorted-token grouped expert GEMM.
+
+    Flatten the (token, choice) pairs, sort rows by expert id, run the
+    three expert projections as ragged group GEMMs, then weight and
+    scatter-add back per token. M = T*top_k rows of work total — the
+    top-k sparsity gain the dense einsum discarded.
+    """
+    import os
+    T, k = topi.shape
+    M = T * k
+    flat_e = topi.reshape(-1)
+    order = jnp.argsort(flat_e, stable=True)
+    src_tok = order // k                                   # [M]
+    x_sorted = jnp.take(h, src_tok, axis=0)                # [M, H]
+    group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+
+    backend = jax.default_backend()
+    interpret = os.environ.get("APHRODITE_PALLAS_INTERPRET", "0") == "1"
+    if backend == "tpu" or interpret:
+        # Megablox grouped-GEMM Pallas kernel (jax.experimental): tiles of
+        # sorted rows hit only their group's expert weights on the MXU.
+        from jax.experimental.pallas.ops.tpu.megablox import gmm
+
+        def tile(d):
+            return 128 if d % 128 == 0 else d
+
+        M_pad = -(-M // 128) * 128 if M >= 128 else M
+        if M_pad != M:
+            x_sorted = jnp.pad(x_sorted, ((0, M_pad - M), (0, 0)))
+        H = h.shape[1]
+        I = lp["we_gate"].shape[-1]
+        tm = min(128, M_pad)
+
+        def run(x, w, n_dim):
+            out = gmm(x, w, group_sizes,
+                      preferred_element_type=jnp.float32,
+                      tiling=(tm, tile(w.shape[1]), tile(n_dim)),
+                      interpret=interpret)
+            return out.astype(h.dtype)
+
+        g = run(x_sorted, lp["we_gate"], I)
+        u = run(x_sorted, lp["we_up"], I)
+        y = run(act(g, u), lp["we_down"], H)[:M]
+    else:
+        # CPU fallback: lax.ragged_dot (dense-masked lowering — correct,
+        # and fine for host tests).
+        g = jax.lax.ragged_dot(
+            x_sorted, lp["we_gate"], group_sizes,
+            preferred_element_type=jnp.float32).astype(h.dtype)
+        u = jax.lax.ragged_dot(
+            x_sorted, lp["we_up"], group_sizes,
+            preferred_element_type=jnp.float32).astype(h.dtype)
+        y = jax.lax.ragged_dot(
+            act(g, u), lp["we_down"], group_sizes,
+            preferred_element_type=jnp.float32).astype(h.dtype)
+    w_sorted = jnp.take(topw.reshape(-1), order)
+    out = jnp.zeros_like(h)
+    return out.at[src_tok].add(y * w_sorted[:, None])
 
 
 def softmax_topk_routing(h: jax.Array, router: jax.Array, top_k: int,
