@@ -395,6 +395,15 @@ class SpeculativeConfig:
     # ngram proposer window (reference: aphrodite/v1/spec_decode/ngram_proposer.py:9)
     prompt_lookup_max: int = 4
     prompt_lookup_min: int = 1
+    # Draft-verification acceptance for temperature>0 rows (reference
+    # spec_decode/spec_decode_worker.py acceptance_method):
+    #   rejection_sampler          — lossless accept-with-prob min(1, p/q)
+    #                                + residual recovery sample
+    #   typical_acceptance_sampler — entropy-thresholded typical acceptance
+    #                                (reference typical_acceptance_sampler.py)
+    acceptance_method: str = "rejection_sampler"
+    posterior_threshold: float = 0.09
+    posterior_alpha: float = 0.3
 
     # Speculator architectures -> proposer method (reference registry.py
     # _SPECULATIVE_DECODING_MODELS; reference spec_decode_worker.py:141

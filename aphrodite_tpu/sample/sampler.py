@@ -332,20 +332,37 @@ def _apply_logit_bias(logits, md):
 # --------------------------------------------------------------------------- #
 # the pipeline
 # --------------------------------------------------------------------------- #
-@functools.partial(jax.jit, static_argnames=("flags", "max_logprobs"))
+@functools.partial(jax.jit, static_argnames=("flags", "max_logprobs",
+                                             "spec_method"))
 def sample_tokens(
     logits: jax.Array,            # [R, V] float32
     md: SamplingMetadata,
     flags: SamplerFlags,
     max_logprobs: int = 0,
     step_offset: jax.Array | int = 0,
+    spec_draft: jax.Array | None = None,   # [R] draft token per row; -1=none
+    spec_q: jax.Array | None = None,       # [R] draft prob q(d) (None=1.0)
+    spec_method: str | None = None,
+    posterior_threshold: float = 0.09,
+    posterior_alpha: float = 0.3,
 ) -> dict:
     """Run the sampler pipeline; returns dict with:
     tokens [R] int32, logprob [R] f32 (of the chosen token),
     and when max_logprobs>0: topk_values/topk_indices [R, max_logprobs].
 
     step_offset advances the per-row RNG counter (used by multi-step decode,
-    where the same metadata serves several consecutive steps in-graph)."""
+    where the same metadata serves several consecutive steps in-graph).
+
+    Speculative verification rows (spec_draft[r] >= 0, temperature>0):
+    instead of an independent sample, the row runs lossless rejection
+    sampling against the draft token — accept with prob min(1, p(d)/q(d)),
+    else a residual recovery sample with d excluded (reference
+    aphrodite/modeling/layers/rejection_sampler.py:27; exact for the
+    deterministic proposers where q is one-hot). spec_method
+    "typical_acceptance_sampler" uses the entropy-thresholded typical
+    acceptance instead (reference typical_acceptance_sampler.py:8).
+    Greedy rows keep argmax; the host's compare loop implements their
+    accept/reject exactly."""
     logits = logits.astype(jnp.float32)
 
     if flags.do_logit_bias:
@@ -416,6 +433,42 @@ def sample_tokens(
         greedy_tok = jnp.argmax(logits, axis=-1)
         tokens = jnp.where(md.is_greedy, greedy_tok,
                            sampled).astype(jnp.int32)
+
+        if spec_draft is not None and spec_method is not None:
+            R, V = logprobs_final.shape
+            is_verify = spec_draft >= 0
+            d = jnp.clip(spec_draft, 0)
+            p = jnp.exp(jnp.where(jnp.isfinite(logprobs_final),
+                                  logprobs_final, NEG_INF))
+            p_d = jnp.take_along_axis(p, d[:, None], axis=1)[:, 0]
+            if spec_method == "typical_acceptance_sampler":
+                ent = -jnp.sum(jnp.where(jnp.isfinite(logprobs_final),
+                                         p * logprobs_final, 0.0), axis=-1)
+                thr = jnp.minimum(posterior_threshold,
+                                  jnp.exp(-ent) * posterior_alpha)
+                accept = p_d > thr
+                recovery = jnp.argmax(logprobs_final, axis=-1)
+            else:  # rejection_sampler
+                key_u = jax.vmap(
+                    lambda k: jax.random.fold_in(k, 3))(keys)
+                u = jax.vmap(lambda k: jax.random.uniform(k, ()))(key_u)
+                q_d = (jnp.maximum(spec_q, 1e-10) if spec_q is not None
+                       else jnp.float32(1.0))
+                accept = u < p_d / q_d
+                # Residual recovery: for one-hot q, (p - q)+ renormalized
+                # == p with d excluded; sample via Gumbel-argmax.
+                cols = jnp.arange(V, dtype=jnp.int32)[None, :]
+                masked = jnp.where(cols == d[:, None], NEG_INF,
+                                   logprobs_final)
+                key_r = jax.vmap(
+                    lambda k: jax.random.fold_in(k, 4))(keys)
+                g2 = jax.vmap(
+                    lambda k: jax.random.gumbel(k, (V,)))(key_r)
+                recovery = jnp.argmax(
+                    jnp.where(jnp.isfinite(masked), masked + g2, NEG_INF),
+                    axis=-1)
+            spec_tok = jnp.where(accept, d, recovery).astype(jnp.int32)
+            tokens = jnp.where(is_verify & ~md.is_greedy, spec_tok, tokens)
 
     if logprobs_final is not None:
         chosen_lp = jnp.take_along_axis(logprobs_final, tokens[:, None],

@@ -147,6 +147,13 @@ class ModelRunner:
         # >0 when an ngram/draft proposer is active (set by the engine core):
         # verification gathers spec_k+1 sample rows per request.
         self.spec_k = 0
+        sc_spec = config.speculative_config
+        self.spec_accept_method = (sc_spec.acceptance_method if sc_spec
+                                   else "rejection_sampler")
+        self.spec_posterior_threshold = (sc_spec.posterior_threshold
+                                         if sc_spec else 0.09)
+        self.spec_posterior_alpha = (sc_spec.posterior_alpha
+                                     if sc_spec else 0.3)
         # Draft-model proposer (spec_decode/draft_model.py), set by the
         # worker. Runs in lockstep with the target step.
         self.draft = None
@@ -168,7 +175,7 @@ class ModelRunner:
     def _step(self, params, kv_cache, input_ids, md: AttentionMetadata,
               smd, flags, max_logprobs, spec_k=0, grammar_mask=None,
               lora=None, plp_targets=None, plp_k=0, need_sample=True,
-              need_hidden=False, mm=None):
+              need_hidden=False, mm=None, spec_draft=None):
         """Fused forward + sample: ONE dispatch and one small d2h per engine
         step (the device round trip dominates decode latency on a tunneled
         chip; see bench notes). With spec_k>0, gathers spec_k+1 rows per
@@ -199,7 +206,12 @@ class ModelRunner:
             bits = (grammar_mask[:, :, None] >> shifts[None, None, :]) & 1
             bits = bits.reshape(R2, W * 32)[:, :logits.shape[-1]]
             logits = jnp.where(bits.astype(bool), logits, -jnp.inf)
-        out = sample_tokens(logits, smd, flags, max_logprobs)
+        out = sample_tokens(
+            logits, smd, flags, max_logprobs,
+            spec_draft=spec_draft,
+            spec_method=(self.spec_accept_method if spec_k else None),
+            posterior_threshold=self.spec_posterior_threshold,
+            posterior_alpha=self.spec_posterior_alpha)
         plp = None
         if plp_targets is not None:
             # Prompt logprobs: full-vocab log-softmax over every scheduled
@@ -665,6 +677,15 @@ class ModelRunner:
                 reqs2, self.model.vocab_size, R_pad * (spec_k + 1),
                 base_seed=self._base_seed)
             max_lp = 0
+            # Per-row draft token for in-graph rejection/typical acceptance
+            # (sample/sampler.py spec_draft): row (k-m)+i verifies draft i.
+            draft_rows = np.full((R_pad * (spec_k + 1),), -1, np.int32)
+            for r, rid in enumerate(order):
+                drafts = so.scheduled_spec_decode_tokens.get(rid, ())
+                m = len(drafts)
+                for i, dt in enumerate(drafts):
+                    draft_rows[r * (spec_k + 1) + (spec_k - m) + i] = dt
+            spec_draft_arg = jnp.asarray(draft_rows)
 
         lora_arg = None
         if self.lora_manager is not None and self.lora_manager.slots:
@@ -774,7 +795,8 @@ class ModelRunner:
                 flags=flags, max_logprobs=max_lp, spec_k=spec_k,
                 grammar_mask=gmask, lora=lora_arg, plp_targets=plp_targets,
                 plp_k=plp_k, need_sample=need_sample,
-                need_hidden=need_hidden, mm=mm_arg)
+                need_hidden=need_hidden, mm=mm_arg,
+                spec_draft=(spec_draft_arg if spec_k else None))
 
         # Encoder-cache eviction: scatter-merged embeddings are only
         # consumed during prefill; drop them once every prompt token is
