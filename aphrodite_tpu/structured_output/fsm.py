@@ -232,8 +232,19 @@ class DFA:
     DEAD = -1
 
     def __init__(self, pattern: str) -> None:
-        self.nfa = NFA()
-        frag = RegexParser(pattern, self.nfa).parse()
+        nfa = NFA()
+        frag = RegexParser(pattern, nfa).parse()
+        self._init_from(nfa, frag)
+
+    @classmethod
+    def from_nfa(cls, nfa: NFA, frag: Frag) -> "DFA":
+        """Build over a pre-constructed NFA (grammar backend)."""
+        dfa = cls.__new__(cls)
+        dfa._init_from(nfa, frag)
+        return dfa
+
+    def _init_from(self, nfa: NFA, frag: Frag) -> None:
+        self.nfa = nfa
         self.accept_nfa = frag.end
         start_set = self._eps_closure({frag.start})
         self._sets: list[frozenset[int]] = [frozenset(start_set)]

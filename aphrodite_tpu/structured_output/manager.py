@@ -68,16 +68,22 @@ class StructuredOutputManager:
         if gd.json_object:
             return "json_object"
         if gd.grammar:
-            raise ValueError(
-                "EBNF 'grammar' constraints are not supported by the "
-                "built-in backend (no grammar library in this environment); "
-                "use regex/choice/json")
+            return "grammar:" + gd.grammar
         raise ValueError("empty guided decoding constraint")
 
     def _compile(self, gd: GuidedDecodingParams) -> TokenFSM:
         key = self.grammar_key(gd)
         fsm = self._fsm_cache.get(key)
         if fsm is not None:
+            return fsm
+        if gd.grammar:
+            # EBNF/Lark/GBNF: depth-bounded expansion into the lazy-DFA
+            # engine (structured_output/grammar.py; reference delegates to
+            # xgrammar's PDA, backend_xgrammar.py:28).
+            from aphrodite_tpu.structured_output.grammar import (
+                compile_grammar)
+            fsm = TokenFSM(compile_grammar(gd.grammar), self._tokens())
+            self._fsm_cache[key] = fsm
             return fsm
         if gd.regex:
             pattern = gd.regex
