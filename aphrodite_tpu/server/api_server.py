@@ -667,7 +667,30 @@ class OpenAIServer:
                 index=i, delta=DeltaMessage(role="assistant", content=""))
                 for i in range(params.n)])
         await send(first)
+        # Incremental tool-call / reasoning parsing per choice (reference:
+        # endpoints/openai/tool_parsers/* extract_tool_calls_streaming).
+        from aphrodite_tpu.server.tool_parser import StreamingToolParser
+        parsers = {i: StreamingToolParser() for i in range(params.n)} \
+            if req.tools else None
         n_prompt = n_gen = 0
+
+        def to_delta(c):
+            if parsers is None:
+                return (DeltaMessage(content=c.text), c.finish_reason)
+            p = parsers[c.index]
+            content, reasoning, tcs = p.feed(c.text)
+            if c.finish_reason:
+                c2, r2, _ = p.flush()
+                content += c2
+                reasoning += r2
+            fin = c.finish_reason
+            if fin and fin != "length" and p.emitted_tool_calls:
+                fin = "tool_calls"
+            if not (content or reasoning or tcs or fin):
+                return None, None
+            return (DeltaMessage(content=content or None,
+                                 reasoning_content=reasoning or None,
+                                 tool_calls=tcs or None), fin)
         try:
             async for out in self.engine.generate(prompt, params,
                                                   request_id,
@@ -677,10 +700,12 @@ class OpenAIServer:
                 for c in out.outputs:
                     n_gen += len(c.token_ids)
                     if c.text or c.finish_reason:
+                        delta, fin = to_delta(c)
+                        if delta is None:
+                            continue
                         choices.append(ChatCompletionStreamChoice(
-                            index=c.index,
-                            delta=DeltaMessage(content=c.text),
-                            finish_reason=c.finish_reason))
+                            index=c.index, delta=delta,
+                            finish_reason=fin))
                 if choices:
                     await send(ChatCompletionStreamResponse(
                         id=request_id, model=model, choices=choices))

@@ -137,3 +137,277 @@ def parse_tool_calls(text: str) -> tuple[list[dict], str]:
         if calls:
             return calls, ""
     return calls, text
+
+
+# --------------------------------------------------------------------------- #
+# streaming parser
+# --------------------------------------------------------------------------- #
+_MARKERS = [
+    # (open marker, close marker or None, payload is array?)
+    ("<tool_call>", "</tool_call>", False),
+    ("<tool_calls>", "</tool_calls>", True),
+    ("[TOOL_CALLS]", None, True),
+    ("<|action_start|><|plugin|>", "<|action_end|>", False),
+]
+_MAX_MARKER = max(len(m[0]) for m in _MARKERS)
+_NAME_RE = re.compile(r'"name"\s*:\s*"((?:[^"\\]|\\.)*)"')
+_ARGS_KEY_RE = re.compile(r'"(?:arguments|parameters)"\s*:\s*')
+
+
+class StreamingToolParser:
+    """Incremental tool-call parsing for SSE chat deltas.
+
+    Feed text deltas; each feed() returns (content_delta, reasoning_delta,
+    tool_call_deltas) where tool_call_deltas follow the OpenAI streaming
+    shape: [{"index": i, "id": ..., "type": "function",
+    "function": {"name": ...}}] first, then argument fragments
+    [{"index": i, "function": {"arguments": "..."}}]. Covers the same wire
+    formats as the batch parser above, streamed: the function name is
+    emitted as soon as the partial JSON reveals it, and the raw text of the
+    arguments object streams through as it arrives (reference:
+    aphrodite/endpoints/openai/tool_parsers/hermes_tool_parser.py
+    extract_tool_calls_streaming and siblings, redesigned as one
+    format-table-driven incremental scanner)."""
+
+    def __init__(self, parse_think: bool = True) -> None:
+        self.buf = ""
+        self.mode = "scan"       # scan | think | call
+        self.parse_think = parse_think
+        self.started = False     # saw any non-space output yet
+        self.close_marker = None
+        self.is_array = False
+        self.call_index = -1
+        self.name_sent = False
+        self.args_started = False
+        self.args_depth = 0
+        self.args_in_str = False
+        self.args_esc = False
+        self.body = ""           # accumulated JSON body of the current call
+        self.finished_calls = 0
+
+    # ---- helpers ---------------------------------------------------------
+    def _find_marker(self, text):
+        best = None
+        for op, cl, arr in _MARKERS:
+            i = text.find(op)
+            if i >= 0 and (best is None or i < best[0]):
+                best = (i, op, cl, arr)
+        # bare JSON tool call: only at the very start of output
+        if not self.started:
+            ls = text.lstrip()
+            if ls.startswith('{"') or ls == "{" or \
+                    (ls.startswith("{") and len(ls) < 3):
+                i = text.find("{")
+                if best is None or i < best[0]:
+                    best = (i, "", None, False)
+        return best
+
+    def _marker_prefix_len(self, text):
+        """Longest suffix of `text` that is a prefix of any open marker
+        (held back so a split marker is not emitted as content)."""
+        for n in range(min(len(text), _MAX_MARKER), 0, -1):
+            suf = text[-n:]
+            if any(m[0].startswith(suf) for m in _MARKERS):
+                return n
+        return 0
+
+    def feed(self, delta: str):
+        self.buf += delta
+        content, reasoning, calls = "", "", []
+        progressed = True
+        while progressed:
+            progressed = False
+            if self.mode == "scan":
+                if self.parse_think and not self.started and \
+                        self.buf.lstrip().startswith("<think>"):
+                    self.buf = self.buf.split("<think>", 1)[1]
+                    self.mode = "think"
+                    progressed = True
+                    continue
+                if self.parse_think and not self.started and \
+                        "<think>".startswith(self.buf.lstrip() or "<"):
+                    break  # might still become a think block
+                m = self._find_marker(self.buf)
+                if m is not None:
+                    i, op, cl, arr = m
+                    content += self.buf[:i]
+                    self.buf = self.buf[i + len(op):]
+                    self.mode = "call"
+                    self.close_marker = cl
+                    self.is_array = arr
+                    self.call_index = self.finished_calls
+                    self.name_sent = False
+                    self.args_started = False
+                    self.body = ""
+                    self.started = True
+                    progressed = True
+                    continue
+                hold = self._marker_prefix_len(self.buf)
+                emit = self.buf[:len(self.buf) - hold]
+                if emit:
+                    content += emit
+                    if emit.strip():
+                        self.started = True
+                    self.buf = self.buf[len(emit):]
+                break
+            if self.mode == "think":
+                j = self.buf.find("</think>")
+                if j >= 0:
+                    reasoning += self.buf[:j]
+                    self.buf = self.buf[j + len("</think>"):]
+                    self.mode = "scan"
+                    progressed = True
+                    continue
+                hold = 0
+                for n in range(min(len(self.buf), 8), 0, -1):
+                    if "</think>".startswith(self.buf[-n:]):
+                        hold = n
+                        break
+                emit = self.buf[:len(self.buf) - hold]
+                if emit:
+                    reasoning += emit
+                    self.buf = self.buf[len(emit):]
+                break
+            if self.mode == "scan_close":
+                j = self.buf.find(self.close_marker)
+                if j >= 0:
+                    self.buf = self.buf[j + len(self.close_marker):]
+                    self.mode = "scan"
+                    progressed = True
+                    continue
+                break
+            if self.mode == "call":
+                calls.extend(self._feed_call())
+                if self.mode == "call":
+                    break
+                progressed = True
+        return content, reasoning, calls
+
+    def _feed_call(self):
+        """Consume self.buf while inside a call payload."""
+        out = []
+        # strip a leading '[' of array payloads / ',' between elements
+        while self.buf and not self.body and self.buf[0] in " \n\t[,":
+            self.buf = self.buf[1:]
+        if self.close_marker and self.buf.startswith(
+                self.close_marker[:len(self.buf)]) and \
+                self.close_marker.startswith(self.buf):
+            return out  # partial close marker: wait
+        # move chars into body until the object closes
+        while self.buf:
+            if self.close_marker is not None and not self.body and \
+                    self.buf.startswith(self.close_marker):
+                self.buf = self.buf[len(self.close_marker):]
+                self.mode = "scan"
+                return out
+            if self.buf and self.buf[0] == "]" and not self.body:
+                # array payload exhausted
+                self.buf = self.buf[1:]
+                if self.close_marker:
+                    j = self.buf.find(self.close_marker)
+                    if j >= 0:
+                        self.buf = self.buf[j + len(self.close_marker):]
+                self.mode = "scan"
+                return out
+            ch = self.buf[0]
+            self.buf = self.buf[1:]
+            self.body += ch
+            if self.args_started:
+                if self.args_in_str:
+                    if self.args_esc:
+                        self.args_esc = False
+                    elif ch == "\\":
+                        self.args_esc = True
+                    elif ch == '"':
+                        self.args_in_str = False
+                elif ch == '"':
+                    self.args_in_str = True
+                elif ch in "{[":
+                    self.args_depth += 1
+                elif ch in "}]":
+                    self.args_depth -= 1
+                out.append({"index": self.call_index,
+                            "function": {"arguments": ch}})
+                if self.args_depth == 0 and not self.args_in_str:
+                    self.args_started = False
+            if not self.name_sent:
+                m = _NAME_RE.search(self.body)
+                if m:
+                    self.name_sent = True
+                    out.append({
+                        "index": self.call_index,
+                        "id": f"chatcmpl-tool-{uuid.uuid4().hex[:16]}",
+                        "type": "function",
+                        "function": {"name": json.loads(
+                            '"' + m.group(1) + '"'), "arguments": ""}})
+            if not self.args_started:
+                m = _ARGS_KEY_RE.search(self.body)
+                if m and m.end() == len(self.body):
+                    self.args_started = True
+                    self.args_depth = 0
+                    self.args_in_str = False
+                    self.args_esc = False
+            # whole object complete? depth-track the body itself
+            if self._object_closed():
+                self.finished_calls += 1
+                if self.is_array:
+                    self.call_index = self.finished_calls
+                    self.name_sent = False
+                    self.args_started = False
+                    self.body = ""
+                    # continue consuming next element or ']'
+                    while self.buf and self.buf[0] in " \n\t,":
+                        self.buf = self.buf[1:]
+                    continue
+                if self.close_marker:
+                    j = self.buf.find(self.close_marker)
+                    if j >= 0:
+                        self.buf = self.buf[j + len(self.close_marker):]
+                        self.mode = "scan"
+                        return out
+                    if len(self.buf) < len(self.close_marker):
+                        # wait for the close marker
+                        self.body = ""
+                        self.mode = "scan_close"
+                        return out
+                self.mode = "scan"
+                return out
+        return out
+
+    def _object_closed(self) -> bool:
+        depth = 0
+        in_str = esc = False
+        seen = False
+        for ch in self.body:
+            if in_str:
+                if esc:
+                    esc = False
+                elif ch == "\\":
+                    esc = True
+                elif ch == '"':
+                    in_str = False
+            elif ch == '"':
+                in_str = True
+            elif ch == "{":
+                depth += 1
+                seen = True
+            elif ch == "}":
+                depth -= 1
+        return seen and depth == 0
+
+    def flush(self):
+        """End of stream: return any held-back content."""
+        if self.mode == "scan_close":
+            self.mode = "scan"
+            return "", "", []
+        if self.mode == "think":
+            r, self.buf = self.buf, ""
+            return "", r, []
+        if self.mode == "scan":
+            c, self.buf = self.buf, ""
+            return c, "", []
+        return "", "", []
+
+    @property
+    def emitted_tool_calls(self) -> bool:
+        return self.finished_calls > 0 or self.name_sent
