@@ -34,8 +34,10 @@ def apply_linear(x: jax.Array, w: Weight,
             out = fp8_matmul(x, w["qweight"], w["weight_scale"])
         elif fmt == "w4a16":
             from aphrodite_tpu.ops.quant_gemm import w4a16_matmul
-            out = w4a16_matmul(x, w["qweight"], w["scales"], w.get("zeros"),
-                               input_perm=w.get("input_perm"))
+            out = w4a16_matmul(x, w.get("qweight"), w["scales"],
+                               w.get("zeros"),
+                               input_perm=w.get("input_perm"),
+                               qpacked=w.get("qweight_packed"))
         elif fmt is not None and fmt.startswith("fpx_e"):
             from aphrodite_tpu.ops.quant_gemm import fpx_matmul
             ebits, mbits = (int(s) for s in fmt[5:].split("m"))

@@ -195,6 +195,7 @@ class LlamaForCausalLM:
                 in_axis = wspec[1]
                 d = {"qweight": wspec}
                 if self.quant_fmt == "w4a16":
+                    d["qweight_packed"] = wspec
                     d["scales"] = P(None, None, out_axis)
                     d["zeros"] = P(None, None, out_axis)
                 elif self.quant_fmt == "fp8":

@@ -84,17 +84,30 @@ def fpx_matmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
     return (acc * scales.astype(jnp.float32)[None, :]).astype(x.dtype)
 
 
-def w4a16_matmul(x: jax.Array, qweight: jax.Array, scales: jax.Array,
+def w4a16_matmul(x: jax.Array, qweight: Optional[jax.Array],
+                 scales: jax.Array,
                  zeros: Optional[jax.Array],
                  group_size: Optional[int] = None,
-                 input_perm: Optional[jax.Array] = None) -> jax.Array:
+                 input_perm: Optional[jax.Array] = None,
+                 qpacked: Optional[jax.Array] = None) -> jax.Array:
     """Group-quantized 4-bit weights (GPTQ/AWQ after load-time repack).
 
-    qweight: int8 [in, out] holding uint4 values 0..15;
-    scales/zeros: [in/group, out] float; y = x @ ((q - z) * s).
+    qweight: int8 [in, out] holding uint4 values 0..15, OR qpacked:
+    uint8 [in/2, out] global-half nibble packing (true 4-bit HBM storage,
+    loader._pack_w4_leaves); scales/zeros: [in/group, out] float;
+    y = x @ ((q - z) * s).
     """
     if input_perm is not None:
         x = jnp.take(x, input_perm, axis=-1)  # desc_act reorder
+    if qpacked is not None and zeros is not None and _use_pallas():
+        from aphrodite_tpu.ops.quant_matmul_pallas import (
+            w4a16_packed_matmul_pallas)
+        return w4a16_packed_matmul_pallas(x, qpacked, scales, zeros)
+    if qpacked is not None and qweight is None:
+        # XLA/CPU fallback: unpack the halves (fused into the dot consumer).
+        qweight = jnp.concatenate(
+            [(qpacked & jnp.uint8(0xF)).astype(jnp.int8),
+             (qpacked >> 4).astype(jnp.int8)], axis=-2)
     if zeros is not None and _use_pallas():
         from aphrodite_tpu.ops.quant_matmul_pallas import w4a16_matmul_pallas
         return w4a16_matmul_pallas(x, qweight, scales, zeros)

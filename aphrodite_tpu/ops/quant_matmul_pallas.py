@@ -155,3 +155,96 @@ def w4a16_matmul_pallas(x: jax.Array, qweight: jax.Array, scales: jax.Array,
         interpret=interpret,
     )(x, qweight, scales, zeros)
     return out
+
+
+def _w4p_kernel(x1_ref, x2_ref, w_ref, s1_ref, z1_ref, s2_ref, z2_ref,
+                o_ref, acc, xsum, *, nk: int, groups_per_bk: int):
+    """True-4-bit W4A16: w_ref is uint8 [bkp, bn] carrying original rows
+    [r0, r0+bkp) in the low nibbles and rows [K/2+r0, ...) in the high
+    nibbles (global-half packing, loader._pack_w4_leaves). The two
+    contributions use two x/scale block views — no sublane interleave."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+        xsum[...] = jnp.zeros_like(xsum)
+
+    b = w_ref[...]
+    lo = (b & jnp.uint8(0xF)).astype(x1_ref.dtype)
+    hi = (b >> 4).astype(x1_ref.dtype)
+    bkp, bn = b.shape
+    g = bkp // groups_per_bk
+
+    def half(x_ref, w, s_ref, z_ref):
+        sblk = s_ref[...].astype(x_ref.dtype)  # [gpb, bn]
+        wg = w.reshape(groups_per_bk, g, bn) * sblk[:, None, :]
+        acc[...] += jax.lax.dot(x_ref[...], wg.reshape(bkp, bn),
+                                preferred_element_type=jnp.float32)
+        xg = jnp.sum(x_ref[...].reshape(x_ref.shape[0], groups_per_bk, g)
+                     .astype(jnp.float32), axis=2)
+        zs = (z_ref[...] * s_ref[...]).astype(jnp.float32)
+        xsum[...] += jax.lax.dot(xg.astype(x_ref.dtype),
+                                 zs.astype(x_ref.dtype),
+                                 preferred_element_type=jnp.float32)
+
+    half(x1_ref, lo, s1_ref, z1_ref)
+    half(x2_ref, hi, s2_ref, z2_ref)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[...] = (acc[...] - xsum[...]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k",
+                                             "interpret"))
+def w4a16_packed_matmul_pallas(x: jax.Array, qpacked: jax.Array,
+                               scales: jax.Array, zeros: jax.Array,
+                               block_n: int = 512, block_k: int = 1024,
+                               interpret: Optional[bool] = None
+                               ) -> jax.Array:
+    """x [M, K] @ dequant(uint8-packed 4-bit [K/2, N]); scales/zeros [G, N]
+    with G even and (K/2) % group == 0 (guaranteed by the loader)."""
+    if interpret is None:
+        interpret = os.environ.get("APHRODITE_PALLAS_INTERPRET", "0") == "1"
+    M, K = x.shape
+    Kp, N = qpacked.shape
+    assert K == 2 * Kp, (K, Kp)
+    G = scales.shape[0]
+    group = K // G
+    Gh = G // 2
+    bn = min(block_n, N)
+    bkp = min(block_k // 2, Kp)
+    bkp = max((bkp // group) * group, group)  # whole groups per half-block
+    nk = cdiv(Kp, bkp)
+    gpb = bkp // group
+
+    out = pl.pallas_call(
+        functools.partial(_w4p_kernel, nk=nk, groups_per_bk=gpb),
+        grid=(cdiv(N, bn), nk),
+        in_specs=[
+            pl.BlockSpec((M, bkp), lambda n, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, bkp), lambda n, k, _kp=nk: (0, k + _kp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkp, bn), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bn), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bn), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bn), lambda n, k, _gh=nk: (k + _gh, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bn), lambda n, k, _gh=nk: (k + _gh, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda n, k: (0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32),
+                        pltpu.VMEM((M, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x, x, qpacked, scales, zeros, scales, zeros)
+    return out

@@ -42,3 +42,31 @@ def test_w4a16_pallas(M, K, N, group, bn, bk):
     wd = ((q.reshape(G, group, N).astype(np.float32) - z[:, None, :])
           * s[:, None, :]).reshape(K, N)
     np.testing.assert_allclose(got, x @ wd, rtol=5e-3, atol=5e-3)
+
+
+def test_w4a16_packed_matches_unpacked():
+    """True-4-bit packed kernel (global-half nibble packing) vs the
+    unpacked reference math, interpret mode."""
+    import numpy as np
+    import jax.numpy as jnp
+    from aphrodite_tpu.ops.quant_matmul_pallas import (
+        w4a16_packed_matmul_pallas)
+    rng = np.random.RandomState(0)
+    M, K, N, group = 8, 512, 256, 128
+    G = K // group
+    qu = rng.randint(0, 16, (K, N)).astype(np.int8)
+    scales = rng.rand(G, N).astype(np.float32) * 0.05 + 0.01
+    zeros = rng.randint(0, 16, (G, N)).astype(np.float32)
+    x = jnp.asarray(rng.randn(M, K), jnp.float32)
+
+    lo = qu[:K // 2].astype(np.uint8)
+    hi = qu[K // 2:].astype(np.uint8)
+    qp = jnp.asarray(lo | (hi << 4))
+
+    got = w4a16_packed_matmul_pallas(x, qp, jnp.asarray(scales),
+                                     jnp.asarray(zeros), block_k=256,
+                                     block_n=128, interpret=True)
+    wf = (qu.astype(np.float32).reshape(G, group, N)
+          - zeros[:, None, :]) * scales[:, None, :]
+    ref = np.asarray(x) @ wf.reshape(K, N)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-2, atol=2e-2)
