@@ -124,7 +124,11 @@ def _pack_w4_leaves(params):
                 K = q.shape[-2]
                 G = np.asarray(node["scales"]).shape[-2]
                 group = K // max(G, 1)
-                if K % 2 == 0 and group > 0 and (K // 2) % group == 0:
+                # 8*group granularity: the kernel's scale blocks need >=8
+                # sublanes (Mosaic tiling) and the half split must cover
+                # whole blocks.
+                if group > 0 and K % 2 == 0 and \
+                        (K // 2) % (8 * group) == 0:
                     node = dict(node)
                     lo = q[..., :K // 2, :].astype(np.uint8)
                     hi = q[..., K // 2:, :].astype(np.uint8)

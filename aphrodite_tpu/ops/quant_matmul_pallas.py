@@ -214,9 +214,14 @@ def w4a16_packed_matmul_pallas(x: jax.Array, qpacked: jax.Array,
     group = K // G
     Gh = G // 2
     bn = min(block_n, N)
-    bkp = min(block_k // 2, Kp)
-    bkp = max((bkp // group) * group, group)  # whole groups per half-block
-    nk = cdiv(Kp, bkp)
+    # Scale blocks need >= 8 sublanes (Mosaic min tile): bkp is a multiple
+    # of 8*group that divides Kp (the loader only packs such shapes).
+    unit = 8 * group
+    assert Kp % unit == 0, (Kp, unit)
+    bkp = max((min(block_k, Kp) // unit) * unit, unit)
+    while Kp % bkp:
+        bkp -= unit
+    nk = Kp // bkp
     gpb = bkp // group
 
     out = pl.pallas_call(

@@ -52,7 +52,7 @@ def test_w4a16_packed_matches_unpacked():
     from aphrodite_tpu.ops.quant_matmul_pallas import (
         w4a16_packed_matmul_pallas)
     rng = np.random.RandomState(0)
-    M, K, N, group = 8, 512, 256, 128
+    M, K, N, group = 8, 2048, 256, 128
     G = K // group
     qu = rng.randint(0, 16, (K, N)).astype(np.int8)
     scales = rng.rand(G, N).astype(np.float32) * 0.05 + 0.01
@@ -64,7 +64,7 @@ def test_w4a16_packed_matches_unpacked():
     qp = jnp.asarray(lo | (hi << 4))
 
     got = w4a16_packed_matmul_pallas(x, qp, jnp.asarray(scales),
-                                     jnp.asarray(zeros), block_k=256,
+                                     jnp.asarray(zeros), block_k=2048,
                                      block_n=128, interpret=True)
     wf = (qu.astype(np.float32).reshape(G, group, N)
           - zeros[:, None, :]) * scales[:, None, :]
