@@ -133,7 +133,7 @@ def _pack_w4_leaves(params):
                     lo = q[..., :K // 2, :].astype(np.uint8)
                     hi = q[..., K // 2:, :].astype(np.uint8)
                     node["qweight_packed"] = (lo | (hi << 4)).astype(
-                        np.uint8)
+                        np.uint8).view(np.int8)
                     del node["qweight"]
                 return node
             return {k: rec(v) for k, v in node.items()}

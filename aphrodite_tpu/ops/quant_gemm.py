@@ -21,8 +21,14 @@ import jax.numpy as jnp
 
 
 def _use_pallas() -> bool:
-    return (jax.default_backend() != "cpu"
-            or os.environ.get("APHRODITE_PALLAS_INTERPRET", "0") == "1")
+    """Dequant GEMMs default to the XLA path even on TPU: at decode batch
+    sizes XLA's fused upcast-into-dot measured faster than the explicit
+    Pallas dequant kernels on v5e (the per-element VPU dequant dominates
+    and XLA schedules it better). The kernels remain for experimentation:
+    APHRODITE_QUANT_PALLAS=1 (interpret-mode tests force them too)."""
+    if os.environ.get("APHRODITE_QUANT_PALLAS", "0") == "1":
+        return True
+    return os.environ.get("APHRODITE_PALLAS_INTERPRET", "0") == "1"
 
 
 def w8a16_matmul(x: jax.Array, qweight: jax.Array,
@@ -105,9 +111,10 @@ def w4a16_matmul(x: jax.Array, qweight: Optional[jax.Array],
         return w4a16_packed_matmul_pallas(x, qpacked, scales, zeros)
     if qpacked is not None and qweight is None:
         # XLA/CPU fallback: unpack the halves (fused into the dot consumer).
+        b32 = qpacked.astype(jnp.int32) & 0xFF
         qweight = jnp.concatenate(
-            [(qpacked & jnp.uint8(0xF)).astype(jnp.int8),
-             (qpacked >> 4).astype(jnp.int8)], axis=-2)
+            [(b32 & 0xF).astype(jnp.int8),
+             ((b32 >> 4) & 0xF).astype(jnp.int8)], axis=-2)
     if zeros is not None and _use_pallas():
         from aphrodite_tpu.ops.quant_matmul_pallas import w4a16_matmul_pallas
         return w4a16_matmul_pallas(x, qweight, scales, zeros)

@@ -170,10 +170,12 @@ def _w4p_kernel(x1_ref, x2_ref, w_ref, s1_ref, z1_ref, s2_ref, z2_ref,
         acc[...] = jnp.zeros_like(acc)
         xsum[...] = jnp.zeros_like(xsum)
 
-    b = w_ref[...]
-    lo = (b & jnp.uint8(0xF)).astype(x1_ref.dtype)
-    hi = (b >> 4).astype(x1_ref.dtype)
-    bkp, bn = b.shape
+    # Packed bytes ride as int8 bit patterns; Mosaic legalizes int32
+    # shifts/masks (uint8 ops it does not) — widen, split nibbles, cast.
+    b32 = w_ref[...].astype(jnp.int32) & 0xFF
+    lo = (b32 & 0xF).astype(x1_ref.dtype)
+    hi = ((b32 >> 4) & 0xF).astype(x1_ref.dtype)
+    bkp, bn = lo.shape
     g = bkp // groups_per_bk
 
     def half(x_ref, w, s_ref, z_ref):
@@ -203,8 +205,8 @@ def w4a16_packed_matmul_pallas(x: jax.Array, qpacked: jax.Array,
                                block_n: int = 512, block_k: int = 1024,
                                interpret: Optional[bool] = None
                                ) -> jax.Array:
-    """x [M, K] @ dequant(uint8-packed 4-bit [K/2, N]); scales/zeros [G, N]
-    with G even and (K/2) % group == 0 (guaranteed by the loader)."""
+    """x [M, K] @ dequant(nibble-packed 4-bit int8 [K/2, N]); scales/zeros
+    [G, N] with (K/2) % (8*group) == 0 (guaranteed by the loader)."""
     if interpret is None:
         interpret = os.environ.get("APHRODITE_PALLAS_INTERPRET", "0") == "1"
     M, K = x.shape

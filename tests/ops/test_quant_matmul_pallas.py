@@ -61,7 +61,7 @@ def test_w4a16_packed_matches_unpacked():
 
     lo = qu[:K // 2].astype(np.uint8)
     hi = qu[K // 2:].astype(np.uint8)
-    qp = jnp.asarray(lo | (hi << 4))
+    qp = jnp.asarray((lo | (hi << 4)).view(np.int8))
 
     got = w4a16_packed_matmul_pallas(x, qp, jnp.asarray(scales),
                                      jnp.asarray(zeros), block_k=2048,
