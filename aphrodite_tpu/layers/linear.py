@@ -31,7 +31,16 @@ def apply_linear(x: jax.Array, w: Weight,
             out = int8_matmul(x, w["qweight"], w["scales"])
         elif fmt == "fp8":
             from aphrodite_tpu.ops.quant_gemm import fp8_matmul
-            out = fp8_matmul(x, w["qweight"], w["weight_scale"])
+            out = fp8_matmul(x, w["qweight"],
+                             w.get("weight_scale_block",
+                                   w.get("weight_scale")))
+        elif fmt == "fp8_w8a8":
+            from aphrodite_tpu.ops.quant_gemm import fp8_matmul
+            out = fp8_matmul(x, w["qweight"],
+                             w.get("weight_scale_block",
+                                   w.get("weight_scale")),
+                             input_scale=w.get("input_scale"),
+                             act_quant=True)
         elif fmt == "w4a16":
             from aphrodite_tpu.ops.quant_gemm import w4a16_matmul
             out = w4a16_matmul(x, w.get("qweight"), w["scales"],

@@ -198,8 +198,10 @@ class LlamaForCausalLM:
                     d["qweight_packed"] = wspec
                     d["scales"] = P(None, None, out_axis)
                     d["zeros"] = P(None, None, out_axis)
-                elif self.quant_fmt == "fp8":
+                elif self.quant_fmt.startswith("fp8"):
                     d["weight_scale"] = P(None, out_axis)
+                    d["weight_scale_block"] = P(None, None, out_axis)
+                    d["input_scale"] = P(None)
                 else:
                     d["scales"] = P(None, out_axis)
                 return d

@@ -57,12 +57,43 @@ def int8_matmul(x: jax.Array, qweight: jax.Array,
 
 
 def fp8_matmul(x: jax.Array, qweight: jax.Array, weight_scale: jax.Array,
-               input_scale: Optional[jax.Array] = None) -> jax.Array:
-    """FP8-e4m3 weights. On MXU generations without native fp8 this is a
-    weight-only memory win (upcast fused into the dot)."""
-    acc = jnp.dot(x, qweight.astype(x.dtype),
-                  preferred_element_type=jnp.float32)
-    return (acc * weight_scale.astype(jnp.float32)[None, :]).astype(x.dtype)
+               input_scale: Optional[jax.Array] = None,
+               act_quant: bool = False) -> jax.Array:
+    """FP8-e4m3 weights, optionally with FP8 activation quantization
+    (reference quantization/fp8.py:47-80 + kernels/scaled_mm). On MXU
+    generations without native fp8 the compute upcasts to the act dtype,
+    but W8A8 numerics are preserved: both operands are genuinely rounded
+    to e4m3 before the dot.
+
+    weight_scale: [N] per-output-channel, or 2-D blockwise [K/b0, N/b1]
+    (DeepSeek weight_block_size); input_scale: static per-tensor scalar
+    (None + act_quant => dynamic per-token scales in-graph)."""
+    K, N = qweight.shape[-2:]
+    blockwise = weight_scale.ndim == 2 and weight_scale.shape != (1, N)
+    wf = qweight.astype(x.dtype)
+    if blockwise:
+        Kb, Nb = weight_scale.shape
+        b0, b1 = K // Kb, N // Nb
+        wf = (wf.reshape(Kb, b0, Nb, b1)
+              * weight_scale.astype(x.dtype)[:, None, :, None]
+              ).reshape(K, N)
+    if act_quant:
+        import ml_dtypes
+        f8 = jnp.dtype(ml_dtypes.float8_e4m3fn)
+        if input_scale is None:  # dynamic per-token
+            xs = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                         keepdims=True) / 448.0
+            xs = jnp.maximum(xs, 1e-10)
+        else:
+            xs = input_scale.astype(jnp.float32).reshape(1, 1)
+        x8 = (x.astype(jnp.float32) / xs).astype(f8)
+        acc = jnp.dot(x8.astype(x.dtype), wf,
+                      preferred_element_type=jnp.float32) * xs
+    else:
+        acc = jnp.dot(x, wf, preferred_element_type=jnp.float32)
+    if not blockwise:
+        acc = acc * weight_scale.astype(jnp.float32)[None, :]
+    return acc.astype(x.dtype)
 
 
 def fpx_matmul(x: jax.Array, codes: jax.Array, scales: jax.Array,

@@ -22,6 +22,7 @@ from aphrodite_tpu.quantization.base import (QuantizationConfig,
                                              get_quantization_config)
 
 QUANTIZATION_METHODS = ["gptq", "awq", "int8", "tpu_int8", "w8a16", "fp8",
+                        "fp8_w8a8", "fp8-dynamic", "ptpc_fp8",
                         "fp4", "fp5", "fp6", "fp7", "quant_llm",
                         "deepspeedfp"]
 

@@ -45,6 +45,13 @@ class QuantizationConfig:
     # modelopt checkpoints dequantize at load — quantization/importers.py).
     # method == "dequant" means the runtime stays full precision.
     preprocess: Optional[str] = None
+    # FP8 activation quantization (reference quantization/fp8.py:47-80):
+    # None = weight-only; "dynamic" = per-token act scales computed
+    # in-graph; "static" = per-tensor input_scale from the checkpoint.
+    activation_scheme: Optional[str] = None
+    # DeepSeek-style 2-D blockwise weight scales, e.g. (128, 128)
+    # (reference fp8.py weight_block_size); None = per-output-channel.
+    weight_block_size: Optional[tuple] = None
 
     # ------------------------------------------------------------- detection
     @staticmethod
@@ -65,7 +72,12 @@ class QuantizationConfig:
                 zero_point=hf_quant_cfg.get("zero_point", True),
                 from_checkpoint=True)
         if m in ("fp8", "fbgemm_fp8"):
-            return QuantizationConfig(method="fp8")
+            wbs = hf_quant_cfg.get("weight_block_size")
+            return QuantizationConfig(
+                method="fp8",
+                activation_scheme=hf_quant_cfg.get("activation_scheme"),
+                weight_block_size=tuple(wbs) if wbs else None,
+                from_checkpoint=True, checkpoint_layout="fp8_native")
         if m in ("int8", "tpu_int8", "w8a8"):
             return QuantizationConfig(method="int8")
         if m == "bitsandbytes":
@@ -132,8 +144,13 @@ class QuantizationConfig:
                     desc_act=(w.get("actorder") or "") == "group",
                     from_checkpoint=True, checkpoint_layout="ct_packed")
             if wtype == "float" and bits == 8:
+                scheme = None
+                if acts:
+                    scheme = ("dynamic" if acts.get("dynamic", True)
+                              else "static")
                 return QuantizationConfig(
                     method="fp8", from_checkpoint=True,
+                    activation_scheme=scheme,
                     checkpoint_layout="compressed_tensors")
             if wtype == "int" and bits == 8:
                 return QuantizationConfig(
@@ -154,6 +171,10 @@ class QuantizationConfig:
             return QuantizationConfig(method="w8a16")
         if name == "fp8":
             return QuantizationConfig(method="fp8")
+        if name in ("fp8_w8a8", "fp8-dynamic", "ptpc_fp8"):
+            # Dynamic per-token activation scales (reference ptpc_fp8.py).
+            return QuantizationConfig(method="fp8",
+                                      activation_scheme="dynamic")
         if name == "gptq":
             return QuantizationConfig(method="gptq", weight_bits=4,
                                       group_size=128)
@@ -224,6 +245,8 @@ class QuantizationConfig:
 
 def runtime_format(qcfg: "QuantizationConfig") -> str:
     """The static format tag the model passes to apply_linear."""
+    if qcfg.method == "fp8" and qcfg.activation_scheme:
+        return "fp8_w8a8"
     if qcfg.method == "fpx":
         m = qcfg.weight_bits - qcfg.exp_bits - 1
         return f"fpx_e{qcfg.exp_bits}m{m}"

@@ -128,7 +128,8 @@ _PROJ_MAP = {
 }
 _QPARTS = ("qweight", "qzeros", "scales", "g_idx", "bias",
            # compressed-tensors naming (llm-compressor checkpoints)
-           "weight", "weight_scale", "weight_zero_point", "input_scale",
+           "weight", "weight_scale", "weight_scale_inv",
+           "weight_zero_point", "input_scale",
            "weight_packed", "weight_shape", "weight_g_idx",
            # HQQ naming
            "W_q", "zero", "scale")
@@ -148,10 +149,36 @@ def _unpack_compressed(parts: dict, method: str, out_dtype) -> dict:
                          "supported (symmetric int8/fp8 only)")
     if method == "fp8":
         import ml_dtypes
-        return {"qweight": w.T.astype(ml_dtypes.float8_e4m3fn),
-                "weight_scale": scale.astype(np.float32)}
+        d = {"qweight": w.T.astype(ml_dtypes.float8_e4m3fn),
+             "weight_scale": scale.astype(np.float32)}
+        if parts.get("input_scale") is not None:
+            d["input_scale"] = np.asarray(
+                np.asarray(parts["input_scale"]).reshape(-1)[0], np.float32)
+        return d
     return {"qweight": w.T.astype(np.int8),
             "scales": scale.astype(np.float32)}
+
+
+def _unpack_fp8_native(parts: dict, qcfg) -> dict:
+    """HF quant_method=fp8 checkpoints (DeepSeek-V3 style): weight f8e4m3
+    [out, in] + weight_scale_inv blockwise [out/b0, in/b1] (or per-tensor
+    weight_scale) + optional static input_scale."""
+    import ml_dtypes
+    w = np.asarray(parts["weight"])
+    d = {"qweight": w.T.astype(ml_dtypes.float8_e4m3fn)}
+    scale = parts.get("weight_scale_inv")
+    if scale is not None:
+        d["weight_scale_block"] = np.asarray(scale, np.float32).T
+    else:
+        scale = np.asarray(parts.get("weight_scale", 1.0), np.float32)
+        out = w.shape[0]
+        d["weight_scale"] = (np.broadcast_to(scale.reshape(-1), (out,))
+                             if scale.size in (1, out)
+                             else scale.reshape(out)).astype(np.float32)
+    if parts.get("input_scale") is not None:
+        d["input_scale"] = np.asarray(
+            np.asarray(parts["input_scale"]).reshape(-1)[0], np.float32)
+    return d
 
 
 def load_llama_quantized(model, weights: Iterable[tuple[str, np.ndarray]],
@@ -215,6 +242,8 @@ def load_llama_quantized(model, weights: Iterable[tuple[str, np.ndarray]],
                                             symmetric=not qcfg.zero_point)
             elif qcfg.checkpoint_layout == "compressed_tensors":
                 unpacked = _unpack_compressed(parts, qcfg.method, target)
+            elif qcfg.checkpoint_layout == "fp8_native":
+                unpacked = _unpack_fp8_native(parts, qcfg)
             elif qcfg.checkpoint_layout == "hqq":
                 from aphrodite_tpu.quantization.importers import unpack_hqq
                 out_features = {
