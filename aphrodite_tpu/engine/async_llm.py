@@ -39,7 +39,8 @@ class AsyncLLM:
         self._dead: Optional[BaseException] = None
 
         if multiprocess:
-            from aphrodite_tpu.engine.core_proc import MPEngineCoreClient
+            from aphrodite_tpu.engine.core_proc import (DPEngineCoreClient,
+                                                        MPEngineCoreClient)
             from aphrodite_tpu.engine.output_processor import OutputProcessor
             from aphrodite_tpu.engine.processor import Processor
             from aphrodite_tpu.tokenizer_utils import get_tokenizer
@@ -48,7 +49,9 @@ class AsyncLLM:
                                        trust_remote_code=mc.trust_remote_code)
                          if mc.tokenizer != "unused" else None)
             self._tokenizer = tokenizer
-            self.client = MPEngineCoreClient(config)
+            dp = config.parallel_config.data_parallel_size
+            self.client = (DPEngineCoreClient(config) if dp > 1
+                           else MPEngineCoreClient(config))
             self.processor = Processor(config, tokenizer)
             self.output_processor = OutputProcessor(tokenizer)
             self.engine = None

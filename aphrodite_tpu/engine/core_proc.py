@@ -104,7 +104,8 @@ class MPEngineCoreClient:
     """Frontend-side client: same surface as EngineCore, but requests cross a
     process boundary and outputs arrive via a background reader thread."""
 
-    def __init__(self, config, startup_timeout: float = 300.0) -> None:
+    def __init__(self, config, startup_timeout: float = 300.0,
+                 extra_env: Optional[dict] = None) -> None:
         import zmq
 
         d = tempfile.mkdtemp(prefix="aphrodite_tpu_zmq_")
@@ -120,6 +121,8 @@ class MPEngineCoreClient:
             os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))))] +
             env.get("PYTHONPATH", "").split(os.pathsep))
+        if extra_env:
+            env.update(extra_env)
         self.proc = subprocess.Popen(
             [sys.executable, "-m", "aphrodite_tpu.engine.core_proc",
              cfg_path, self.input_addr, self.output_addr], env=env)
@@ -220,3 +223,94 @@ def _cli_main() -> None:
 
 if __name__ == "__main__":
     _cli_main()
+
+
+class DPEngineCoreClient:
+    """Data-parallel engine replication: ``dp`` independent engine-core
+    processes, requests routed least-loaded, outputs merged into one
+    stream. The TPU-native counterpart of the reference's DPEngineCoreProc
+    (aphrodite/v1/engine/core.py:589-716) — no wave coordination is needed
+    because each replica owns its whole device subset (no cross-replica
+    collectives, unlike the reference's TP-inside-DP CUDA groups). Each
+    child runs with data_parallel_size=1; APHRODITE_DP_RANK is exported so
+    multi-chip launchers can pin each rank's accelerators (e.g. via
+    TPU_VISIBLE_DEVICES)."""
+
+    def __init__(self, config, startup_timeout: float = 300.0) -> None:
+        import copy
+
+        dp = config.parallel_config.data_parallel_size
+        assert dp > 1, "DPEngineCoreClient needs data_parallel_size > 1"
+        self.clients: list[MPEngineCoreClient] = []
+        for rank in range(dp):
+            cfg = copy.deepcopy(config)
+            cfg.parallel_config.data_parallel_size = 1
+            self.clients.append(MPEngineCoreClient(
+                cfg, startup_timeout=startup_timeout,
+                extra_env={"APHRODITE_DP_RANK": str(rank)}))
+        self._rank_of: dict[str, int] = {}
+        self._live: list[int] = [0] * dp
+        self._merged: "queue.Queue" = queue.Queue()
+        self._pumps = []
+        for c in self.clients:
+            t = threading.Thread(target=self._pump, args=(c,), daemon=True)
+            t.start()
+            self._pumps.append(t)
+
+    def _pump(self, client: MPEngineCoreClient) -> None:
+        while True:
+            item = client.outputs_queue.get()
+            self._merged.put((client, item))
+            if item is ENGINE_CORE_DEAD or isinstance(item, bytes):
+                return
+
+    @property
+    def dead(self) -> Optional[str]:
+        for c in self.clients:
+            if c.dead is not None:
+                return c.dead
+        return None
+
+    def add_request(self, request) -> None:
+        rank = min(range(len(self.clients)), key=lambda i: self._live[i])
+        self._rank_of[request.request_id] = rank
+        self._live[rank] += 1
+        self.clients[rank].add_request(request)
+
+    def abort_requests(self, request_ids: list[str]) -> None:
+        by_rank: dict[int, list[str]] = {}
+        for rid in request_ids:
+            rank = self._rank_of.get(rid)
+            if rank is not None:
+                by_rank.setdefault(rank, []).append(rid)
+        for rank, rids in by_rank.items():
+            self.clients[rank].abort_requests(rids)
+
+    def call_utility(self, method: str, *args, timeout: float = 120.0,
+                     **kwargs) -> Any:
+        results = [c.call_utility(method, *args, timeout=timeout, **kwargs)
+                   for c in self.clients]
+        first = results[0]
+        if isinstance(first, dict) and all(
+                isinstance(v, (int, float)) for v in first.values()):
+            agg = dict(first)
+            for r in results[1:]:
+                for k, v in (r or {}).items():
+                    agg[k] = agg.get(k, 0) + v
+            return agg
+        return first
+
+    def get_outputs(self, timeout: Optional[float] = None):
+        client, item = self._merged.get(timeout=timeout)
+        if item is ENGINE_CORE_DEAD or isinstance(item, bytes):
+            raise RuntimeError(f"engine core died:\n{client.dead}")
+        for out in item:
+            if getattr(out, "finished", False):
+                rank = self._rank_of.pop(out.req_id, None)
+                if rank is not None:
+                    self._live[rank] -= 1
+        return item
+
+    def shutdown(self) -> None:
+        for c in self.clients:
+            c.shutdown()

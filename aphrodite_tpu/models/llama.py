@@ -457,20 +457,33 @@ class LlamaForCausalLM:
             axis_names={"pp"})(scan_layers, kv_cache, x, md.slot_mapping)
 
     def _sp(self, x: jax.Array) -> jax.Array:
-        """Sequence-parallel activation constraint (no-op unless enabled).
-        Skipped inside the pp shard_map region: constraints on pp-varying
-        arrays are rejected there, and the pipeline already communicates
-        explicitly."""
-        if self.sequence_parallel and self.mesh is not None:
-            try:
-                am = jax.sharding.get_abstract_mesh()
-                if "pp" in getattr(am, "manual_axes", ()):
-                    return x
-            except Exception:
-                pass
-            from jax.sharding import NamedSharding
-            x = jax.lax.with_sharding_constraint(
-                x, NamedSharding(self.mesh, P("tp", None)))
+        """Token-dim activation sharding constraint (no-op on 1-device
+        meshes). The token axis shards over ``dp`` (data parallelism: each
+        replica computes its share of the batch's rows through every GEMM —
+        weights stay replicated) and, with sequence_parallel, additionally
+        over ``tp`` (XLA reduce-scatters the TP matmul outputs and runs
+        norms/elementwise token-sharded). Skipped inside the pp shard_map
+        region: constraints on pp-varying arrays are rejected there, and
+        the pipeline already communicates explicitly."""
+        if self.mesh is None:
+            return x
+        sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        axes = []
+        if sizes.get("dp", 1) > 1:
+            axes.append("dp")
+        if self.sequence_parallel and sizes.get("tp", 1) > 1:
+            axes.append("tp")
+        if not axes:
+            return x
+        try:
+            am = jax.sharding.get_abstract_mesh()
+            if "pp" in getattr(am, "manual_axes", ()):
+                return x
+        except Exception:
+            pass
+        from jax.sharding import NamedSharding
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P(tuple(axes), None)))
         return x
 
     def _mlp(self, h: jax.Array, lp: dict, lin=None) -> jax.Array:

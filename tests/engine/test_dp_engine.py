@@ -1,0 +1,56 @@
+"""Data-parallel engine replication (DPEngineCoreClient): requests spread
+across dp engine-core processes, merged output stream, generation parity.
+Reference: DPEngineCoreProc, aphrodite/v1/engine/core.py:589."""
+import asyncio
+
+import pytest
+
+from aphrodite_tpu.sampling_params import SamplingParams
+
+from tests.utils import (build_tiny_tokenizer, save_tiny_hf_checkpoint,
+                         tiny_llama_hf_config)
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_dp")
+    save_tiny_hf_checkpoint(d, tiny_llama_hf_config(max_pos=512))
+    build_tiny_tokenizer(d)
+    return d
+
+
+def _config(ckpt, dp=2):
+    from aphrodite_tpu.entrypoints.llm import build_engine_config
+    return build_engine_config(
+        str(ckpt), dtype="float32", block_size=16, num_kv_blocks=128,
+        max_num_batched_tokens=64, max_num_seqs=4, max_model_len=128,
+        data_parallel_size=dp, device="cpu")
+
+
+def test_dp_engine_parity_and_distribution(ckpt):
+    from aphrodite_tpu.engine.async_llm import AsyncLLM
+    params = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    prompts = ["hello world", "the quick brown", "fox jumps", "over the"]
+
+    async def collect_all(engine):
+        async def one(i, p):
+            toks = []
+            async for out in engine.generate(p, params, f"r{i}"):
+                toks.extend(out.outputs[0].token_ids)
+            return toks
+        return await asyncio.gather(
+            *[one(i, p) for i, p in enumerate(prompts)])
+
+    inproc = AsyncLLM(_config(ckpt, dp=1))
+    expected = asyncio.run(collect_all(inproc))
+
+    dp_engine = AsyncLLM(_config(ckpt, dp=2), multiprocess=True)
+    try:
+        got = asyncio.run(collect_all(dp_engine))
+        assert got == expected
+        # both replicas exist and requests were spread across them
+        assert len(dp_engine.client.clients) == 2
+        # after completion the live counters drain back to zero
+        assert dp_engine.client._live == [0, 0]
+    finally:
+        dp_engine.client.shutdown()
