@@ -294,8 +294,11 @@ class LlamaForCausalLM:
         scan_layers = (params["layers"] if lora is None
                        else {**params["layers"], **lora})
 
-        def qkv_proj(x, lp, lin):
-            """Shared attention-block projections: norms, QKV, rope."""
+        def qkv_proj(x, lp, lin, cs=None):
+            """Shared attention-block projections: norms, QKV, rope.
+            cs overrides the step-wide rope tables (pipeline microbatches
+            carry their own sliced cos/sin)."""
+            c_rope, s_rope = cs if cs is not None else (cos, sin)
             h = rms_norm(x, lp["input_norm"], self.rms_eps)
             if "w_qkv" in lp:
                 # Fused QKV GEMM (maybe_merge_params): one weight stream.
@@ -324,8 +327,8 @@ class LlamaForCausalLM:
                             ).astype(v.dtype)
                 q = phln(q, lp["q_ln_w"], lp["q_ln_b"])
                 k = phln(k, lp["k_ln_w"], lp["k_ln_b"])
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
+            q = apply_rope(q, c_rope, s_rope)
+            k = apply_rope(k, c_rope, s_rope)
             return q, k, v.reshape(T, nkv, hd)
 
         def make_lin(lp):
@@ -378,16 +381,18 @@ class LlamaForCausalLM:
         # inside a while body. The xs/ys dataflow below costs one cache
         # copy per dispatch (~30 ms at 8k tokens) and stays until KV writes
         # move into the kernel (page-aligned staging design).
-        def layer(x, xs, slots=None):
+        def layer(x, xs, slots=None, ctx=None):
             lp, kvc = xs
+            md_l, cs = (md, None) if ctx is None else \
+                (ctx[0], (ctx[1], ctx[2]))
             if slots is None:
-                slots = md.slot_mapping
+                slots = md_l.slot_mapping
             lin = make_lin(lp)
-            q, k, v = qkv_proj(x, lp, lin)
+            q, k, v = qkv_proj(x, lp, lin, cs=cs)
             kvc = write_kv(kvc, k, v, slots)
-            o = paged_attention(q, kvc, md, self.scale,
+            o = paged_attention(q, kvc, md_l, self.scale,
                                 sliding_window=self.sliding_window,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas and ctx is None)
             x = finish_layer(x, o, lp, lin)
             return x, kvc
 
@@ -406,55 +411,115 @@ class LlamaForCausalLM:
         this with a run-segmented scan (see mixtral.py)."""
         return jax.lax.scan(layer, x, (scan_layers, kv_cache))
 
-    def _pipeline(self, layer, x, scan_layers, kv_cache, md):
-        """Pipeline parallelism over the `pp` mesh axis (reference: _PP
-        group + virtual engines, aphrodite/distributed/parallel_state.py:809;
-        redesigned for SPMD): the [L, ...] layer stack and KV cache are
-        sharded on L across pp stages; a shard_map circular pipeline scans
-        each stage's local layers and ppermutes the hidden between stages.
+    # Microbatches per pipeline step (GPipe-style; bubble fraction is
+    # (pp-1)/(M+pp-1), so more microbatches amortize it better as long as
+    # T/M stays MXU-worthy).
+    pp_microbatches: int = 4
 
-        All stages run an identical program every iteration (data-dependent
-        `cond` around GSPMD-partitioned matmuls deadlocks — the tp
-        collectives inside the branch would only run on some devices), so
-        stage s's compute is only *valid* at iteration s; KV writes on
-        invalid iterations are masked via slot=-1 and the valid result is
-        harvested from the last stage with a masked psum. Per-step latency
-        is the sum of stages (inherent at one in-flight microbatch);
-        throughput pipelining comes from the engine dispatching the next
-        step while later stages still run this one (XLA async dispatch)."""
+    def _pipeline(self, layer, x, scan_layers, kv_cache, md):
+        """Microbatched pipeline parallelism over the `pp` mesh axis
+        (reference: _PP group + virtual engines,
+        aphrodite/distributed/parallel_state.py:809; redesigned for SPMD).
+        The [L, ...] layer stack and KV cache are sharded on L across pp
+        stages. The token batch splits into M microbatches; at schedule
+        step s, stage k runs its LOCAL layers on microbatch s-k and
+        ppermutes the hidden to stage k+1 — stages overlap on different
+        microbatches, so per-device compute is ~(M+pp-1)/(M*pp) of the
+        full model instead of 1x (the round-1 design recomputed every
+        stage everywhere: pp-times waste). Bubble iterations run on zeros
+        with KV writes masked (slot=-1); the finished microbatches are
+        harvested from the last stage with a masked psum broadcast (f32:
+        bf16 all-reduce inside a partial-manual shard_map crashes XLA:CPU's
+        partitioner). Attention inside the pipeline uses the XLA path —
+        per-microbatch Pallas work items are not threaded yet.
+
+        Causality across microbatches holds because every stage processes
+        microbatches in order: tokens in microbatch m+1 attend to KV that
+        the same stage wrote for microbatch m one schedule step earlier."""
+        import dataclasses
+
         import jax.lax as lax
         from jax.sharding import PartitionSpec as P
         pp = self.pp_size
         mesh = self.mesh
         assert mesh is not None and "pp" in mesh.axis_names
+        T = x.shape[0]
+        M = min(self.pp_microbatches, T)
+        while T % M:
+            M -= 1
+        Tm = T // M
+        nsteps = M + pp - 1
 
-        def pipeline(scan_layers, kv_cache, x, slot_mapping):
+        tok_fields = {"token_req_idx": md.token_req_idx,
+                      "token_pos": md.token_pos,
+                      "slot_mapping": md.slot_mapping}
+        if md.lora_slots is not None:
+            tok_fields["lora_slots"] = md.lora_slots
+        mrope = md.mrope_pos  # [3, T] or None
+
+        def pipeline(scan_layers, kv_cache, x, tok, mrope_pos):
             stage = lax.axis_index("pp")
             x = lax.pcast(x, "pp", to="varying")
-            slot_mapping = lax.pcast(slot_mapping, "pp", to="varying")
-            for s in range(pp):
-                slots = jnp.where(stage == s, slot_mapping, -1)
-                x, kv_cache = jax.lax.scan(
-                    lambda xx, xs: layer(xx, xs, slots=slots),
-                    x, (scan_layers, kv_cache))
-                if s < pp - 1:
-                    x = lax.ppermute(
-                        x, "pp", [(i, (i + 1) % pp) for i in range(pp)])
-            # Valid chain (started on stage 0) ends on stage pp-1. The
-            # masked psum broadcast runs in f32: bf16 all-reduce inside a
-            # partial-manual shard_map crashes XLA:CPU's SPMD partitioner
-            # ("Invalid binary instruction opcode copy"), and f32 is
-            # numerically safer for the residual stream anyway.
-            x = lax.psum(jnp.where(stage == pp - 1, x, 0)
-                         .astype(jnp.float32), "pp").astype(x.dtype)
-            return x, kv_cache
+            tok = {k: lax.pcast(v, "pp", to="varying")
+                   for k, v in tok.items()}
+            if mrope_pos is not None:
+                mrope_pos = lax.pcast(mrope_pos, "pp", to="varying")
+            H = x.shape[-1]
+            buf0 = lax.pcast(jnp.zeros((Tm, H), x.dtype), "pp",
+                             to="varying")
+            outs0 = lax.pcast(jnp.zeros((M, Tm, H), x.dtype), "pp",
+                              to="varying")
+
+            def step(carry, s):
+                buf, outs, kv = carry
+                mb = s - stage
+                active = (mb >= 0) & (mb < M)
+                mbc = jnp.clip(mb, 0, M - 1)
+                start = mbc * Tm
+                inp = jnp.where(stage == 0,
+                                lax.dynamic_slice_in_dim(x, start, Tm), buf)
+                sl = {k: lax.dynamic_slice_in_dim(v, start, Tm)
+                      for k, v in tok.items()}
+                slots = jnp.where(active, sl["slot_mapping"], -1)
+                repl = dict(token_req_idx=sl["token_req_idx"],
+                            token_pos=sl["token_pos"],
+                            slot_mapping=slots,
+                            num_tokens=jnp.minimum(md.num_tokens, Tm))
+                if "lora_slots" in sl:
+                    repl["lora_slots"] = sl["lora_slots"]
+                if mrope_pos is not None:
+                    repl["mrope_pos"] = lax.dynamic_slice_in_dim(
+                        mrope_pos, start, Tm, axis=1)
+                md_mb = dataclasses.replace(md, **repl)
+                cos_mb, sin_mb = self._cos_sin(md_mb)
+
+                def body(xx, xs):
+                    return layer(xx, xs, slots=slots,
+                                 ctx=(md_mb, cos_mb, sin_mb))
+
+                y, kv = jax.lax.scan(body, inp, (scan_layers, kv))
+                upd = lax.dynamic_update_index_in_dim(outs, y, mbc, 0)
+                outs = jnp.where((stage == pp - 1) & active, upd, outs)
+                buf = lax.ppermute(
+                    y, "pp", [(i, (i + 1) % pp) for i in range(pp)])
+                return (buf, outs, kv), None
+
+            (_, outs, kv_cache), _ = lax.scan(
+                step, (buf0, outs0, kv_cache),
+                jnp.arange(nsteps, dtype=jnp.int32))
+            out = lax.psum(
+                jnp.where(stage == pp - 1, outs, 0).astype(jnp.float32),
+                "pp").astype(x.dtype)
+            return out.reshape(T, H), kv_cache
 
         layers_specs = jax.tree.map(lambda _: P("pp"), scan_layers)
+        tok_specs = {k: P() for k in tok_fields}
         return jax.shard_map(
             pipeline, mesh=mesh,
-            in_specs=(layers_specs, P("pp"), P(), P()),
+            in_specs=(layers_specs, P("pp"), P(), tok_specs,
+                      P() if mrope is not None else None),
             out_specs=(P(), P("pp")),
-            axis_names={"pp"})(scan_layers, kv_cache, x, md.slot_mapping)
+            axis_names={"pp"})(scan_layers, kv_cache, x, tok_fields, mrope)
 
     def _sp(self, x: jax.Array) -> jax.Array:
         """Token-dim activation sharding constraint (no-op on 1-device

@@ -46,3 +46,38 @@ def test_pp_with_tp(ckpt):
 def test_pp_rejects_indivisible_layers(ckpt):
     with pytest.raises(ValueError, match="not divisible"):
         _generate(ckpt, 3)
+
+
+def test_pp_divides_per_device_compute(ckpt):
+    """The microbatched pipeline must run ~1/pp of the model per device
+    (the round-1 circular pipeline recomputed every stage on every device:
+    per-device FLOPs equaled the full model plus collectives)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from aphrodite_tpu.entrypoints.llm import LLM
+
+    def step_flops(pp):
+        llm = LLM(model=str(ckpt), dtype="float32", block_size=16,
+                  num_kv_blocks=128, max_num_batched_tokens=128,
+                  max_num_seqs=8, max_model_len=256,
+                  pipeline_parallel_size=pp, tokenizer="unused")
+        runner = llm.engine.core.worker.runner
+        model, params = runner.model, runner.params
+        T = 64
+        from tests.utils import make_prefill_metadata
+        md, ids, used = make_prefill_metadata(
+            [[1] * 16] * 4, 16, 8, num_tokens_pad=T)
+        kv = runner.kv_cache
+
+        def fn(params, kv, ids, md):
+            return model.apply(params, ids, kv, md)[0]
+
+        c = jax.jit(fn).lower(params, kv, jnp.asarray(np.zeros(T, np.int32)),
+                              md).compile().cost_analysis()
+        return c.get("flops", 0.0)
+
+    dense = step_flops(1)
+    pp2 = step_flops(2)
+    # theory at M=4, pp=2: (M+pp-1)/(M*pp) = 5/8 of the dense FLOPs
+    assert pp2 < 0.85 * dense, (pp2, dense, pp2 / dense)
