@@ -747,8 +747,11 @@ class ModelRunner:
                 if start < p_end:
                     mpos[:, a:a + p_end - start] = table[:, start:p_end]
                 if start + n > p_end:
-                    k0 = p_end - start
-                    dec = np.arange(p_end, start + n, dtype=np.int32) + delta
+                    # Decode positions resume at start (>= p_end once the
+                    # prompt is fully computed).
+                    k0 = max(p_end - start, 0)
+                    dec = np.arange(start + k0, start + n,
+                                    dtype=np.int32) + delta
                     mpos[:, a + k0:a + n] = dec
             md = __import__("dataclasses").replace(
                 md, mrope_pos=jnp.asarray(mpos))
