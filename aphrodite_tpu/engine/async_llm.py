@@ -91,19 +91,52 @@ class AsyncLLM:
             self._die(e)
 
     async def _run_loop_mp(self) -> None:
+        # Outputs are pumped by a dedicated *daemon* thread, never the default
+        # asyncio executor: run_in_executor(None, get_outputs) parks an
+        # executor thread in an unbounded queue.get, and asyncio.run teardown
+        # then blocks in shutdown_default_executor joining it (Python's
+        # 300 s THREAD_JOIN_TIMEOUT per loop close). A daemon thread is not
+        # joined at loop teardown, so asyncio.run exits instantly.
+        import queue as _queue
         loop = asyncio.get_running_loop()
+        aq: asyncio.Queue = asyncio.Queue()
+        self._pump_stop = stop = __import__("threading").Event()
+
+        def _pump() -> None:
+            while not stop.is_set():
+                try:
+                    eco = self.client.get_outputs(timeout=0.2)
+                except _queue.Empty:
+                    continue
+                except BaseException as e:  # engine dead
+                    try:
+                        loop.call_soon_threadsafe(aq.put_nowait, e)
+                    except RuntimeError:
+                        pass  # loop already closed
+                    return
+                try:
+                    loop.call_soon_threadsafe(aq.put_nowait, eco)
+                except RuntimeError:
+                    return
+
+        t = __import__("threading").Thread(target=_pump, daemon=True,
+                                           name="asyncllm-mp-pump")
+        t.start()
         try:
             while True:
-                eco = await loop.run_in_executor(None,
-                                                 self.client.get_outputs)
+                item = await aq.get()
+                if isinstance(item, BaseException):
+                    raise item
                 outputs, to_abort = self.output_processor.process_outputs(
-                    eco)
+                    item)
                 if to_abort:
                     self.client.abort_requests(to_abort)
                 self._route(outputs)
         except Exception as e:
             logger.exception("engine core output loop died")
             self._die(e)
+        finally:
+            stop.set()
 
     def _die(self, e: BaseException) -> None:
         self._dead = e
@@ -195,6 +228,11 @@ class AsyncLLM:
         return self.engine.reset_prefix_cache()
 
     def shutdown(self) -> None:
+        stop = getattr(self, "_pump_stop", None)
+        if stop is not None:
+            stop.set()
+        if self._loop_task is not None and not self._loop_task.done():
+            self._loop_task.cancel()
         if self.multiprocess:
             self.client.shutdown()
 

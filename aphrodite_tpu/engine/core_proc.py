@@ -278,10 +278,18 @@ class DPEngineCoreClient:
         self.clients[rank].add_request(request)
 
     def abort_requests(self, request_ids: list[str]) -> None:
+        # Pop routing state here, not only on a finished output: aborted
+        # requests (client disconnects; stop-string hits where the
+        # OutputProcessor finishes the request locally and then aborts the
+        # core) never produce a finished EngineCoreOutput, so without this
+        # _live grows monotonically and least-loaded routing skews. The pop
+        # also guards against double-decrement if a finished output races in
+        # (get_outputs pops too and only decrements on a hit).
         by_rank: dict[int, list[str]] = {}
         for rid in request_ids:
-            rank = self._rank_of.get(rid)
+            rank = self._rank_of.pop(rid, None)
             if rank is not None:
+                self._live[rank] -= 1
                 by_rank.setdefault(rank, []).append(rid)
         for rank, rids in by_rank.items():
             self.clients[rank].abort_requests(rids)

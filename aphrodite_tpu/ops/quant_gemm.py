@@ -73,6 +73,14 @@ def fp8_matmul(x: jax.Array, qweight: jax.Array, weight_scale: jax.Array,
     wf = qweight.astype(x.dtype)
     if blockwise:
         Kb, Nb = weight_scale.shape
+        if K % Kb or N % Nb:
+            # Ragged grids are ambiguous at runtime (96 rows over 2 blocks
+            # could be 48+48 or 64+32); the loader normalizes checkpoint
+            # grids to exact division (_normalize_block_scales).
+            raise ValueError(
+                f"blockwise scale grid {weight_scale.shape} does not divide "
+                f"weight {qweight.shape}; load via "
+                "quantization.loader._normalize_block_scales")
         b0, b1 = K // Kb, N // Nb
         wf = (wf.reshape(Kb, b0, Nb, b1)
               * weight_scale.astype(x.dtype)[:, None, :, None]

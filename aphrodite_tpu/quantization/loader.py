@@ -159,6 +159,42 @@ def _unpack_compressed(parts: dict, method: str, out_dtype) -> dict:
             "scales": scale.astype(np.float32)}
 
 
+def _normalize_block_scales(scale: np.ndarray, K: int, N: int,
+                            block: Optional[tuple]) -> np.ndarray:
+    """Blockwise scale grid [ceil(K/b0), ceil(N/b1)] -> an exact-division
+    grid the runtime can map back to elements without knowing the block
+    size. DeepSeek checkpoints ceil-divide the grid, so a ragged last block
+    makes K // grid_rows ambiguous (96 rows over 2 blocks could be 48+48 or
+    64+32). Expand the ragged axis by gcd(b, K mod b): rows become
+    [b/g]*(full blocks) + [r/g] copies of each scale, giving a grid where
+    K % rows == 0 and block boundaries land exactly."""
+    Kb, Nb = scale.shape
+
+    def _expand(s, dim, b, axis):
+        nblk = s.shape[axis]
+        if b is None:  # no config: infer only when division is exact
+            if dim % nblk == 0:
+                return s
+            raise ValueError(
+                f"ragged blockwise scale grid ({nblk} blocks over {dim}) "
+                "needs weight_block_size from the quant config")
+        r = dim - (nblk - 1) * b
+        if r == b:
+            return s  # exact grid already
+        import math
+        g = math.gcd(b, r)
+        reps = [b // g] * (nblk - 1) + [r // g]
+        return np.repeat(s, reps, axis=axis)
+
+    b0, b1 = (block or (None, None))
+    # checkpoint grid is [out-blocks, in-blocks] pre-transpose; here scale
+    # is already transposed to [K-blocks, N-blocks] = [in, out] order, and
+    # weight_block_size is (out_block, in_block) per DeepSeek convention.
+    scale = _expand(scale, K, b1, 0)
+    scale = _expand(scale, N, b0, 1)
+    return scale
+
+
 def _unpack_fp8_native(parts: dict, qcfg) -> dict:
     """HF quant_method=fp8 checkpoints (DeepSeek-V3 style): weight f8e4m3
     [out, in] + weight_scale_inv blockwise [out/b0, in/b1] (or per-tensor
@@ -168,7 +204,10 @@ def _unpack_fp8_native(parts: dict, qcfg) -> dict:
     d = {"qweight": w.T.astype(ml_dtypes.float8_e4m3fn)}
     scale = parts.get("weight_scale_inv")
     if scale is not None:
-        d["weight_scale_block"] = np.asarray(scale, np.float32).T
+        s = np.asarray(scale, np.float32).T
+        d["weight_scale_block"] = _normalize_block_scales(
+            s, w.shape[1], w.shape[0],
+            getattr(qcfg, "weight_block_size", None))
     else:
         scale = np.asarray(parts.get("weight_scale", 1.0), np.float32)
         out = w.shape[0]

@@ -184,6 +184,8 @@ class StreamingToolParser:
         self.args_esc = False
         self.body = ""           # accumulated JSON body of the current call
         self.finished_calls = 0
+        self.args_emitted = False  # any argument fragment emitted this call
+        self.recovered = ""      # bare-call body recovered as content
 
     # ---- helpers ---------------------------------------------------------
     def _find_marker(self, text):
@@ -192,11 +194,13 @@ class StreamingToolParser:
             i = text.find(op)
             if i >= 0 and (best is None or i < best[0]):
                 best = (i, op, cl, arr)
-        # bare JSON tool call: only at the very start of output
+        # Bare JSON tool call: only at the very start of output, and only
+        # once the buffer confirms '{"' — a lone '{' first chunk is held
+        # back in scan mode instead (see feed), so non-JSON content that
+        # merely begins with '{' is never irrevocably consumed as a call.
         if not self.started:
             ls = text.lstrip()
-            if ls.startswith('{"') or ls == "{" or \
-                    (ls.startswith("{") and len(ls) < 3):
+            if ls.startswith('{"'):
                 i = text.find("{")
                 if best is None or i < best[0]:
                     best = (i, "", None, False)
@@ -238,10 +242,13 @@ class StreamingToolParser:
                     self.call_index = self.finished_calls
                     self.name_sent = False
                     self.args_started = False
+                    self.args_emitted = False
                     self.body = ""
                     self.started = True
                     progressed = True
                     continue
+                if not self.started and self.buf.lstrip() == "{":
+                    break  # might still become a bare '{"' tool call
                 hold = self._marker_prefix_len(self.buf)
                 emit = self.buf[:len(self.buf) - hold]
                 if emit:
@@ -278,6 +285,9 @@ class StreamingToolParser:
                 break
             if self.mode == "call":
                 calls.extend(self._feed_call())
+                if self.recovered:
+                    content += self.recovered
+                    self.recovered = ""
                 if self.mode == "call":
                     break
                 progressed = True
@@ -328,6 +338,7 @@ class StreamingToolParser:
                     self.args_depth -= 1
                 out.append({"index": self.call_index,
                             "function": {"arguments": ch}})
+                self.args_emitted = True
                 if self.args_depth == 0 and not self.args_in_str:
                     self.args_started = False
             if not self.name_sent:
@@ -349,11 +360,22 @@ class StreamingToolParser:
                     self.args_esc = False
             # whole object complete? depth-track the body itself
             if self._object_closed():
+                if self.close_marker is None and not self.is_array and \
+                        not self.name_sent and not self.args_emitted:
+                    # balanced bare '{...}' that never revealed a function
+                    # name: plain JSON content, not a tool call — recover it
+                    # (and don't bump finished_calls, so finish_reason stays
+                    # 'stop').
+                    self.recovered += self.body
+                    self.body = ""
+                    self.mode = "scan"
+                    return out
                 self.finished_calls += 1
                 if self.is_array:
                     self.call_index = self.finished_calls
                     self.name_sent = False
                     self.args_started = False
+                    self.args_emitted = False
                     self.body = ""
                     # continue consuming next element or ']'
                     while self.buf and self.buf[0] in " \n\t,":
@@ -405,6 +427,13 @@ class StreamingToolParser:
             return "", r, []
         if self.mode == "scan":
             c, self.buf = self.buf, ""
+            return c, "", []
+        if self.mode == "call" and self.close_marker is None and \
+                not self.name_sent and not self.args_emitted:
+            # bare-JSON candidate that never became a call: return the
+            # consumed body as content instead of silently dropping it
+            c = self.body + self.buf
+            self.body, self.buf = "", ""
             return c, "", []
         return "", "", []
 

@@ -102,15 +102,72 @@ def _strip_comments(text: str) -> str:
     return "\n".join(out)
 
 
+# Lark `%import common.X` definitions, expressed in our own body syntax
+# (reference guided_grammar inputs lean on lark's common terminal library;
+# the reference itself delegates to xgrammar which bundles these).
+_COMMON_TERMINALS = {
+    "DIGIT": "[0-9]",
+    "HEXDIGIT": "[0-9a-fA-F]",
+    "LETTER": "[A-Za-z]",
+    "UCASE_LETTER": "[A-Z]",
+    "LCASE_LETTER": "[a-z]",
+    "WS": "[ \\t\\r\\n\\f]+",
+    "WS_INLINE": "[ \\t]+",
+    "NEWLINE": "[\\r]? [\\n]",
+    "INT": "[0-9]+",
+    "SIGNED_INT": "[+-]? [0-9]+",
+    "DECIMAL": "[0-9]+ '.' [0-9]* | '.' [0-9]+",
+    "FLOAT": "[0-9]+ '.' [0-9]+ ([eE] [+-]? [0-9]+)?",
+    "NUMBER": "[0-9]+ ('.' [0-9]+)? ([eE] [+-]? [0-9]+)?",
+    "SIGNED_NUMBER": "[+-]? [0-9]+ ('.' [0-9]+)? ([eE] [+-]? [0-9]+)?",
+    "CNAME": "[A-Za-z_] [A-Za-z0-9_]*",
+    "WORD": "[A-Za-z]+",
+    "ESCAPED_STRING": "'\"' ([^\"\\\\] | '\\\\' .)* '\"'",
+}
+
+
+def _weave_ignore(node: Node, ign: Node) -> Node:
+    """Insert an optional ignored-terminal repeat between sequence items
+    (Lark `%ignore` semantics, approximated: ignored tokens may appear
+    between the tokens of a rule; terminals stay contiguous because weaving
+    never descends into Lit/Term/_Regex)."""
+    gap = Rep(ign, 0, None)
+    if isinstance(node, Seq):
+        items: list = []
+        for it in node.items:
+            if items:
+                items.append(gap)
+            items.append(_weave_ignore(it, ign))
+        return Seq(items)
+    if isinstance(node, Alt):
+        return Alt([_weave_ignore(o, ign) for o in node.options])
+    if isinstance(node, Rep):
+        # leading gap per iteration so ignored tokens may sit between
+        # repetitions too (e.g. `pair ("," pair)*` with spaces before ",")
+        return Rep(Seq([gap, _weave_ignore(node.node, ign)]),
+                   node.lo, node.hi)
+    return node
+
+
 def parse_grammar(text: str) -> tuple[dict[str, Node], str]:
     """-> (rules, start_rule). GBNF uses ``::=`` and entry ``root``;
-    Lark-style uses ``:`` and entry ``start``."""
+    Lark-style uses ``:`` and entry ``start``. Lark ``%import common.X``
+    and ``%ignore`` directives are handled; other ``%`` directives raise a
+    clear GrammarParseError instead of being glued onto the previous rule."""
     text = _strip_comments(text)
     gbnf = "::=" in text
     sep = "::=" if gbnf else ":"
+    # split out %-directive lines before rule-chunk joining
+    directives: list[str] = []
+    body_lines: list[str] = []
+    for raw in text.splitlines():
+        if raw.lstrip().startswith("%"):
+            directives.append(raw.strip())
+        else:
+            body_lines.append(raw)
     # join continuation lines: a rule starts at column 0 with `name sep`
     chunks: list[str] = []
-    for raw in text.splitlines():
+    for raw in body_lines:
         if not raw.strip():
             continue
         head = raw.split(sep, 1)[0].strip()
@@ -125,8 +182,34 @@ def parse_grammar(text: str) -> tuple[dict[str, Node], str]:
         if sep not in chunk:
             raise GrammarParseError(f"expected '{sep}' in rule: {chunk!r}")
         name, body = chunk.split(sep, 1)
-        name = name.strip()
+        name = name.strip().lstrip("?!")  # lark rule modifiers
         rules[name] = _BodyParser(body.strip(), rules_hint=None).parse()
+    ignored: list[Node] = []
+    for d in directives:
+        parts = d.split()
+        if parts[0] == "%import" and len(parts) >= 2:
+            target = parts[1]
+            base = target.rsplit(".", 1)[-1]
+            alias = (parts[3] if len(parts) >= 4 and parts[2] == "->"
+                     else base)
+            if not target.startswith("common.") or \
+                    base not in _COMMON_TERMINALS:
+                raise GrammarParseError(
+                    f"unsupported %import {target!r} (supported: "
+                    f"common.{{{', '.join(sorted(_COMMON_TERMINALS))}}})")
+            rules.setdefault(alias,
+                             _BodyParser(_COMMON_TERMINALS[base]).parse())
+        elif parts[0] == "%ignore" and len(parts) >= 2:
+            ignored.append(_BodyParser(" ".join(parts[1:])).parse())
+        elif parts[0] == "%declare":
+            pass  # declared terminals must be defined elsewhere; no-op
+        else:
+            raise GrammarParseError(f"unsupported Lark directive: {d!r}")
+    if ignored:
+        ign = ignored[0] if len(ignored) == 1 else Alt(ignored)
+        for name in list(rules):
+            if not name.isupper():  # lark: lowercase = rule, UPPER = token
+                rules[name] = _weave_ignore(rules[name], ign)
     start = "root" if gbnf else "start"
     if start not in rules:
         if len(rules) == 1:
@@ -135,6 +218,10 @@ def parse_grammar(text: str) -> tuple[dict[str, Node], str]:
             raise GrammarParseError(
                 f"grammar must define a '{start}' rule (got "
                 f"{sorted(rules)})")
+    if ignored and not start.isupper():
+        ign = ignored[0] if len(ignored) == 1 else Alt(ignored)
+        gap = Rep(ign, 0, None)
+        rules[start] = Seq([gap, rules[start], gap])
     return rules, start
 
 
@@ -245,6 +332,9 @@ class _BodyParser:
             j = self.i
             depth = 0
             while True:
+                if j >= len(self.s):
+                    raise GrammarParseError(
+                        f"unterminated /regex/ terminal: {self.s[self.i:]!r}")
                 c = self.s[j]
                 if c == "\\":
                     j += 2

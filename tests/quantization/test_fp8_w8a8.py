@@ -89,3 +89,35 @@ def test_unpack_fp8_native_blockwise():
     assert d["qweight"].shape == (inp, out)
     assert d["weight_scale_block"].shape == (inp // 32, out // 32)
     assert isinstance(d["input_scale"], np.ndarray)
+
+
+def test_blockwise_ceil_div_grid():
+    """DeepSeek checkpoints ceil-divide the scale grid: K/N that are NOT
+    multiples of the block size load through _normalize_block_scales (gcd
+    expansion to an exact-division grid) and then match the elementwise
+    oracle (regression: the runtime reshape failed at trace time, and a
+    naive runtime ceil-div would misplace the ragged block boundary)."""
+    from aphrodite_tpu.quantization.loader import _normalize_block_scales
+    rng = np.random.RandomState(3)
+    M, K, N, b = 4, 96, 48, 64  # ceil(96/64)=2, ceil(48/64)=1 blocks
+    x = rng.randn(M, K).astype(np.float32)
+    w = rng.randn(K, N).astype(np.float32) * 0.1
+    Kb, Nb = -(-K // b), -(-N // b)
+    # per-block absmax over the true (ragged-last) block partition
+    ws = np.zeros((Kb, Nb), np.float32)
+    for i in range(Kb):
+        for j in range(Nb):
+            blk = w[i * b:(i + 1) * b, j * b:(j + 1) * b]
+            ws[i, j] = max(np.abs(blk).max() / 448.0, 1e-8)
+    expand = np.repeat(np.repeat(ws, b, 0), b, 1)[:K, :N]
+    w8 = (w / expand).astype(F8)
+    # weight_block_size is (out_block, in_block); grid here is [K, N] order
+    ws_norm = _normalize_block_scales(ws, K, N, (b, b))
+    assert K % ws_norm.shape[0] == 0 and N % ws_norm.shape[1] == 0
+    got = fp8_matmul(jnp.asarray(x), jnp.asarray(w8), jnp.asarray(ws_norm),
+                     act_quant=True)
+    wf = w8.astype(np.float32) * expand
+    xs = np.abs(x).max(-1, keepdims=True) / 448.0
+    xq = (x / xs).astype(F8).astype(np.float32) * xs
+    np.testing.assert_allclose(np.asarray(got), xq @ wf,
+                               rtol=2e-2, atol=2e-2)

@@ -103,3 +103,43 @@ def test_name_emitted_before_args_complete():
     p2 = StreamingToolParser()
     _, _, first = p2.feed('<tool_call>{"name": "slow", "arguments": {"a"')
     assert any(d.get("function", {}).get("name") == "slow" for d in first)
+
+
+@pytest.mark.parametrize("chunk", [1, 2, 5])
+def test_brace_content_not_swallowed(chunk):
+    """Non-JSON content starting with '{' streams through as content even
+    when the first SSE delta is a bare '{' (regression: a 1-char first
+    chunk used to irrevocably enter call mode and drop the text)."""
+    text = "{not json, just braces} and more."
+    content, reasoning, calls, p = drive(text, chunk)
+    assert content == text
+    assert calls == []
+    assert not p.emitted_tool_calls
+
+
+@pytest.mark.parametrize("chunk", [1, 3])
+def test_nameless_json_object_is_content(chunk):
+    """A balanced '{...}' that never reveals a function name is plain JSON
+    content: recovered, and finished_calls stays 0 (finish_reason must not
+    be mislabeled 'tool_calls')."""
+    text = '{"answer": 42}'
+    content, reasoning, calls, p = drive(text, chunk)
+    assert content == text
+    assert p.finished_calls == 0
+    assert not p.emitted_tool_calls
+
+
+def test_unfinished_bare_json_flushes_as_content():
+    p = StreamingToolParser()
+    p.feed('{"partial')
+    c, r, calls = p.flush()
+    assert c == '{"partial'
+
+
+def test_bare_json_call_still_parses():
+    text = '{"name": "get_weather", "arguments": {"city": "SF"}}'
+    content, reasoning, calls, p = drive(text, 3)
+    agg = reconstruct(calls)
+    assert agg[0]["name"] == "get_weather"
+    assert json.loads(agg[0]["args"]) == {"city": "SF"}
+    assert p.emitted_tool_calls

@@ -110,3 +110,31 @@ def test_guided_grammar_end_to_end_masks():
     allowed = [i for i in range(8) if row[i // 32] >> (i % 32) & 1]
     assert 7 in allowed  # EOS legal (complete expr)
     assert 1 in allowed and 5 in allowed and 3 not in allowed
+
+
+def test_lark_directives_import_ignore():
+    """%import common.* and %ignore are honored; ignored terminals may sit
+    between rule tokens (and between repetitions), never inside tokens."""
+    g = r"""
+start: "[" (pair ("," pair)*)? "]"
+pair: NUMBER
+%import common.NUMBER
+%import common.WS
+%ignore WS
+"""
+    d = compile_grammar(g)
+    assert accepts(d, "[1, 2.5 ,3]")
+    assert accepts(d, "[ 1 ]")
+    assert accepts(d, " [1] ")
+    assert accepts(d, "[]")
+    assert not accepts(d, "[1,,2]")
+    assert not accepts(d, "[1 2]")
+
+
+def test_lark_directive_errors_are_clear():
+    with pytest.raises(GrammarParseError, match="unsupported Lark"):
+        parse_grammar('start: "x"\n%override foo')
+    with pytest.raises(GrammarParseError, match="unsupported %import"):
+        parse_grammar('start: "x"\n%import mymod.THING')
+    with pytest.raises(GrammarParseError, match="unterminated /regex/"):
+        parse_grammar("start: /abc")
