@@ -100,7 +100,25 @@ def build_sampling_metadata(
     base_seed: int = 0,
     need_tokens: Optional[bool] = None,
 ) -> tuple[SamplingMetadata, SamplerFlags]:
-    """Pack per-request params into padded arrays.
+    """Pack per-request params into padded device arrays (see
+    build_sampling_arrays for the host-side numpy variant the runner packs
+    into its single per-step transfer)."""
+    arrays, flags = build_sampling_arrays(reqs, vocab_size, num_reqs_pad,
+                                          base_seed, need_tokens)
+    import jax.numpy as jnp
+    return SamplingMetadata(
+        **{k: jnp.asarray(v) for k, v in arrays.items()}), flags
+
+
+def build_sampling_arrays(
+    reqs: Sequence[tuple[SamplingParams, list[int], int, int]],
+    vocab_size: int,
+    num_reqs_pad: int,
+    base_seed: int = 0,
+    need_tokens: Optional[bool] = None,
+) -> tuple[dict, SamplerFlags]:
+    """Pack per-request params into padded numpy arrays (field name ->
+    array, matching SamplingMetadata's fields).
 
     Each element of ``reqs`` is (params, all_token_ids, prompt_len,
     output_len). output_len doubles as the per-request sample counter for
@@ -235,18 +253,17 @@ def build_sampling_metadata(
     else:
         token_seq = np.full((R, 1), vocab_size, np.int32)
 
-    import jax.numpy as jnp
-    md = SamplingMetadata(
-        token_seq=jnp.asarray(token_seq),
-        prompt_len=jnp.asarray(prompt_len),
-        total_len=jnp.asarray(total_len),
-        dry_breakers=jnp.asarray(dry_breakers),
-        min_tokens=jnp.asarray(min_tokens),
-        stop_tokens=jnp.asarray(stop_tokens),
-        bias_tokens=jnp.asarray(bias_tokens),
-        bias_values=jnp.asarray(bias_values),
-        is_greedy=jnp.asarray(is_greedy),
-        seeds=jnp.asarray(seeds),
-        out_len=jnp.asarray(out_lens),
-        **{k: jnp.asarray(v) for k, v in cols.items()})
-    return md, sampler_flags
+    arrays = dict(
+        token_seq=token_seq,
+        prompt_len=prompt_len,
+        total_len=total_len,
+        dry_breakers=dry_breakers,
+        min_tokens=min_tokens,
+        stop_tokens=stop_tokens,
+        bias_tokens=bias_tokens,
+        bias_values=bias_values,
+        is_greedy=is_greedy,
+        seeds=seeds,
+        out_len=out_lens,
+        **cols)
+    return arrays, sampler_flags

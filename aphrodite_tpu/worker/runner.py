@@ -160,27 +160,52 @@ class ModelRunner:
 
         self._step_fn = jax.jit(
             self._step, donate_argnums=(1,),
-            static_argnames=("flags", "max_logprobs", "spec_k", "plp_k",
-                             "need_sample", "need_hidden"))
+            static_argnames=("layout", "flags", "max_logprobs", "spec_k",
+                             "plp_k", "need_sample", "need_hidden",
+                             "block_q"))
         self._multi_step_fn = jax.jit(
             self._multi_step, donate_argnums=(1,),
-            static_argnames=("flags", "num_steps", "max_logprobs"))
+            static_argnames=("layout", "flags", "num_steps", "max_logprobs"))
         self._multi_step_window_fn = jax.jit(
             self._multi_step_window, donate_argnums=(1,),
-            static_argnames=("flags", "num_steps", "max_logprobs"))
+            static_argnames=("layout", "flags", "num_steps", "max_logprobs"))
         self.use_window_decode = getattr(model, "supports_window_decode",
                                          False) and not self.is_ssm
 
     # -------------------------------------------------------------- jit step
-    def _step(self, params, kv_cache, input_ids, md: AttentionMetadata,
-              smd, flags, max_logprobs, spec_k=0, grammar_mask=None,
-              lora=None, plp_targets=None, plp_k=0, need_sample=True,
-              need_hidden=False, mm=None, spec_draft=None):
-        """Fused forward + sample: ONE dispatch and one small d2h per engine
-        step (the device round trip dominates decode latency on a tunneled
-        chip; see bench notes). With spec_k>0, gathers spec_k+1 rows per
-        request (the draft positions + bonus) for sample-and-match
-        verification."""
+    def _unpack(self, flat_meta, layout, block_q=None, decode_mode=False):
+        """(md, smd, extras) from the single packed metadata transfer.
+        All per-step host metadata crosses the tunnel as ONE int32 buffer
+        (worker/meta_pack.py): each separate h2d costs ~1-6 ms of RPC, so
+        ~50 arrays/step (sampling params + attention metadata + work items)
+        would dominate the step wall time."""
+        from aphrodite_tpu.sample.metadata import SamplingMetadata
+        from aphrodite_tpu.worker.meta_pack import unpack_meta
+        d = unpack_meta(flat_meta, layout)
+        md_kwargs = {k[3:]: v for k, v in d.items() if k.startswith("md_")}
+        md = AttentionMetadata(block_q=block_q, decode_mode=decode_mode,
+                               **md_kwargs) if md_kwargs else None
+        smd = SamplingMetadata(
+            **{k[2:]: v for k, v in d.items() if k.startswith("s_")})
+        extras = {k: v for k, v in d.items()
+                  if not k.startswith(("md_", "s_"))}
+        return md, smd, extras
+
+    def _step(self, params, kv_cache, flat_meta, layout, flags,
+              max_logprobs, spec_k=0, plp_k=0, need_sample=True,
+              need_hidden=False, block_q=None, lora=None, mm=None):
+        """Fused forward + sample: ONE dispatch, ONE h2d (packed metadata)
+        and one small d2h per engine step (device round trips dominate
+        latency on a tunneled chip; see bench notes). With spec_k>0,
+        gathers spec_k+1 rows per request (the draft positions + bonus)
+        for sample-and-match verification."""
+        md, smd, ex = self._unpack(flat_meta, layout, block_q=block_q)
+        input_ids = ex["input_ids"]
+        grammar_mask = ex.get("grammar_mask")
+        plp_targets = ex.get("plp_targets")
+        spec_draft = ex.get("spec_draft")
+        if "mm_idx" in ex and mm is not None:
+            mm = (mm, ex["mm_idx"])
         hidden, kv_cache = self.model.apply(params, input_ids, kv_cache, md,
                                             use_pallas=self.use_pallas,
                                             lora=lora, mm=mm)
@@ -236,10 +261,8 @@ class ModelRunner:
         return packed, None, None, kv_cache, plp, h_out
 
     # ------------------------------------------------- multi-step decode scan
-    def _multi_step(self, params, kv_cache, cur_tokens, seq_lens0,
-                    block_tables, smd, flags, num_steps, max_logprobs,
-                    step_budget=None, lora=None, lora_row_slots=None,
-                    mrope_deltas=None):
+    def _multi_step(self, params, kv_cache, flat_meta, layout, flags,
+                    num_steps, max_logprobs, lora=None):
         """K decode steps in one dispatch: sampled token feeds the next step
         in-graph (scan carry); KV slots come from the block tables; RNG/
         min-tokens counters advance via step_offset.
@@ -249,6 +272,13 @@ class ModelRunner:
         be sized for the LONGEST remaining budget in the batch — a ragged
         tail costs idle lanes instead of extra dispatches (each dispatch
         carries ~25 ms of tunnel RPC)."""
+        _, smd, ex = self._unpack(flat_meta, layout)
+        cur_tokens = ex["cur_tokens"]
+        seq_lens0 = ex["seq_lens0"]
+        block_tables = ex["block_tables"]
+        step_budget = ex.get("step_budget")
+        lora_row_slots = ex.get("lora_rows")
+        mrope_deltas = ex.get("mrope_deltas")
         R = cur_tokens.shape[0]
         ps = self.block_size
         arange_r = jnp.arange(R, dtype=jnp.int32)
@@ -294,15 +324,20 @@ class ModelRunner:
         return packed, topk_v, topk_i, kv_cache
 
     # ---------------------------------------------- window multi-step decode
-    def _multi_step_window(self, params, kv_cache, cur_tokens, seq_lens0,
-                           block_tables, smd, flags, num_steps, max_logprobs,
-                           step_budget=None, lora=None, lora_row_slots=None,
-                           mrope_deltas=None):
+    def _multi_step_window(self, params, kv_cache, flat_meta, layout, flags,
+                           num_steps, max_logprobs, lora=None):
         """K decode steps with a FROZEN paged cache: each step's K/V rows go
         into per-layer tail buffers updated in place in the scan carry; one
         batched scatter flushes the window into the pages at the end. This
         removes the per-step whole-cache copy the v1 path paid for scanning
         the cache through xs/ys (see ops/window_decode_attention.py)."""
+        _, smd, ex = self._unpack(flat_meta, layout)
+        cur_tokens = ex["cur_tokens"]
+        seq_lens0 = ex["seq_lens0"]
+        block_tables = ex["block_tables"]
+        step_budget = ex.get("step_budget")
+        lora_row_slots = ex.get("lora_rows")
+        mrope_deltas = ex.get("mrope_deltas")
         model = self.model
         R = cur_tokens.shape[0]
         ps = self.block_size
@@ -492,7 +527,7 @@ class ModelRunner:
                         [emb, jnp.zeros((S - emb.shape[0], D), emb.dtype)]))
                 else:
                     stack.append(emb)
-            return jnp.stack(stack), jnp.asarray(lens)
+            return jnp.stack(stack), lens
         pieces, idx_parts = [], []
         for r, rid in enumerate(order):
             st = self.requests[rid]
@@ -521,7 +556,7 @@ class ModelRunner:
         idx = np.full((M_pad,), T_pad, np.int32)
         if M:
             idx[:M] = np.concatenate(idx_parts)
-        return embeds, jnp.asarray(idx)
+        return embeds, idx
 
     def pending_drafts_map(self) -> dict[str, list[int]]:
         """Draft-model proposals from the last step ({} without a draft)."""
@@ -576,6 +611,7 @@ class ModelRunner:
         R_pad = pick_bucket(self.req_buckets, R)
 
         # ---- sampling metadata (host-side packing, shared by both paths) --
+        from aphrodite_tpu.sample.metadata import build_sampling_arrays
         reqs_meta = []
         max_logprobs = 0
         for rid in order:
@@ -584,7 +620,7 @@ class ModelRunner:
             reqs_meta.append((p, st.token_ids, st.prompt_len, st.output_len))
             if p.logprobs:
                 max_logprobs = max(max_logprobs, p.logprobs)
-        smd, flags = build_sampling_metadata(
+        smd_arrays, flags = build_sampling_arrays(
             reqs_meta, self.model.vocab_size, R_pad,
             base_seed=self._base_seed)
         max_lp = next_power_of_2(max_logprobs) if max_logprobs else 0
@@ -592,8 +628,9 @@ class ModelRunner:
         num_steps, step_budgets = self._multi_step_eligibility(
             so, order, flags)
         if num_steps > 1:
-            return self._execute_multi_step(so, order, R, R_pad, smd, flags,
-                                            max_lp, num_steps, step_budgets)
+            return self._execute_multi_step(so, order, R, R_pad, smd_arrays,
+                                            flags, max_lp, num_steps,
+                                            step_budgets)
 
         # Each request's q segment is aligned so the Pallas kernel's dynamic
         # q DMA offsets satisfy Mosaic's sublane alignment.
@@ -640,26 +677,25 @@ class ModelRunner:
             samples_expected.append(start + n >= st.num_tokens)
         qsl[R + 1:] = t
 
-        extra = {}
+        fields = {
+            "input_ids": input_ids,
+            "md_token_req_idx": token_req,
+            "md_token_pos": token_pos,
+            "md_slot_mapping": slots,
+            "md_query_start_loc": qsl,
+            "md_seq_lens": seq_lens,
+            "md_block_tables": block_tables,
+            "md_num_reqs": np.asarray(R, np.int32),
+            "md_num_tokens": np.asarray(T, np.int32),
+        }
+        block_q = None
         if self.use_pallas:
             from aphrodite_tpu.attention.metadata import build_work_items
             block_q = min(128, T_pad)
             seg_counts = qsl[1:R + 1] - seg_starts[:R]
             items = build_work_items(seg_starts, seg_counts, seq_lens, R,
                                      T_pad, block_q, R_pad)
-            extra = {k: jnp.asarray(v) for k, v in items.items()}
-            extra["block_q"] = block_q
-        md = AttentionMetadata(
-            token_req_idx=jnp.asarray(token_req),
-            token_pos=jnp.asarray(token_pos),
-            slot_mapping=jnp.asarray(slots),
-            query_start_loc=jnp.asarray(qsl),
-            seq_lens=jnp.asarray(seq_lens),
-            block_tables=jnp.asarray(block_tables),
-            num_reqs=jnp.asarray(R, jnp.int32),
-            num_tokens=jnp.asarray(T, jnp.int32),
-            **extra,
-        )
+            fields.update({"md_" + k: v for k, v in items.items()})
 
         spec_k = self.spec_k if so.scheduled_spec_decode_tokens else 0
         if spec_k:
@@ -673,7 +709,7 @@ class ModelRunner:
                     reqs2.append((st.sampling_params, st.token_ids,
                                   st.prompt_len,
                                   max(st.output_len + j - (spec_k - m), 0)))
-            smd, flags = build_sampling_metadata(
+            smd_arrays, flags = build_sampling_arrays(
                 reqs2, self.model.vocab_size, R_pad * (spec_k + 1),
                 base_seed=self._base_seed)
             max_lp = 0
@@ -685,7 +721,7 @@ class ModelRunner:
                 m = len(drafts)
                 for i, dt in enumerate(drafts):
                     draft_rows[r * (spec_k + 1) + (spec_k - m) + i] = dt
-            spec_draft_arg = jnp.asarray(draft_rows)
+            fields["spec_draft"] = draft_rows
 
         lora_arg = None
         if self.lora_manager is not None and self.lora_manager.slots:
@@ -696,8 +732,7 @@ class ModelRunner:
                     slot = self.lora_manager.slot_of(st.lora_name)
                     a, b = seg_starts[r], qsl[r + 1]
                     lora_slots[a:b] = slot
-            md = __import__("dataclasses").replace(
-                md, lora_slots=jnp.asarray(lora_slots))
+            fields["md_lora_slots"] = lora_slots
             lora_arg = self.lora_manager.tensors
 
         if self.is_ssm:
@@ -716,9 +751,8 @@ class ModelRunner:
                     slot = self._free_slots.pop()
                     self._slot_of[rid] = slot
                 state_slots[r] = slot
-            md = __import__("dataclasses").replace(
-                md, state_slots=jnp.asarray(state_slots),
-                seg_starts=jnp.asarray(seg_starts))
+            fields["md_state_slots"] = state_slots
+            fields["md_seg_starts"] = seg_starts
 
         if getattr(self.model, "needs_bidir_mm", False):
             span_lists = []
@@ -732,8 +766,7 @@ class ModelRunner:
                 for r, spans in enumerate(span_lists):
                     for j, (off, ln) in enumerate(spans):
                         arr[r, j] = (off, off + ln)
-                md = __import__("dataclasses").replace(
-                    md, mm_bidir_spans=jnp.asarray(arr))
+                fields["md_mm_bidir_spans"] = arr
 
         if getattr(self.model, "uses_mrope", False):
             mpos = np.zeros((3, T_pad), np.int32)
@@ -753,22 +786,26 @@ class ModelRunner:
                     dec = np.arange(start + k0, start + n,
                                     dtype=np.int32) + delta
                     mpos[:, a + k0:a + n] = dec
-            md = __import__("dataclasses").replace(
-                md, mrope_pos=jnp.asarray(mpos))
+            fields["md_mrope_pos"] = mpos
 
         mm_arg = self._build_mm_arg(so, order, seg_starts, T_pad)
+        if mm_arg is not None:
+            # (device embeddings, host index/lens): the index rides the
+            # packed transfer, the embeddings stay a device arg.
+            mm_dev, mm_second = mm_arg
+            fields["mm_idx"] = np.asarray(mm_second, np.int32)
+            mm_arg = mm_dev
 
-        gmask = None
         if so.grammar_bitmask is not None:
             W = so.grammar_bitmask.shape[1]
             full = np.full((R_pad, W), 0xFFFFFFFF, np.uint32)
             for rid, row in so.structured_output_request_ids.items():
                 r = order.index(rid)
                 full[r] = so.grammar_bitmask[row]
-            gmask = jnp.asarray(full)
+            fields["grammar_mask"] = full
 
         # ---- prompt logprobs targets -------------------------------------
-        plp_targets = None
+        has_plp = False
         plp_k = 0
         plp_reqs = [rid for rid in order
                     if self.requests[rid].sampling_params.prompt_logprobs
@@ -786,20 +823,41 @@ class ModelRunner:
                     if pos < st.num_tokens:
                         targets[a + j] = st.token_ids[pos]
                 plp_k = max(plp_k, st.sampling_params.prompt_logprobs or 0)
-            plp_targets = jnp.asarray(targets)
+            fields["plp_targets"] = targets
+            has_plp = True
             plp_k = next_power_of_2(plp_k) if plp_k else 0
 
-        need_sample = (any(samples_expected) or plp_targets is not None
+        fields.update({"s_" + k: v for k, v in smd_arrays.items()})
+        from aphrodite_tpu.worker.meta_pack import pack_meta
+        flat, layout = pack_meta(fields)
+
+        need_sample = (any(samples_expected) or has_plp
                        or so.grammar_bitmask is not None)
         need_hidden = self.draft is not None and self.draft.needs_hidden
         packed, topk_v_d, topk_i_d, self.kv_cache, plp_d, hidden_d = \
             self._step_fn(
-                self.params, self.kv_cache, jnp.asarray(input_ids), md, smd,
-                flags=flags, max_logprobs=max_lp, spec_k=spec_k,
-                grammar_mask=gmask, lora=lora_arg, plp_targets=plp_targets,
-                plp_k=plp_k, need_sample=need_sample,
-                need_hidden=need_hidden, mm=mm_arg,
-                spec_draft=(spec_draft_arg if spec_k else None))
+                self.params, self.kv_cache, jnp.asarray(flat),
+                layout=layout, flags=flags, max_logprobs=max_lp,
+                spec_k=spec_k, plp_k=plp_k, need_sample=need_sample,
+                need_hidden=need_hidden, block_q=block_q, lora=lora_arg,
+                mm=mm_arg)
+
+        def _host_md():
+            # Device-side AttentionMetadata for the draft proposer (runs a
+            # second forward outside the packed step).
+            extra = {}
+            if self.use_pallas:
+                extra = {k: jnp.asarray(v) for k, v in items.items()}
+                extra["block_q"] = block_q
+            return AttentionMetadata(
+                token_req_idx=jnp.asarray(token_req),
+                token_pos=jnp.asarray(token_pos),
+                slot_mapping=jnp.asarray(slots),
+                query_start_loc=jnp.asarray(qsl),
+                seq_lens=jnp.asarray(seq_lens),
+                block_tables=jnp.asarray(block_tables),
+                num_reqs=jnp.asarray(R, jnp.int32),
+                num_tokens=jnp.asarray(T, jnp.int32), **extra)
 
         # Encoder-cache eviction: scatter-merged embeddings are only
         # consumed during prefill; drop them once every prompt token is
@@ -816,14 +874,14 @@ class ModelRunner:
         if not need_sample:
             if self.draft is not None:
                 # Keep the draft KV in lockstep through chunked prefill.
-                self.draft.ingest_only(input_ids, md, hidden=hidden_d,
+                self.draft.ingest_only(input_ids, _host_md(), hidden=hidden_d,
                                        host_qsl=qsl,
                                        host_seg_starts=seg_starts,
                                        num_reqs=R)
             return ModelRunnerOutput(req_ids=order,
                                      sampled_token_ids=[[] for _ in order])
 
-        if plp_targets is not None:
+        if has_plp:
             chosen_h = np.asarray(plp_d[0])
             tv_h = np.asarray(plp_d[1]) if plp_d[1] is not None else None
             ti_h = np.asarray(plp_d[2]) if plp_d[2] is not None else None
@@ -871,7 +929,7 @@ class ModelRunner:
                 sampled.append(emitted)
                 st.token_ids.extend(emitted)
             if self.draft is not None:
-                self.draft.observe_and_propose(order, R_pad, input_ids, md,
+                self.draft.observe_and_propose(order, R_pad, input_ids, _host_md(),
                                                samples_expected,
                                                hidden=hidden_d,
                                                host_qsl=qsl,
@@ -909,7 +967,7 @@ class ModelRunner:
                 logprobs_out.append(None)
 
         if self.draft is not None:
-            self.draft.observe_and_propose(order, R_pad, input_ids, md,
+            self.draft.observe_and_propose(order, R_pad, input_ids, _host_md(),
                                            samples_expected, hidden=hidden_d,
                                            host_qsl=qsl,
                                            host_seg_starts=seg_starts,
@@ -1055,8 +1113,9 @@ class ModelRunner:
         return 1 << (K.bit_length() - 1), budgets
 
     def _execute_multi_step(self, so: SchedulerOutput, order, R, R_pad,
-                            smd, flags, max_lp, num_steps,
+                            smd_arrays, flags, max_lp, num_steps,
                             step_budgets=None) -> ModelRunnerOutput:
+        from aphrodite_tpu.worker.meta_pack import pack_meta
         cur_tokens = np.zeros((R_pad,), np.int32)
         seq_lens0 = np.zeros((R_pad,), np.int32)
         block_tables = np.zeros((R_pad, self.max_pages_per_req), np.int32)
@@ -1065,36 +1124,35 @@ class ModelRunner:
             cur_tokens[r] = st.token_ids[-1]
             seq_lens0[r] = st.num_tokens
             block_tables[r, :len(st.block_ids)] = st.block_ids
-        budgets_arr = None
+        fields = {"cur_tokens": cur_tokens, "seq_lens0": seq_lens0,
+                  "block_tables": block_tables}
         if step_budgets is not None:
             budgets = np.full((R_pad,), num_steps, np.int32)
             budgets[:R] = np.minimum(step_budgets, num_steps)
-            budgets_arr = jnp.asarray(budgets)
+            fields["step_budget"] = budgets
 
-        lora_arg = lora_rows = None
+        lora_arg = None
         if self.lora_manager is not None and self.lora_manager.slots:
             rows = np.zeros((R_pad,), np.int32)
             for r, rid in enumerate(order):
                 nm = self.requests[rid].lora_name
                 if nm:
                     rows[r] = self.lora_manager.slot_of(nm)
-            lora_rows = jnp.asarray(rows)
+            fields["lora_rows"] = rows
             lora_arg = self.lora_manager.tensors
-        mrope_deltas = None
         if getattr(self.model, "uses_mrope", False):
             deltas = np.zeros((R_pad,), np.int32)
             for r, rid in enumerate(order):
                 deltas[r] = self._mrope_state(self.requests[rid])[1]
-            mrope_deltas = jnp.asarray(deltas)
+            fields["mrope_deltas"] = deltas
+        fields.update({"s_" + k: v for k, v in smd_arrays.items()})
+        flat, layout = pack_meta(fields)
         ms_fn = (self._multi_step_window_fn if self.use_window_decode
                  else self._multi_step_fn)
         packed, topk_v_d, topk_i_d, self.kv_cache = ms_fn(
-            self.params, self.kv_cache, jnp.asarray(cur_tokens),
-            jnp.asarray(seq_lens0), jnp.asarray(block_tables), smd,
+            self.params, self.kv_cache, jnp.asarray(flat), layout=layout,
             flags=flags, num_steps=num_steps, max_logprobs=max_lp,
-            step_budget=budgets_arr,
-            lora=lora_arg, lora_row_slots=lora_rows,
-            mrope_deltas=mrope_deltas)
+            lora=lora_arg)
 
         packed = np.asarray(packed)  # [2, K, R_pad], single d2h
         tokens_k = packed[0, :, :R].view(np.int32)  # [K, R]
