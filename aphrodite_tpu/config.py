@@ -455,7 +455,7 @@ class TPUConfig:
     # its max_tokens/max_model_len budget; through a tunneled chip each
     # dispatch carries ~25 ms of fixed RPC cost, so bigger K wins whenever
     # requests have decode budget left.
-    multi_step_decode: int = 32
+    multi_step_decode: int = 64
 
 
 @dataclass

@@ -1106,10 +1106,16 @@ class ModelRunner:
         K = min(K_cap, max(budgets))
         if K < 2:
             return 1, None
-        # Power-of-2 floor (one jit program per K): rounding UP would burn
-        # whole-batch idle steps (~10 ms each) beyond every request's
-        # budget, which quickly exceeds the ~25 ms cost of one more
-        # dispatch for the remainder.
+        if K >= 8:
+            # Round UP to a multiple of 8 (≤8 jit programs per cap): a
+            # 49-step budget runs as ONE K=56 dispatch with ≤7 masked idle
+            # sub-steps (~7 ms each) instead of a 32+16+1 dispatch chain —
+            # each extra dispatch costs ~35 ms of tunnel RPC plus h2d, and
+            # the K=1 remainder falls onto the expensive v1 single-step
+            # path (PROFILE.md).
+            return min(round_up(K, 8), K_cap), budgets
+        # Small budgets: power-of-2 floor — idle sub-steps are a worse
+        # trade than one more dispatch when K itself is small.
         return 1 << (K.bit_length() - 1), budgets
 
     def _execute_multi_step(self, so: SchedulerOutput, order, R, R_pad,
