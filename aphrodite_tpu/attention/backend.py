@@ -75,6 +75,51 @@ def write_kv(kv_cache: jax.Array, k: jax.Array, v: jax.Array,
     return kv_cache
 
 
+def write_kv_staged(kv_cache: jax.Array, k: jax.Array, v: jax.Array,
+                    stage_pages: jax.Array, stage_src: jax.Array,
+                    layer_idx=None) -> jax.Array:
+    """Page-granular KV write: gather -> merge -> whole-page scatter.
+
+    XLA's TPU scatter serializes per index, so the per-token write_kv costs
+    ~28 ms/layer-stack at T=8192 (PROFILE.md). Here the host preschedules
+    the pages a step touches (runner build_kv_stage): ``stage_pages [J]``
+    physical page ids (sentinel = num_pages for unused staging slots) and
+    ``stage_src [J, page_size]`` flat token index feeding each page row
+    (-1 = keep the old cache row). In-graph this becomes a contiguous
+    gather of the new rows, a gather of the old pages, a masked merge, and
+    ONE row scatter of full 16 KB pages at 1-D indices — ~25x faster than
+    the per-token scatter. Replaces the reference's reshape_and_cache
+    kernel (kernels/cache_kernels.cu) on the hot path.
+    """
+    full = kv_cache.ndim == 6
+    num_pages, _, kvh, page_size, hd = kv_cache.shape[-5:]
+    if k.shape[-1] != hd:
+        pad = hd - k.shape[-1]
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad)))
+    J = stage_pages.shape[0]
+    src = stage_src.reshape(J * page_size)
+    valid = src >= 0
+    src_c = jnp.where(valid, src, 0)
+    # [J*page, kvh, hd] new rows (pad rows garbage, masked below)
+    new_k = jnp.take(k, src_c, axis=0).astype(kv_cache.dtype)
+    new_v = jnp.take(v, src_c, axis=0).astype(kv_cache.dtype)
+    # -> [J, kvh, page, hd] to match the cache page layout
+    new_k = new_k.reshape(J, page_size, kvh, hd).transpose(0, 2, 1, 3)
+    new_v = new_v.reshape(J, page_size, kvh, hd).transpose(0, 2, 1, 3)
+    vm = valid.reshape(J, 1, page_size, 1)
+    cache_l = kv_cache[layer_idx] if full else kv_cache
+    old = jnp.take(cache_l, stage_pages, axis=0, mode="fill",
+                   fill_value=0)                    # [J, 2, kvh, page, hd]
+    merged = jnp.stack([jnp.where(vm, new_k, old[:, 0]),
+                        jnp.where(vm, new_v, old[:, 1])], axis=1)
+    if full:
+        return kv_cache.at[layer_idx, stage_pages].set(
+            merged, mode="drop", unique_indices=True)
+    return kv_cache.at[stage_pages].set(merged, mode="drop",
+                                        unique_indices=True)
+
+
 def alibi_slopes(num_heads: int) -> jax.Array:
     """Standard ALiBi head slopes (Press et al.; matches HF's
     build_alibi_tensor closest-power-of-2 interpolation)."""

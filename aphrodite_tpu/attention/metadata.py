@@ -82,12 +82,38 @@ class AttentionMetadata:
     # [R] int32: flat-layout index of each request's first scheduled token
     # (segments have alignment gaps, so this is not query_start_loc[:-1]).
     seg_starts: Optional[jax.Array] = None
+    # ---- page-granular KV write staging (attention/backend.py
+    # write_kv_staged): [J] physical page ids (unused slots get distinct
+    # out-of-range ids) + [J, page_size] flat token index per page row
+    # (-1 = keep old). Built host-side (runner build_kv_stage).
+    stage_pages: Optional[jax.Array] = None
+    stage_src: Optional[jax.Array] = None
 
 
 # Flat-layout alignment of each request's q segment. The Pallas kernel's
 # q-block DMA offset is qstart*group; Mosaic requires dynamic sublane indices
 # to be 8-aligned, and qstart % 8 == 0 guarantees that for any group size.
 Q_SEGMENT_ALIGN = 8
+
+
+def build_kv_stage(slots: np.ndarray, T_pad: int, R_pad: int,
+                   page_size: int, num_pages: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Host schedule for write_kv_staged: which physical pages this step
+    touches and which flat token fills each page row. Unused staging slots
+    get DISTINCT out-of-range page ids (num_pages + j) so the in-graph
+    scatter can promise unique_indices."""
+    J = T_pad // page_size + R_pad
+    stage_pages = (num_pages + np.arange(J, dtype=np.int32)).astype(np.int32)
+    stage_src = np.full((J, page_size), -1, np.int32)
+    valid = np.nonzero(slots >= 0)[0].astype(np.int32)
+    if len(valid):
+        pages = slots[valid] // page_size
+        offs = slots[valid] % page_size
+        upages, inv = np.unique(pages, return_inverse=True)
+        stage_pages[:len(upages)] = upages
+        stage_src[inv, offs] = valid
+    return stage_pages, stage_src
 
 
 def build_work_items(seg_starts: np.ndarray, seg_counts: np.ndarray,

@@ -264,6 +264,14 @@ class LlamaForCausalLM:
                 and cls._scan_stack is LlamaForCausalLM._scan_stack)
 
     @property
+    def supports_staged_kv_write(self) -> bool:
+        """True when the layer body routes KV writes through the staged
+        page-granular path (write_kv_staged) when the runner supplies
+        stage arrays. Base scan machinery only (pipeline drains use masked
+        per-token flushes)."""
+        return self._base_forward
+
+    @property
     def supports_window_decode(self) -> bool:
         """True when the multi-step runner may use the frozen-cache + tail
         window path (ops/window_decode_attention.py). Only the base scan
@@ -389,7 +397,14 @@ class LlamaForCausalLM:
                 slots = md_l.slot_mapping
             lin = make_lin(lp)
             q, k, v = qkv_proj(x, lp, lin, cs=cs)
-            kvc = write_kv(kvc, k, v, slots)
+            if ctx is None and md_l.stage_pages is not None:
+                # Page-granular staged write (~25x faster than the
+                # per-token XLA scatter at prefill T; see write_kv_staged).
+                from aphrodite_tpu.attention.backend import write_kv_staged
+                kvc = write_kv_staged(kvc, k, v, md_l.stage_pages,
+                                      md_l.stage_src)
+            else:
+                kvc = write_kv(kvc, k, v, slots)
             o = paged_attention(q, kvc, md_l, self.scale,
                                 sliding_window=self.sliding_window,
                                 use_pallas=use_pallas and ctx is None)

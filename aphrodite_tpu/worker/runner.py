@@ -696,6 +696,13 @@ class ModelRunner:
             items = build_work_items(seg_starts, seg_counts, seq_lens, R,
                                      T_pad, block_q, R_pad)
             fields.update({"md_" + k: v for k, v in items.items()})
+        if not self.is_ssm and getattr(self.model, "supports_staged_kv_write",
+                                       False):
+            from aphrodite_tpu.attention.metadata import build_kv_stage
+            sp, ss = build_kv_stage(slots, T_pad, R_pad, self.block_size,
+                                    self.config.cache_config.num_blocks)
+            fields["md_stage_pages"] = sp
+            fields["md_stage_src"] = ss
 
         spec_k = self.spec_k if so.scheduled_spec_decode_tokens else 0
         if spec_k:
