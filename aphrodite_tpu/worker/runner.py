@@ -279,12 +279,25 @@ class ModelRunner:
         step_budget = ex.get("step_budget")
         lora_row_slots = ex.get("lora_rows")
         mrope_deltas = ex.get("mrope_deltas")
+        # Runtime step count (<= the static buffer cap num_steps): ONE
+        # compiled program serves every window length, and the window runs
+        # exactly max(budget) sub-steps — no idle whole-batch sub-steps, no
+        # expensive K=1 remainder dispatch.
+        n_live = ex["num_live_steps"].reshape(())
         R = cur_tokens.shape[0]
         ps = self.block_size
         arange_r = jnp.arange(R, dtype=jnp.int32)
 
-        def sub(carry, i):
-            kv, toks, seqlens = carry
+        tok_buf = jnp.zeros((num_steps, R), jnp.int32)
+        lp_buf = jnp.zeros((num_steps, R), jnp.float32)
+        if max_logprobs:
+            tv_buf = jnp.zeros((num_steps, R, max_logprobs), jnp.float32)
+            ti_buf = jnp.zeros((num_steps, R, max_logprobs), jnp.int32)
+        else:
+            tv_buf = ti_buf = jnp.zeros((0,), jnp.float32)
+
+        def body(i, carry):
+            kv, toks, seqlens, tok_buf, lp_buf, tv_buf, ti_buf = carry
             live = seqlens > 0
             if step_budget is not None:
                 live &= i < step_budget
@@ -311,17 +324,23 @@ class ModelRunner:
             out = sample_tokens(logits, smd, flags, max_logprobs,
                                 step_offset=i)
             new_tok = jnp.where(live, out["tokens"], toks)
-            ys = (new_tok, out["logprob"],
-                  out.get("topk_values"), out.get("topk_indices"))
-            return (kv, new_tok, seqlens + live.astype(jnp.int32)), ys
+            tok_buf = tok_buf.at[i].set(new_tok)
+            lp_buf = lp_buf.at[i].set(out["logprob"])
+            if max_logprobs:
+                tv_buf = tv_buf.at[i].set(out["topk_values"])
+                ti_buf = ti_buf.at[i].set(out["topk_indices"])
+            return (kv, new_tok, seqlens + live.astype(jnp.int32),
+                    tok_buf, lp_buf, tv_buf, ti_buf)
 
-        (kv_cache, _, _), ys = jax.lax.scan(
-            sub, (kv_cache, cur_tokens, seq_lens0),
-            jnp.arange(num_steps, dtype=jnp.int32))
-        tokens_k, lp_k, topk_v, topk_i = ys  # [K, R], ...
+        kv_cache, _, _, tok_buf, lp_buf, tv_buf, ti_buf = jax.lax.fori_loop(
+            0, n_live, body,
+            (kv_cache, cur_tokens, seq_lens0, tok_buf, lp_buf, tv_buf,
+             ti_buf))
         packed = jnp.stack([
-            jax.lax.bitcast_convert_type(tokens_k, jnp.float32), lp_k])
-        return packed, topk_v, topk_i, kv_cache
+            jax.lax.bitcast_convert_type(tok_buf, jnp.float32), lp_buf])
+        if not max_logprobs:
+            tv_buf = ti_buf = None
+        return packed, tv_buf, ti_buf, kv_cache
 
     # ---------------------------------------------- window multi-step decode
     def _multi_step_window(self, params, kv_cache, flat_meta, layout, flags,
@@ -338,6 +357,9 @@ class ModelRunner:
         step_budget = ex.get("step_budget")
         lora_row_slots = ex.get("lora_rows")
         mrope_deltas = ex.get("mrope_deltas")
+        # Runtime step count (see _multi_step): one program, zero idle
+        # whole-batch sub-steps.
+        n_live = ex["num_live_steps"].reshape(())
         model = self.model
         R = cur_tokens.shape[0]
         ps = self.block_size
@@ -351,9 +373,16 @@ class ModelRunner:
                       (jnp.float8_e4m3, jnp.float8_e5m2) else self.kv_dtype)
         tk0 = jnp.zeros((L, R, kvh, num_steps, hd_c), tail_dtype)
         tv0 = jnp.zeros((L, R, kvh, num_steps, hd_c), tail_dtype)
+        tok_buf = jnp.zeros((num_steps, R), jnp.int32)
+        lp_buf = jnp.zeros((num_steps, R), jnp.float32)
+        if max_logprobs:
+            tv_buf = jnp.zeros((num_steps, R, max_logprobs), jnp.float32)
+            ti_buf = jnp.zeros((num_steps, R, max_logprobs), jnp.int32)
+        else:
+            tv_buf = ti_buf = jnp.zeros((0,), jnp.float32)
 
-        def sub(carry, i):
-            tk, tv, toks = carry
+        def body(i, carry):
+            tk, tv, toks, tok_buf, lp_buf, tv_buf, ti_buf = carry
             live = live0
             if step_budget is not None:
                 live = live & (i < step_budget)
@@ -379,19 +408,21 @@ class ModelRunner:
             out = sample_tokens(logits, smd, flags, max_logprobs,
                                 step_offset=i)
             new_tok = jnp.where(live, out["tokens"], toks)
-            ys = (new_tok, out["logprob"],
-                  out.get("topk_values"), out.get("topk_indices"))
-            return (tk, tv, new_tok), ys
+            tok_buf = tok_buf.at[i].set(new_tok)
+            lp_buf = lp_buf.at[i].set(out["logprob"])
+            if max_logprobs:
+                tv_buf = tv_buf.at[i].set(out["topk_values"])
+                ti_buf = ti_buf.at[i].set(out["topk_indices"])
+            return (tk, tv, new_tok, tok_buf, lp_buf, tv_buf, ti_buf)
 
-        (tk, tv, _), ys = jax.lax.scan(
-            sub, (tk0, tv0, cur_tokens),
-            jnp.arange(num_steps, dtype=jnp.int32))
-        tokens_k, lp_k, topk_v, topk_i = ys  # [K, R], ...
+        tk, tv, _, tok_buf, lp_buf, tv_buf, ti_buf = jax.lax.fori_loop(
+            0, n_live, body,
+            (tk0, tv0, cur_tokens, tok_buf, lp_buf, tv_buf, ti_buf))
 
         # ---- flush the window tails into the paged cache -----------------
         j = jnp.arange(num_steps, dtype=jnp.int32)
         abs_pos = paged_lens[:, None] + j[None, :]            # [R, K]
-        valid = live0[:, None]
+        valid = live0[:, None] & (j[None, :] < n_live)
         if step_budget is not None:
             valid = valid & (j[None, :] < step_budget[:, None])
         pages = jnp.take_along_axis(block_tables, abs_pos // ps, axis=1)
@@ -410,8 +441,10 @@ class ModelRunner:
             val_v.astype(kv_cache.dtype), mode="drop")
 
         packed = jnp.stack([
-            jax.lax.bitcast_convert_type(tokens_k, jnp.float32), lp_k])
-        return packed, topk_v, topk_i, kv_cache
+            jax.lax.bitcast_convert_type(tok_buf, jnp.float32), lp_buf])
+        if not max_logprobs:
+            tv_buf = ti_buf = None
+        return packed, tv_buf, ti_buf, kv_cache
 
     # ------------------------------------------------------- KV page transfer
     def extract_pages(self, page_ids: list[int]) -> np.ndarray:
@@ -1110,20 +1143,15 @@ class ModelRunner:
                 # speculation depth so post-EOS waste stays moderate.
                 K_cap = min(K_cap, 16)
             budgets.append(max(b, 1))
+        # Exact K: the loop bound is a RUNTIME scalar (fori_loop in
+        # _multi_step/_multi_step_window), so one compiled program (buffer
+        # cap = tpu_config.multi_step_decode) serves every window length —
+        # a 49-step budget runs as ONE 49-sub-step dispatch with zero idle
+        # whole-batch sub-steps and no K=1 remainder dispatch.
         K = min(K_cap, max(budgets))
         if K < 2:
             return 1, None
-        if K >= 8:
-            # Round UP to a multiple of 8 (≤8 jit programs per cap): a
-            # 49-step budget runs as ONE K=56 dispatch with ≤7 masked idle
-            # sub-steps (~7 ms each) instead of a 32+16+1 dispatch chain —
-            # each extra dispatch costs ~35 ms of tunnel RPC plus h2d, and
-            # the K=1 remainder falls onto the expensive v1 single-step
-            # path (PROFILE.md).
-            return min(round_up(K, 8), K_cap), budgets
-        # Small budgets: power-of-2 floor — idle sub-steps are a worse
-        # trade than one more dispatch when K itself is small.
-        return 1 << (K.bit_length() - 1), budgets
+        return K, budgets
 
     def _execute_multi_step(self, so: SchedulerOutput, order, R, R_pad,
                             smd_arrays, flags, max_lp, num_steps,
@@ -1137,8 +1165,12 @@ class ModelRunner:
             cur_tokens[r] = st.token_ids[-1]
             seq_lens0[r] = st.num_tokens
             block_tables[r, :len(st.block_ids)] = st.block_ids
+        # Static buffer cap (one jit program); actual sub-step count rides
+        # the packed metadata as a runtime scalar.
+        K_cap = self.config.tpu_config.multi_step_decode
         fields = {"cur_tokens": cur_tokens, "seq_lens0": seq_lens0,
-                  "block_tables": block_tables}
+                  "block_tables": block_tables,
+                  "num_live_steps": np.asarray(num_steps, np.int32)}
         if step_budgets is not None:
             budgets = np.full((R_pad,), num_steps, np.int32)
             budgets[:R] = np.minimum(step_budgets, num_steps)
@@ -1164,7 +1196,7 @@ class ModelRunner:
                  else self._multi_step_fn)
         packed, topk_v_d, topk_i_d, self.kv_cache = ms_fn(
             self.params, self.kv_cache, jnp.asarray(flat), layout=layout,
-            flags=flags, num_steps=num_steps, max_logprobs=max_lp,
+            flags=flags, num_steps=K_cap, max_logprobs=max_lp,
             lora=lora_arg)
 
         packed = np.asarray(packed)  # [2, K, R_pad], single d2h
