@@ -43,7 +43,7 @@ def main():
                     help="tiny model + workload (CI sanity)")
     # Through a tunneled chip every dispatch costs ~25 ms of RPC overhead:
     # fewer, fatter prefill steps win (device time is FLOPs-bound either way).
-    ap.add_argument("--max-num-batched-tokens", type=int, default=8192)
+    ap.add_argument("--max-num-batched-tokens", type=int, default=16384)
     args = ap.parse_args()
 
     from aphrodite_tpu.entrypoints.llm import LLM
