@@ -100,17 +100,23 @@ class OutputProcessor:
             stop_reason = eco.stop_reason
 
             hit = st.stop_tracker.check(st.text, len(delta_text))
-            if hit is not None and not finished:
+            if hit is not None:
+                # A stop string occurs at an earlier text position than any
+                # core-side finish (length/EOS), so it wins even when the
+                # core already finished the request — multi-step / fused
+                # windows can overshoot a stop string in-graph and report
+                # "length" for the same batch of tokens.
                 stop_str, cut = hit
                 delta_trim = len(st.text) - cut
                 st.text = st.text[:cut]
                 if delta_trim > 0:
                     delta_text = delta_text[:-delta_trim] \
                         if delta_trim <= len(delta_text) else ""
+                if not finished:
+                    to_abort.append(eco.req_id)
                 finished = True
                 finish_reason = "stop"
                 stop_reason = stop_str
-                to_abort.append(eco.req_id)
 
             st.finished = finished
             st.finish_reason = finish_reason

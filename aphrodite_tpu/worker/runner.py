@@ -344,14 +344,24 @@ class ModelRunner:
 
     # ---------------------------------------------- window multi-step decode
     def _multi_step_window(self, params, kv_cache, flat_meta, layout, flags,
-                           num_steps, max_logprobs, lora=None):
+                           num_steps, max_logprobs, lora=None,
+                           chain_packed=None):
         """K decode steps with a FROZEN paged cache: each step's K/V rows go
         into per-layer tail buffers updated in place in the scan carry; one
         batched scatter flushes the window into the pages at the end. This
         removes the per-step whole-cache copy the v1 path paid for scanning
-        the cache through xs/ys (see ops/window_decode_attention.py)."""
+        the cache through xs/ys (see ops/window_decode_attention.py).
+
+        ``chain_packed``: the [2, R] packed output of a just-dispatched
+        prefill step — the window chains off it ON DEVICE (bitcast row 0 =
+        the sampled tokens), so a prefill + its whole decode window run
+        back-to-back with no host round trip between them."""
         _, smd, ex = self._unpack(flat_meta, layout)
-        cur_tokens = ex["cur_tokens"]
+        if chain_packed is not None:
+            cur_tokens = jax.lax.bitcast_convert_type(chain_packed[0],
+                                                      jnp.int32)
+        else:
+            cur_tokens = ex["cur_tokens"]
         seq_lens0 = ex["seq_lens0"]
         block_tables = ex["block_tables"]
         step_budget = ex.get("step_budget")
@@ -921,6 +931,13 @@ class ModelRunner:
             return ModelRunnerOutput(req_ids=order,
                                      sampled_token_ids=[[] for _ in order])
 
+        if not spec_k and not has_plp and need_sample:
+            fused = self._maybe_fused_window(
+                so, order, R, R_pad, flags, samples_expected, packed,
+                topk_v_d, topk_i_d, max_lp)
+            if fused is not None:
+                return fused
+
         if has_plp:
             chosen_h = np.asarray(plp_d[0])
             tv_h = np.asarray(plp_d[1]) if plp_d[1] is not None else None
@@ -1101,6 +1118,138 @@ class ModelRunner:
                 seg = hidden[seg_starts[r]:seg_starts[r] + len(tl)]
                 outs.append(seg.mean(0) if pooling == "mean" else seg[-1])
         return outs
+
+    # ------------------------------------------------ fused prefill + window
+    def _maybe_fused_window(self, so, order, R, R_pad, flags,
+                            samples_expected, packed_dev, topk_v_d,
+                            topk_i_d, max_lp):
+        """After a step where EVERY scheduled request samples a token,
+        chain the whole decode window off the still-in-flight step ON
+        DEVICE (chain_packed): one wave = one prefill dispatch + one window
+        dispatch + ONE sync. The scheduler needs no changes — lookahead
+        slots already cover the window's KV, and update_from_output already
+        advances num_computed for multi-token results. Returns None when
+        ineligible (the caller falls through to the normal tail)."""
+        if (self.draft is not None or self.is_ssm
+                or not self.use_window_decode
+                or not self.use_graph_multi_step
+                or so.grammar_bitmask is not None
+                or so.scheduled_spec_decode_tokens
+                or flags.do_penalties or flags.do_dry or flags.do_ngram
+                or not all(samples_expected)):
+            return None
+        K_cap = self.config.tpu_config.multi_step_decode
+        if K_cap <= 1:
+            return None
+        max_len = self.config.scheduler_config.max_model_len
+        W_cap = K_cap
+        budgets = []
+        for rid in order:
+            st = self.requests[rid]
+            b = max_len - (st.num_tokens + 1)
+            mt = st.sampling_params.max_tokens
+            if mt is not None:
+                b = min(b, mt - (st.output_len + 1))
+            if not st.sampling_params.ignore_eos:
+                W_cap = min(W_cap, 16)
+            budgets.append(max(b, 0))
+        W = min(W_cap, max(budgets))
+        if W < 1:
+            return None
+
+        from aphrodite_tpu.sample.metadata import build_sampling_arrays
+        from aphrodite_tpu.worker.meta_pack import pack_meta
+        reqs_meta = [(self.requests[rid].sampling_params,
+                      self.requests[rid].token_ids,
+                      self.requests[rid].prompt_len,
+                      self.requests[rid].output_len + 1) for rid in order]
+        smd_arrays, wflags = build_sampling_arrays(
+            reqs_meta, self.model.vocab_size, R_pad,
+            base_seed=self._base_seed)
+        seq_lens0 = np.zeros((R_pad,), np.int32)
+        block_tables = np.zeros((R_pad, self.max_pages_per_req), np.int32)
+        budget_arr = np.zeros((R_pad,), np.int32)
+        for r, rid in enumerate(order):
+            st = self.requests[rid]
+            seq_lens0[r] = st.num_tokens + 1
+            block_tables[r, :len(st.block_ids)] = st.block_ids
+            budget_arr[r] = min(budgets[r], W)
+        fields = {"seq_lens0": seq_lens0, "block_tables": block_tables,
+                  "step_budget": budget_arr,
+                  "num_live_steps": np.asarray(W, np.int32)}
+        lora_arg = None
+        if self.lora_manager is not None and self.lora_manager.slots:
+            rows = np.zeros((R_pad,), np.int32)
+            for r, rid in enumerate(order):
+                nm = self.requests[rid].lora_name
+                if nm:
+                    rows[r] = self.lora_manager.slot_of(nm)
+            fields["lora_rows"] = rows
+            lora_arg = self.lora_manager.tensors
+        if getattr(self.model, "uses_mrope", False):
+            deltas = np.zeros((R_pad,), np.int32)
+            for r, rid in enumerate(order):
+                deltas[r] = self._mrope_state(self.requests[rid])[1]
+            fields["mrope_deltas"] = deltas
+        fields.update({"s_" + k: v for k, v in smd_arrays.items()})
+        flat, layout = pack_meta(fields)
+        packed2, topk_v2, topk_i2, self.kv_cache = \
+            self._multi_step_window_fn(
+                self.params, self.kv_cache, jnp.asarray(flat),
+                layout=layout, flags=wflags, num_steps=K_cap,
+                max_logprobs=max_lp, lora=lora_arg,
+                chain_packed=packed_dev)
+
+        p1 = np.asarray(packed_dev)          # [2, R_pad]
+        p2 = np.asarray(packed2)             # [2, K_cap, R_pad]
+        tok1 = p1[0, :R].view(np.int32)
+        lp1 = p1[1, :R]
+        tok_k = p2[0, :, :R].view(np.int32)
+        lp_k = p2[1, :, :R]
+        tv1 = np.asarray(topk_v_d[:R]) if max_lp else None
+        ti1 = np.asarray(topk_i_d[:R]) if max_lp else None
+        tv2 = np.asarray(topk_v2[:, :R]) if max_lp else None
+        ti2 = np.asarray(topk_i2[:, :R]) if max_lp else None
+
+        sampled: list[list[int]] = []
+        logprobs_out: list[Optional[list[dict[int, float]]]] = []
+        any_lp = False
+        for r, rid in enumerate(order):
+            st = self.requests[rid]
+            w_r = int(budget_arr[r])
+            toks = [int(tok1[r])] + [int(t) for t in tok_k[:w_r, r]]
+            sampled.append(toks)
+            st.token_ids.extend(toks)
+            p = st.sampling_params
+            if p.logprobs is not None:
+                lps = []
+                d = {toks[0]: float(lp1[r])}
+                if p.logprobs and tv1 is not None:
+                    for v, i2 in zip(tv1[r][:p.logprobs],
+                                     ti1[r][:p.logprobs]):
+                        d[int(i2)] = float(v)
+                lps.append(d)
+                for k in range(w_r):
+                    d = {toks[k + 1]: float(lp_k[k, r])}
+                    if p.logprobs and tv2 is not None:
+                        for v, i2 in zip(tv2[k, r][:p.logprobs],
+                                         ti2[k, r][:p.logprobs]):
+                            d[int(i2)] = float(v)
+                    lps.append(d)
+                logprobs_out.append(lps)
+                any_lp = True
+            else:
+                logprobs_out.append(None)
+        prompt_lps = {}
+        for r, rid in enumerate(order):
+            st = self.requests[rid]
+            if st.prompt_lp is not None:
+                prompt_lps[rid] = st.prompt_lp
+        return ModelRunnerOutput(
+            req_ids=order,
+            sampled_token_ids=sampled,
+            logprobs=logprobs_out if any_lp else None,
+            prompt_logprobs=prompt_lps or None)
 
     # --------------------------------------------------- multi-step machinery
     def _multi_step_eligibility(self, so: SchedulerOutput, order, flags

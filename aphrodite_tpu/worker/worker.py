@@ -52,9 +52,26 @@ def _enable_compile_cache() -> None:
     if os.environ.get("APHRODITE_DISABLE_COMPILE_CACHE") == "1":
         return
     try:
+        # Key the cache by a host-machine fingerprint: XLA:CPU AOT results
+        # encode CPU features, and reusing them on a different machine can
+        # SIGILL (observed as cpu_aot_loader warnings when one cache dir
+        # was shared across heterogeneous hosts). TPU entries are
+        # machine-independent but cheap to redo per host class.
+        import hashlib
+        import platform
+        feat = platform.machine() + platform.processor()
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        feat += line
+                        break
+        except OSError:
+            pass
+        tag = hashlib.sha256(feat.encode()).hexdigest()[:12]
         path = os.environ.get(
             "APHRODITE_COMPILE_CACHE_DIR",
-            os.path.expanduser("~/.cache/aphrodite_tpu/xla"))
+            os.path.expanduser(f"~/.cache/aphrodite_tpu/xla-{tag}"))
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
