@@ -52,7 +52,7 @@ def _rpa_kernel(
                     # buffer through so the carry-cache scan stays linear
                     # (no XLA copy-insertion around the custom call)
     # scratch
-    q_vmem, kv_vmem, acc, m_i, l_i, q_sem, kv_sem,
+    q_vmem, kv_vmem, acc, m_i, l_i, ctr, q_sem, kv_sem,
     *, scale: float, block_q: int, chunk_pages: int, page_size: int,
     num_q_heads: int, num_kv_heads: int, head_dim: int,
     sliding_window: Optional[int], logits_soft_cap: Optional[float],
@@ -64,49 +64,79 @@ def _rpa_kernel(
     group = num_q_heads // num_kv_heads
     rows = block_q * group
     chunk_kv = chunk_pages * page_size
+    n_items = num_items[0]
 
-    @pl.when(it < num_items[0])
-    def _run():
-        req = item_req[it]
-        qstart = item_qstart[it]
-        qlen = item_qlen[it]
-        pos0 = item_pos[it]
-        seq_len = seq_lens[req]
-        # Highest position this block attends to caps the KV range.
-        kv_limit = jnp.minimum(pos0 + qlen, seq_len)
-        num_chunks = pl.cdiv(kv_limit, chunk_kv)
+    # Cross-item DMA pipelining: the KV chunk stream and the q-block
+    # double buffer are threaded through the WHOLE grid (the next item's
+    # first chunk and q block are prefetched while the current item
+    # computes), so per-item first-chunk latency is never exposed — the
+    # same scheme as ops/window_decode_attention.py.
+    def kv_limit_of(i2):
+        return jnp.minimum(item_pos[i2] + item_qlen[i2],
+                           seq_lens[item_req[i2]])
 
+    def nc_of(i2):
+        return pl.cdiv(jnp.maximum(kv_limit_of(i2), 1), chunk_kv)
+
+    def c0_of(i2):
+        if sliding_window is None and chunk_attn is None:
+            return jnp.int32(0)
+        pos_lo = item_pos[i2]
+        if chunk_attn is not None:
+            lo = (pos_lo // chunk_attn) * chunk_attn
+        else:
+            lo = pos_lo - sliding_window + 1
+        return jnp.clip(lo // chunk_kv, 0, nc_of(i2) - 1)
+
+    def start_chunk(i2, c2):
+        slot = jax.lax.rem(ctr[0], 2)
+        req2 = item_req[i2]
+        for k in range(chunk_pages):
+            page_idx = c2 * chunk_pages + k
+            page_id = block_tables[req2,
+                                   jnp.minimum(page_idx, max_pages - 1)]
+            pltpu.make_async_copy(
+                kv_hbm.at[l, page_id], kv_vmem.at[slot, k],
+                kv_sem.at[slot, k]).start()
+        ctr[0] = ctr[0] + 1
+
+    def start_q(i2):
         # Segment starts are 8-aligned in the flat layout
-        # (Q_SEGMENT_ALIGN); tell Mosaic so the dynamic DMA offset is legal.
-        row_start = pl.multiple_of(qstart * group, 8)
-        q_dma = pltpu.make_async_copy(
-            q_hbm.at[:, pl.ds(row_start, rows), :], q_vmem, q_sem)
-        q_dma.start()
+        # (Q_SEGMENT_ALIGN); tell Mosaic so the dynamic DMA offset is
+        # legal.
+        row_start = pl.multiple_of(item_qstart[i2] * group, 8)
+        slot = jax.lax.rem(i2, 2)
+        pltpu.make_async_copy(
+            q_hbm.at[:, pl.ds(row_start, rows), :], q_vmem.at[slot],
+            q_sem.at[slot]).start()
 
-        def start_chunk(c, slot):
-            @pl.when(c < num_chunks)
-            def _():
-                for k in range(chunk_pages):
-                    page_idx = c * chunk_pages + k
-                    page_id = block_tables[
-                        req, jnp.minimum(page_idx, max_pages - 1)]
-                    pltpu.make_async_copy(
-                        kv_hbm.at[l, page_id],
-                        kv_vmem.at[slot, k],
-                        kv_sem.at[slot, k],
-                    ).start()
+    @pl.when(it == 0)
+    def _():
+        ctr[0] = 0
+        ctr[1] = 0
 
-        def wait_chunk(slot):
-            for k in range(chunk_pages):
-                pltpu.make_async_copy(
-                    kv_hbm.at[0, 0], kv_vmem.at[slot, k], kv_sem.at[slot, k]
-                ).wait()
+        @pl.when(n_items > 0)
+        def _():
+            start_q(0)
+            start_chunk(0, c0_of(0))
 
-        start_chunk(0, 0)
+    @pl.when(it < n_items)
+    def _run():
+        pos0 = item_pos[it]
+        kv_limit = kv_limit_of(it)
+        nc = nc_of(it)
+        c0 = c0_of(it)
+
         acc[...] = jnp.zeros_like(acc)
         m_i[...] = jnp.full_like(m_i, -jnp.inf)
         l_i[...] = jnp.zeros_like(l_i)
-        q_dma.wait()
+        q_slot = jax.lax.rem(it, 2)
+        pltpu.make_async_copy(q_hbm.at[:, pl.ds(0, rows), :],
+                              q_vmem.at[q_slot], q_sem.at[q_slot]).wait()
+
+        @pl.when(it + 1 < n_items)
+        def _():
+            start_q(it + 1)
 
         row_q = jax.lax.broadcasted_iota(
             jnp.int32, (rows, chunk_kv), 0) // group
@@ -114,9 +144,24 @@ def _rpa_kernel(
         col = jax.lax.broadcasted_iota(jnp.int32, (rows, chunk_kv), 1)
 
         def body(c, _):
-            slot = jax.lax.rem(c, 2)
-            start_chunk(c + 1, 1 - slot)
-            wait_chunk(slot)
+            # Prefetch the next chunk in the GLOBAL stream before waiting:
+            # the last chunk of this item prefetches the next item's first.
+            is_last = c + 1 >= nc
+            nxt_i = jnp.where(is_last, it + 1, it)
+
+            @pl.when(nxt_i < n_items)
+            def _():
+                nxt_c = jnp.where(
+                    is_last, c0_of(jnp.minimum(nxt_i, n_items - 1)), c + 1)
+                start_chunk(nxt_i, nxt_c)
+
+            slot = jax.lax.rem(ctr[1], 2)
+            for k in range(chunk_pages):
+                pltpu.make_async_copy(
+                    kv_hbm.at[0, 0], kv_vmem.at[slot, k],
+                    kv_sem.at[slot, k]).wait()
+            ctr[1] = ctr[1] + 1
+
             kv_pos = c * chunk_kv + col  # [rows, chunk_kv]
             mask = (kv_pos <= q_pos) & (kv_pos < kv_limit)
             if sliding_window is not None:
@@ -130,7 +175,7 @@ def _rpa_kernel(
                 if k_h.dtype != q_dtype:  # fp8 KV cache: upcast for the MXU
                     k_h = k_h.astype(q_dtype)
                     v_h = v_h.astype(q_dtype)
-                q_h = q_vmem[h]  # [rows, hd]
+                q_h = q_vmem[q_slot, h]  # [rows, hd]
                 s = jax.lax.dot_general(
                     q_h, k_h, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
@@ -154,7 +199,7 @@ def _rpa_kernel(
                 m_i[h] = m_new
             return 0
 
-        jax.lax.fori_loop(0, num_chunks, body, 0)
+        jax.lax.fori_loop(c0, nc, body, 0)
 
         for h in range(num_kv_heads):
             denom = jnp.maximum(l_i[h], 1e-20)  # [rows, 1]
@@ -216,13 +261,14 @@ def ragged_paged_attention(
             memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
-            pltpu.VMEM((kvh, block_q * group, hd), q.dtype),
+            pltpu.VMEM((2, kvh, block_q * group, hd), q.dtype),
             pltpu.VMEM((2, chunk_pages, 2, kvh, page_size, hd),
                        kv_cache.dtype),
             pltpu.VMEM((kvh, block_q * group, hd), jnp.float32),
             pltpu.VMEM((kvh, block_q * group, 1), jnp.float32),
             pltpu.VMEM((kvh, block_q * group, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, chunk_pages)),
         ],
     )
