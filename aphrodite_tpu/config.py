@@ -330,6 +330,11 @@ class SchedulerConfig:
     max_model_len: int = 2048
     # Cap on prefill chunk per request per step; None = budget-limited only.
     long_prefill_token_threshold: Optional[int] = None
+    # Overlap host scheduling + the next dispatch with device compute:
+    # multi-step windows return deterministic token COUNTS, so the
+    # scheduler advances optimistically and fetches values lazily
+    # (reference: v1 --async-scheduling).
+    async_scheduling: bool = True
 
     def __post_init__(self) -> None:
         if self.max_num_batched_tokens < 1:

@@ -64,6 +64,10 @@ class Request:
         self.num_computed_tokens = 0
         # Prefix-cache hit length at admission (for metrics / num_cached_tokens).
         self.num_cached_tokens = 0
+        # Async scheduling: tokens produced by an in-flight device step
+        # whose values have not been fetched yet (scheduler skips the
+        # request until the step realizes).
+        self.num_async_pending = 0
 
         self.metrics = RequestMetrics(
             arrival_time=arrival_time or time.monotonic(),

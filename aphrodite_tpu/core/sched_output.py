@@ -69,3 +69,20 @@ class ModelRunnerOutput:
 
 EMPTY_MODEL_RUNNER_OUTPUT = ModelRunnerOutput(req_ids=[],
                                               sampled_token_ids=[])
+
+
+@dataclass
+class PendingStep:
+    """An in-flight async step (reference: v1 --async-scheduling).
+
+    The runner dispatched the device work but has not fetched results: the
+    scheduler advances optimistically using ``expected_counts`` (the exact
+    number of tokens each request WILL produce — multi-step windows are
+    deterministic in shape) and calls ``realize`` when the values are
+    needed. Host scheduling and the next dispatch overlap device compute;
+    the d2h sync happens once per realize instead of once per step."""
+    req_ids: list[str]
+    # rid -> number of sampled tokens this step will return for it.
+    expected_counts: dict
+    # () -> ModelRunnerOutput: d2h fetch + host-side result processing.
+    realize: object = None

@@ -65,6 +65,9 @@ class Scheduler:
         self.requests: dict[str, Request] = {}
         # Finished/aborted since the last schedule() — runner purge list.
         self._finished_req_ids: set[str] = set()
+        # Async steps: requests optimistically freed by note_async, awaiting
+        # value emission at realize_update.
+        self._async_finishing: dict[str, Request] = {}
 
     # ------------------------------------------------------------------ intake
     def add_request(self, request: Request) -> None:
@@ -88,6 +91,9 @@ class Scheduler:
     # Optional hook(request, block_ids) invoked before a finished request's
     # pages are released (disaggregated-prefill producer ships KV here).
     finish_callback = None
+    # Async scheduling (engine-set): () -> bool, realizes in-flight steps
+    # (possibly freeing pages); called before preempting under pressure.
+    realize_hook = None
 
     def _free_request(self, request: Request) -> None:
         if self.finish_callback is not None:
@@ -116,6 +122,12 @@ class Scheduler:
         idx = 0
         while idx < len(self.running) and budget > 0:
             req = self.running[idx]
+            if req.num_async_pending:
+                # An in-flight async step is already producing this
+                # request's next tokens; nothing to schedule until it
+                # realizes.
+                idx += 1
+                continue
             num_new = req.num_tokens_with_spec - req.num_computed_tokens
             num_new = min(num_new, budget, chunk_cap)
             # Keep within model length (spec tokens may overshoot).
@@ -130,6 +142,11 @@ class Scheduler:
                     num_lookahead_tokens=self.num_lookahead_tokens)
                 if new_blocks is not None:
                     break
+                if self.realize_hook is not None and self.realize_hook():
+                    # Realizing in-flight async steps may have freed pages
+                    # (and must happen before preempting: a preempted
+                    # in-flight request would be corrupted at realize).
+                    continue
                 # Preempt the newest running request (recompute-only).
                 victim = self.running[-1]
                 if victim is req:
@@ -172,6 +189,8 @@ class Scheduler:
                 req, num_new, new_computed_blocks=computed_blocks,
                 num_lookahead_tokens=self.num_lookahead_tokens)
             if new_blocks is None:
+                if self.realize_hook is not None and self.realize_hook():
+                    continue  # async realize freed pages: retry
                 break  # out of pages: leave in waiting
             self.waiting.popleft()
             resumed = req.status == RequestStatus.PREEMPTED
@@ -220,6 +239,85 @@ class Scheduler:
         req.spec_token_ids = []
         self.waiting.appendleft(req)
         logger.debug("preempted request %s", req.request_id)
+
+    # ---------------------------------------------------------------- async
+    def note_async(self, sched_out: SchedulerOutput,
+                   expected_counts: dict) -> None:
+        """Advance bookkeeping for an in-flight step whose token VALUES are
+        not known yet (multi-step windows produce a deterministic COUNT per
+        request). Requests that will certainly finish by length are freed
+        now — their pages return to the pool while the device still
+        computes (writes land before any reuse: device execution is
+        serial). Values arrive via realize_update."""
+        for rid, n_sched in sched_out.num_scheduled_tokens.items():
+            req = self.requests.get(rid)
+            if req is None:
+                continue
+            k = expected_counts.get(rid, 0)
+            req.num_computed_tokens += n_sched + max(0, k - 1)
+            req.num_async_pending = k
+            params = req.sampling_params
+            out_after = req.num_output_tokens + k
+            len_after = req.num_tokens + k
+            will_finish = (
+                (params.max_tokens is not None
+                 and out_after >= params.max_tokens)
+                or len_after >= self.config.max_model_len)
+            if will_finish:
+                # Emission and stop-condition truncation happen at realize;
+                # only the KV pages and the running slot are released now.
+                self._async_finishing[rid] = req
+                self.kv.free(req)
+                if req in self.running:
+                    self.running.remove(req)
+
+    def realize_update(self, sched_out: SchedulerOutput,
+                       runner_out) -> list[EngineCoreOutput]:
+        """update_from_output for an async step: num_computed was already
+        advanced by note_async — only append values, run stop conditions,
+        and emit."""
+        outputs: list[EngineCoreOutput] = []
+        seen = {rid: i for i, rid in enumerate(runner_out.req_ids)}
+        for rid in sched_out.num_scheduled_tokens:
+            req = self.requests.get(rid)
+            stashed = self._async_finishing.pop(rid, None)
+            if req is None:
+                req = stashed
+            if req is None:
+                continue  # aborted while in flight
+            req.num_async_pending = 0
+            i = seen.get(rid)
+            sampled = (runner_out.sampled_token_ids[i]
+                       if i is not None else [])
+            if not sampled:
+                continue
+            new_tokens, finish = self._append_and_check_stop(req, sampled)
+            if stashed is not None:
+                # Pages already freed by note_async; just mark finished.
+                if not req.is_finished:
+                    req.status = RequestStatus.FINISHED_LENGTH_CAPPED
+                self._finished_req_ids.add(rid)
+                self.requests.pop(rid, None)
+            elif finish:
+                self._free_request(req)
+            lp = None
+            if runner_out.logprobs is not None and i is not None:
+                lp = runner_out.logprobs[i]
+                if lp is not None:
+                    lp = lp[:len(new_tokens)]
+            plp = (runner_out.prompt_logprobs.get(rid)
+                   if runner_out.prompt_logprobs else None)
+            outputs.append(
+                EngineCoreOutput(
+                    req_id=rid,
+                    new_token_ids=new_tokens,
+                    finished=req.is_finished,
+                    finish_reason=req.get_finish_reason(),
+                    stop_reason=req.stop_reason,
+                    logprobs=lp,
+                    num_cached_tokens=req.num_cached_tokens,
+                    prompt_logprobs=plp))
+        return outputs
 
     # ------------------------------------------------------------ post-process
     def update_from_output(self, sched_out: SchedulerOutput,

@@ -105,6 +105,16 @@ class EngineCore:
             else:
                 raise ValueError(f"unknown kv_role: {ktc.kv_role}")
 
+        # ---- async scheduling (reference: v1 --async-scheduling) --------
+        # In-flight PendingSteps: host scheduling + the next dispatch
+        # overlap device compute; results realize lazily.
+        self._pending: list = []
+        self._pending_outputs: list[EngineCoreOutput] = []
+        if self._kv_role == "kv_producer":
+            # The finish callback reads pages synchronously at free time.
+            self.worker.runner.async_mode = False
+        self.scheduler.realize_hook = self._realize_all_hook
+
     def add_request(self, request: Request) -> None:
         self.stats.on_request_arrival(request.request_id,
                                       request.num_prompt_tokens,
@@ -152,10 +162,41 @@ class EngineCore:
         self.scheduler.finish_requests(request_ids,
                                        RequestStatus.FINISHED_ABORTED)
 
+    def _realize_one(self) -> list[EngineCoreOutput]:
+        sched_out, ps = self._pending.pop(0)
+        runner_out = ps.realize()
+        outputs = self.scheduler.realize_update(sched_out, runner_out)
+        for eco in outputs:
+            self.stats.on_tokens(eco.req_id, len(eco.new_token_ids))
+            if eco.finished:
+                self.stats.on_finished(eco.req_id)
+        return outputs
+
+    def _realize_all_hook(self) -> bool:
+        """Scheduler pressure hook: realize every in-flight step (may free
+        pages). Outputs are buffered for the next step() return."""
+        if not self._pending:
+            return False
+        while self._pending:
+            self._pending_outputs.extend(self._realize_one())
+        return True
+
     def step(self) -> list[EngineCoreOutput]:
+        outputs0: list[EngineCoreOutput] = []
+        if self._pending_outputs:
+            outputs0 = self._pending_outputs
+            self._pending_outputs = []
         if not self.scheduler.has_unfinished_requests():
-            return []
+            if self._pending:
+                return outputs0 + self._realize_one()
+            return outputs0
         sched_out = self.scheduler.schedule()
+        if sched_out.total_num_scheduled_tokens == 0 and self._pending:
+            # Nothing schedulable without in-flight results: sync now.
+            # Re-queue the purge list this (discarded) schedule drained so
+            # the runner still sees it next step.
+            self.scheduler._finished_req_ids |= sched_out.finished_req_ids
+            return outputs0 + self._realize_one()
         for rid in sched_out.num_scheduled_tokens:
             self.stats.on_scheduled(rid)
         if self.structured is not None and self.structured.requests:
@@ -175,6 +216,14 @@ class EngineCore:
                 sched_out.structured_output_request_ids = rows
                 sched_out.grammar_bitmask = np.stack(masks)
         runner_out = self.worker.execute_model(sched_out)
+        from aphrodite_tpu.core.sched_output import PendingStep
+        if isinstance(runner_out, PendingStep):
+            self.scheduler.note_async(sched_out,
+                                      runner_out.expected_counts)
+            self._pending.append((sched_out, runner_out))
+            if len(self._pending) > 2:
+                outputs0 += self._realize_one()
+            return outputs0
         outputs = self.scheduler.update_from_output(sched_out, runner_out)
         for rid, drafts in sched_out.scheduled_spec_decode_tokens.items():
             self.stats.spec_drafted += len(drafts)
@@ -206,7 +255,8 @@ class EngineCore:
                 # Token-history samplers (penalties/DRY/ngram-ban) need fresh
                 # context at every position — skip drafting for those.
                 p = req.sampling_params
-                if (req.num_computed_tokens + 1 == req.num_tokens
+                if (not req.num_async_pending
+                        and req.num_computed_tokens + 1 == req.num_tokens
                         and p.guided_decoding is None
                         and p.repetition_penalty == 1.0
                         and p.presence_penalty == 0.0
@@ -219,10 +269,11 @@ class EngineCore:
                     else:
                         req.spec_token_ids = self.proposer.propose(
                             req.all_token_ids)
-        return outputs
+        return outputs0 + outputs
 
     def has_unfinished_requests(self) -> bool:
-        return self.scheduler.has_unfinished_requests()
+        return (self.scheduler.has_unfinished_requests()
+                or bool(self._pending) or bool(self._pending_outputs))
 
     def reset_prefix_cache(self) -> bool:
         return self.scheduler.kv.reset_prefix_cache()

@@ -171,6 +171,10 @@ class ModelRunner:
             static_argnames=("layout", "flags", "num_steps", "max_logprobs"))
         self.use_window_decode = getattr(model, "supports_window_decode",
                                          False) and not self.is_ssm
+        # Async (pending-step) mode: the engine core may disable this when
+        # a synchronous consumer of step results exists (KV-transfer
+        # producer callbacks).
+        self.async_mode = config.scheduler_config.async_scheduling
 
     # -------------------------------------------------------------- jit step
     def _unpack(self, flat_meta, layout, block_q=None, decode_mode=False):
@@ -1153,7 +1157,9 @@ class ModelRunner:
             if not st.sampling_params.ignore_eos:
                 W_cap = min(W_cap, 16)
             budgets.append(max(b, 0))
-        W = min(W_cap, max(budgets))
+        # Lookahead slots cover positions up to prompt+lookahead-1; the
+        # window writes up to prompt+W-1, so W may not exceed lookahead.
+        W = min(W_cap, max(budgets), self.config.max_lookahead_tokens)
         if W < 1:
             return None
 
@@ -1200,56 +1206,70 @@ class ModelRunner:
                 max_logprobs=max_lp, lora=lora_arg,
                 chain_packed=packed_dev)
 
-        p1 = np.asarray(packed_dev)          # [2, R_pad]
-        p2 = np.asarray(packed2)             # [2, K_cap, R_pad]
-        tok1 = p1[0, :R].view(np.int32)
-        lp1 = p1[1, :R]
-        tok_k = p2[0, :, :R].view(np.int32)
-        lp_k = p2[1, :, :R]
-        tv1 = np.asarray(topk_v_d[:R]) if max_lp else None
-        ti1 = np.asarray(topk_i_d[:R]) if max_lp else None
-        tv2 = np.asarray(topk_v2[:, :R]) if max_lp else None
-        ti2 = np.asarray(topk_i2[:, :R]) if max_lp else None
+        # Capture the request-state objects now: by realize time the
+        # scheduler may have (optimistically) finished these requests and
+        # update_states may have popped them from self.requests.
+        states = [self.requests[rid] for rid in order]
 
-        sampled: list[list[int]] = []
-        logprobs_out: list[Optional[list[dict[int, float]]]] = []
-        any_lp = False
-        for r, rid in enumerate(order):
-            st = self.requests[rid]
-            w_r = int(budget_arr[r])
-            toks = [int(tok1[r])] + [int(t) for t in tok_k[:w_r, r]]
-            sampled.append(toks)
-            st.token_ids.extend(toks)
-            p = st.sampling_params
-            if p.logprobs is not None:
-                lps = []
-                d = {toks[0]: float(lp1[r])}
-                if p.logprobs and tv1 is not None:
-                    for v, i2 in zip(tv1[r][:p.logprobs],
-                                     ti1[r][:p.logprobs]):
-                        d[int(i2)] = float(v)
-                lps.append(d)
-                for k in range(w_r):
-                    d = {toks[k + 1]: float(lp_k[k, r])}
-                    if p.logprobs and tv2 is not None:
-                        for v, i2 in zip(tv2[k, r][:p.logprobs],
-                                         ti2[k, r][:p.logprobs]):
+        def realize() -> ModelRunnerOutput:
+            p1 = np.asarray(packed_dev)          # [2, R_pad]
+            p2 = np.asarray(packed2)             # [2, K_cap, R_pad]
+            tok1 = p1[0, :R].view(np.int32)
+            lp1 = p1[1, :R]
+            tok_k = p2[0, :, :R].view(np.int32)
+            lp_k = p2[1, :, :R]
+            tv1 = np.asarray(topk_v_d[:R]) if max_lp else None
+            ti1 = np.asarray(topk_i_d[:R]) if max_lp else None
+            tv2 = np.asarray(topk_v2[:, :R]) if max_lp else None
+            ti2 = np.asarray(topk_i2[:, :R]) if max_lp else None
+
+            sampled: list[list[int]] = []
+            logprobs_out: list[Optional[list[dict[int, float]]]] = []
+            any_lp = False
+            for r, rid in enumerate(order):
+                st = states[r]
+                w_r = int(budget_arr[r])
+                toks = [int(tok1[r])] + [int(t) for t in tok_k[:w_r, r]]
+                sampled.append(toks)
+                st.token_ids.extend(toks)
+                p = st.sampling_params
+                if p.logprobs is not None:
+                    lps = []
+                    d = {toks[0]: float(lp1[r])}
+                    if p.logprobs and tv1 is not None:
+                        for v, i2 in zip(tv1[r][:p.logprobs],
+                                         ti1[r][:p.logprobs]):
                             d[int(i2)] = float(v)
                     lps.append(d)
-                logprobs_out.append(lps)
-                any_lp = True
-            else:
-                logprobs_out.append(None)
-        prompt_lps = {}
-        for r, rid in enumerate(order):
-            st = self.requests[rid]
-            if st.prompt_lp is not None:
-                prompt_lps[rid] = st.prompt_lp
-        return ModelRunnerOutput(
-            req_ids=order,
-            sampled_token_ids=sampled,
-            logprobs=logprobs_out if any_lp else None,
-            prompt_logprobs=prompt_lps or None)
+                    for k in range(w_r):
+                        d = {toks[k + 1]: float(lp_k[k, r])}
+                        if p.logprobs and tv2 is not None:
+                            for v, i2 in zip(tv2[k, r][:p.logprobs],
+                                             ti2[k, r][:p.logprobs]):
+                                d[int(i2)] = float(v)
+                        lps.append(d)
+                    logprobs_out.append(lps)
+                    any_lp = True
+                else:
+                    logprobs_out.append(None)
+            prompt_lps = {}
+            for r, rid in enumerate(order):
+                if states[r].prompt_lp is not None:
+                    prompt_lps[rid] = states[r].prompt_lp
+            return ModelRunnerOutput(
+                req_ids=order,
+                sampled_token_ids=sampled,
+                logprobs=logprobs_out if any_lp else None,
+                prompt_logprobs=prompt_lps or None)
+
+        if self.async_mode:
+            from aphrodite_tpu.core.sched_output import PendingStep
+            return PendingStep(
+                req_ids=list(order),
+                expected_counts={rid: 1 + int(budget_arr[r])
+                                 for r, rid in enumerate(order)},
+                realize=realize)
+        return realize()
 
     # --------------------------------------------------- multi-step machinery
     def _multi_step_eligibility(self, so: SchedulerOutput, order, flags
@@ -1343,42 +1363,55 @@ class ModelRunner:
         flat, layout = pack_meta(fields)
         ms_fn = (self._multi_step_window_fn if self.use_window_decode
                  else self._multi_step_fn)
-        packed, topk_v_d, topk_i_d, self.kv_cache = ms_fn(
+        packed_dev, topk_v_d, topk_i_d, self.kv_cache = ms_fn(
             self.params, self.kv_cache, jnp.asarray(flat), layout=layout,
             flags=flags, num_steps=K_cap, max_logprobs=max_lp,
             lora=lora_arg)
 
-        packed = np.asarray(packed)  # [2, K, R_pad], single d2h
-        tokens_k = packed[0, :, :R].view(np.int32)  # [K, R]
-        lp_k = packed[1, :, :R]
-        topk_v = np.asarray(topk_v_d[:, :R]) if max_lp else None
-        topk_i = np.asarray(topk_i_d[:, :R]) if max_lp else None
+        states = [self.requests[rid] for rid in order]
+        counts = [num_steps if step_budgets is None
+                  else min(step_budgets[r], num_steps)
+                  for r in range(len(order))]
 
-        sampled: list[list[int]] = []
-        logprobs_out: list[Optional[list[dict[int, float]]]] = []
-        any_lp = False
-        for r, rid in enumerate(order):
-            st = self.requests[rid]
-            n_r = num_steps if step_budgets is None \
-                else min(step_budgets[r], num_steps)
-            toks = [int(t) for t in tokens_k[:n_r, r]]
-            sampled.append(toks)
-            st.token_ids.extend(toks)
-            p = st.sampling_params
-            if p.logprobs is not None:
-                lps = []
-                for k, tok in enumerate(toks):
-                    d = {tok: float(lp_k[k, r])}
-                    if p.logprobs and topk_v is not None:
-                        for v, i in zip(topk_v[k, r][:p.logprobs],
-                                        topk_i[k, r][:p.logprobs]):
-                            d[int(i)] = float(v)
-                    lps.append(d)
-                logprobs_out.append(lps)
-                any_lp = True
-            else:
-                logprobs_out.append(None)
-        return ModelRunnerOutput(
-            req_ids=order,
-            sampled_token_ids=sampled,
-            logprobs=logprobs_out if any_lp else None)
+        def realize() -> ModelRunnerOutput:
+            packed = np.asarray(packed_dev)  # [2, K, R_pad], single d2h
+            tokens_k = packed[0, :, :R].view(np.int32)  # [K, R]
+            lp_k = packed[1, :, :R]
+            topk_v = np.asarray(topk_v_d[:, :R]) if max_lp else None
+            topk_i = np.asarray(topk_i_d[:, :R]) if max_lp else None
+
+            sampled: list[list[int]] = []
+            logprobs_out: list[Optional[list[dict[int, float]]]] = []
+            any_lp = False
+            for r, rid in enumerate(order):
+                st = states[r]
+                toks = [int(t) for t in tokens_k[:counts[r], r]]
+                sampled.append(toks)
+                st.token_ids.extend(toks)
+                p = st.sampling_params
+                if p.logprobs is not None:
+                    lps = []
+                    for k, tok in enumerate(toks):
+                        d = {tok: float(lp_k[k, r])}
+                        if p.logprobs and topk_v is not None:
+                            for v, i in zip(topk_v[k, r][:p.logprobs],
+                                            topk_i[k, r][:p.logprobs]):
+                                d[int(i)] = float(v)
+                        lps.append(d)
+                    logprobs_out.append(lps)
+                    any_lp = True
+                else:
+                    logprobs_out.append(None)
+            return ModelRunnerOutput(
+                req_ids=order,
+                sampled_token_ids=sampled,
+                logprobs=logprobs_out if any_lp else None)
+
+        if self.async_mode and self.use_window_decode:
+            from aphrodite_tpu.core.sched_output import PendingStep
+            return PendingStep(
+                req_ids=list(order),
+                expected_counts={rid: counts[r]
+                                 for r, rid in enumerate(order)},
+                realize=realize)
+        return realize()
