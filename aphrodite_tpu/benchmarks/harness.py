@@ -27,7 +27,11 @@ import numpy as np
 def percentile_block(name: str, xs: list[float], unit="ms", scale=1e3
                      ) -> dict:
     if not xs:
-        return {}
+        # Keys are part of the serve-metrics contract (reference
+        # benchmarks/serve.py emits them unconditionally); fused decode
+        # windows can deliver a whole request in one delta, leaving zero
+        # inter-token samples.
+        xs = [0.0]
     a = np.asarray(xs) * scale
     return {
         f"mean_{name}_{unit}": float(np.mean(a)),

@@ -242,6 +242,23 @@ def ragged_paged_attention(
     group = nq // kvh
     lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
+    # VMEM budget guard: the fp32 softmax scratch scales with
+    # block_q*group*hd (MLA geometry: group=128, hd=640). The runner
+    # auto-shrinks block_q (_compute_block_q_cap); a hand-passed block_q
+    # that blows VMEM fails loudly here instead of deep in Mosaic.
+    rows_ = block_q * group
+    scratch_bytes = (
+        2 * kvh * rows_ * hd * q.dtype.itemsize          # q double buffer
+        + 2 * chunk_pages * 2 * kvh * page_size * hd
+        * kv_cache.dtype.itemsize                        # kv chunks
+        + kvh * rows_ * hd * 4 + 2 * kvh * rows_ * 4     # acc + m/l
+        + kvh * rows_ * hd * q.dtype.itemsize)           # out block
+    assert scratch_bytes < 14 * 2 ** 20, (
+        f"ragged kernel scratch {scratch_bytes/2**20:.1f} MiB exceeds VMEM "
+        f"(block_q={block_q}, group={group}, head_dim={hd}); shrink "
+        "block_q — the runner's _compute_block_q_cap does this from model "
+        "geometry")
+
     # [T, nq, hd] -> [kvh, (T+BQ)*group, hd]: rows grouped per kv head so the
     # kernel's q-block DMA is one contiguous leading-dim slice per head.
     q_arr = jnp.pad(q, ((0, block_q), (0, 0), (0, 0)))

@@ -171,10 +171,38 @@ class ModelRunner:
             static_argnames=("layout", "flags", "num_steps", "max_logprobs"))
         self.use_window_decode = getattr(model, "supports_window_decode",
                                          False) and not self.is_ssm
+        self._block_q_cap = self._compute_block_q_cap()
         # Async (pending-step) mode: the engine core may disable this when
         # a synchronous consumer of step results exists (KV-transfer
         # producer callbacks).
         self.async_mode = config.scheduler_config.async_scheduling
+
+    def _compute_block_q_cap(self) -> int:
+        """Geometry-aware q-block size for the ragged Pallas kernel: the
+        fp32 softmax scratch is block_q*group*head_dim, which at MLA
+        geometry (DeepSeek-V3 absorbed MQA: group=128, head_dim 576->640)
+        would be ~42 MB at block_q=128 — several times VMEM. Shrink
+        block_q so the kernel's whole scratch set fits the ~12 MB budget
+        (ordinary GQA models keep 128). Ref: the reference solves this
+        with MLA-specific kernels (v1/attention/backends/mla/common.py,
+        kernels/flash_mla/); here one geometry knob reuses the generic
+        ragged kernel."""
+        model = self.model
+        if self.is_ssm:
+            return 128
+        kvh = max(getattr(model, "num_kv_heads", 1), 1)
+        nq = max(getattr(model, "num_heads", kvh), kvh)
+        group = max(nq // kvh, 1)
+        hd = int(self.kv_cache.shape[-1]) if not isinstance(
+            self.kv_cache, dict) else 128
+        page = self.block_size
+        chunk_pages = 8
+        kv_bytes = 2 * chunk_pages * 2 * kvh * page * hd * 2
+        budget = 12 * 2 ** 20 - kv_bytes
+        # per q row: acc f32 + double-buffered q (bf16) + out + m/l state
+        per_row = kvh * (hd * (4 + 2 * 2 + 2) + 16)
+        rows = max(budget // per_row, 8)
+        return int(max(8, min(128, (rows // group) // 8 * 8)))
 
     # -------------------------------------------------------------- jit step
     def _unpack(self, flat_meta, layout, block_q=None, decode_mode=False):
@@ -738,7 +766,7 @@ class ModelRunner:
         block_q = None
         if self.use_pallas:
             from aphrodite_tpu.attention.metadata import build_work_items
-            block_q = min(128, T_pad)
+            block_q = min(self._block_q_cap, T_pad)
             seg_counts = qsl[1:R + 1] - seg_starts[:R]
             items = build_work_items(seg_starts, seg_counts, seq_lens, R,
                                      T_pad, block_q, R_pad)
@@ -1092,7 +1120,7 @@ class ModelRunner:
             qsl[R + 1:] = t
             extra = {}
             if self.use_pallas:
-                blk_q = min(128, T_pad)
+                blk_q = min(self._block_q_cap, T_pad)
                 items = build_work_items(
                     seg_starts, qsl[1:R_pad + 1] - seg_starts[:R_pad],
                     seq_lens, R, T_pad, blk_q, R_pad)

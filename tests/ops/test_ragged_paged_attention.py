@@ -143,3 +143,60 @@ def test_kernel_decode_after_prefill():
                                  chunk_pages=2, interpret=True)
     np.testing.assert_allclose(np.asarray(got)[:1], np.asarray(ref)[:1],
                                rtol=2e-3, atol=2e-3)
+
+
+def test_mla_v3_geometry_small_block_q():
+    """DeepSeek-V3 absorbed-MQA geometry (group=128, head_dim 576->640):
+    the runner auto-shrinks block_q so the kernel's fp32 scratch fits
+    VMEM; parity vs the oracle through the Pallas path at that block_q,
+    and the VMEM-budget assert rejects the old fixed block_q=128."""
+    import dataclasses as dc
+    group, kvh, hd = 128, 1, 640
+    nq = group * kvh
+    page, max_pages = 16, 8
+    rng = np.random.RandomState(5)
+    prompts = [[1] * 24, [2] * 9]
+    md, ids, used = make_prefill_metadata(
+        prompts, page, max_pages, num_tokens_pad=64, num_reqs_pad=4)
+    T = len(np.asarray(md.token_pos))
+    R = md.block_tables.shape[0]
+    q = jnp.asarray(rng.randn(T, nq, hd), jnp.float32) * 0.1
+    k = jnp.asarray(rng.randn(T, kvh, hd), jnp.float32) * 0.1
+    v = jnp.asarray(rng.randn(T, kvh, hd), jnp.float32) * 0.1
+    from aphrodite_tpu.attention.backend import kv_cache_shape
+    kv_cache = jnp.zeros(kv_cache_shape(used + 4, page, kvh, hd),
+                         jnp.float32)
+    kv_cache = write_kv(kv_cache, k, v, md.slot_mapping)
+
+    # the geometry cap math (mirrors runner._compute_block_q_cap)
+    chunk_pages = 2
+    kv_bytes = 2 * chunk_pages * 2 * kvh * page * hd * 2
+    budget = 12 * 2 ** 20 - kv_bytes
+    per_row = kvh * (hd * (4 + 2 * 2 + 2) + 16)
+    rows = max(budget // per_row, 8)
+    bq = int(max(8, min(128, (rows // group) // 8 * 8)))
+    assert bq <= 16, bq  # V3 geometry must shrink hard
+
+    qsl_np = np.asarray(md.query_start_loc)
+    items = build_work_items(qsl_np[:-1], np.diff(qsl_np),
+                             np.asarray(md.seq_lens),
+                             len(prompts), T, bq, R)
+    md2 = dc.replace(md, **{k2: jnp.asarray(v2)
+                            for k2, v2 in items.items()})
+    out, _ = ragged_paged_attention(q, kv_cache, md2, scale=0.05,
+                                    block_q=bq, chunk_pages=chunk_pages,
+                                    interpret=True)
+    ref = ref_ragged_paged_attention(q, kv_cache, md2, scale=0.05)
+    tl = np.asarray(md.slot_mapping) >= 0
+    np.testing.assert_allclose(np.asarray(out)[tl], np.asarray(ref)[tl],
+                               rtol=2e-3, atol=2e-3)
+
+    # fixed block_q=128 at this geometry must be rejected by the VMEM guard
+    items128 = build_work_items(qsl_np[:-1], np.diff(qsl_np),
+                                np.asarray(md.seq_lens),
+                                len(prompts), T, 128, R)
+    md3 = dc.replace(md, **{k2: jnp.asarray(v2)
+                            for k2, v2 in items128.items()})
+    with pytest.raises(AssertionError, match="VMEM"):
+        ragged_paged_attention(q, kv_cache, md3, scale=0.05, block_q=128,
+                               chunk_pages=chunk_pages, interpret=True)
