@@ -224,19 +224,35 @@ def window_attention(
 ) -> jax.Array:
     """Multi-step window decode: frozen paged cache + in-window tail
     (ops/window_decode_attention.py). Dispatches Pallas kernel (TPU) or the
-    oracle (CPU/tests)."""
+    oracle (CPU/tests). When the batch shares a KV prefix
+    (md.shared_pages/shared_len set by the runner), the shared pages are
+    attended ONCE for the whole batch (ops/cascade_attention.py) and the
+    per-request kernel starts from that online-softmax state — the
+    reference's cascade attention + merge_attn_states, fused."""
     hd = q.shape[-1]
     hd_c = cache.shape[-1]
     if hd_c != hd:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, hd_c - hd)))
+    cascade = (getattr(md, "shared_pages", None) is not None
+               and sliding_window is None and chunk_attn is None
+               and logits_soft_cap is None)
     if use_pallas:
         from aphrodite_tpu.ops.window_decode_attention import (
             window_decode_attention)
+        init = slen = None
+        if cascade:
+            from aphrodite_tpu.ops.cascade_attention import (
+                shared_prefix_attention)
+            init = shared_prefix_attention(q, cache, layer_idx,
+                                           md.shared_pages, md.shared_len,
+                                           scale)
+            slen = md.shared_len
         out = window_decode_attention(
             q, cache, tail_k, tail_v, layer_idx, md.window_step,
             md.paged_lens, md.block_tables, scale,
             sliding_window=sliding_window, chunk_attn=chunk_attn,
-            logits_soft_cap=logits_soft_cap)
+            logits_soft_cap=logits_soft_cap,
+            cascade_init=init, shared_len=slen)
     else:
         from aphrodite_tpu.ops.window_decode_attention import (
             ref_window_decode_attention)
@@ -246,10 +262,17 @@ def window_attention(
                                             keepdims=False)
         tv_l = jax.lax.dynamic_index_in_dim(tail_v, layer_idx, 0,
                                             keepdims=False)
-        out = ref_window_decode_attention(
-            q, cache_l, tk_l, tv_l, md.window_step, md.paged_lens,
-            md.block_tables, scale, sliding_window=sliding_window,
-            chunk_attn=chunk_attn, logits_soft_cap=logits_soft_cap)
+        if cascade:
+            from aphrodite_tpu.ops.cascade_attention import (
+                ref_cascade_window_decode)
+            out = ref_cascade_window_decode(
+                q, cache_l, tk_l, tv_l, md.window_step, md.paged_lens,
+                md.block_tables, md.shared_pages, md.shared_len, scale)
+        else:
+            out = ref_window_decode_attention(
+                q, cache_l, tk_l, tv_l, md.window_step, md.paged_lens,
+                md.block_tables, scale, sliding_window=sliding_window,
+                chunk_attn=chunk_attn, logits_soft_cap=logits_soft_cap)
     return out[..., :hd]
 
 

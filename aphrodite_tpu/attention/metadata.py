@@ -82,6 +82,11 @@ class AttentionMetadata:
     # [R] int32: flat-layout index of each request's first scheduled token
     # (segments have alignment gaps, so this is not query_start_loc[:-1]).
     seg_starts: Optional[jax.Array] = None
+    # ---- cascade / shared-prefix attention (ops/cascade_attention.py).
+    # [n] physical page ids every request in the batch shares as its KV
+    # prefix + the token count they cover; None = no cascade this step.
+    shared_pages: Optional[jax.Array] = None
+    shared_len: Optional[jax.Array] = None
     # ---- page-granular KV write staging (attention/backend.py
     # write_kv_staged): [J] physical page ids (unused slots get distinct
     # out-of-range ids) + [J, page_size] flat token index per page row

@@ -37,29 +37,28 @@ DEFAULT_CHUNK_PAGES = 8
 
 def _wd_kernel(
     # scalar prefetch
-    lidx, step, paged_lens, block_tables,
+    lidx, step, paged_lens, block_tables, shared_len,
     # inputs
     q_ref,      # [1, kvh, group, hd] VMEM
     kv_hbm,     # [L, P, 2, kvh, page, hd] HBM (frozen)
     tk_ref,     # [1, 1, kvh, Kw, hd] VMEM (layer l, request r)
     tv_ref,     # [1, 1, kvh, Kw, hd] VMEM
-    # output
-    out_ref,    # [1, kvh, group, hd] VMEM
-    # scratch
-    kv_vmem,    # [2, chunk_pages, 2, kvh, page, hd]
-    acc, m_i, l_i,
-    ctr,        # SMEM [2]: chunks started / chunks waited (global stream)
-    kv_sem,     # DMA sems [2, chunk_pages]
-    *, scale: float, chunk_pages: int, page_size: int,
+    *rest,      # [cascade init: acc0, m0, l0 blocks] + out_ref + scratch
+    scale: float, chunk_pages: int, page_size: int,
     num_kv_heads: int, group: int, head_dim: int,
     sliding_window: Optional[int], logits_soft_cap: Optional[float],
-    chunk_attn: Optional[int], max_pages: int, q_dtype,
+    chunk_attn: Optional[int], max_pages: int, q_dtype, cascade: bool,
 ):
+    if cascade:
+        acc0_ref, m0_ref, l0_ref = rest[0:3]
+        rest = rest[3:]
+    out_ref, kv_vmem, acc, m_i, l_i, ctr, kv_sem = rest
     r = pl.program_id(0)
     R = pl.num_programs(0)
     chunk_kv = chunk_pages * page_size
     l = lidx[0]
     i = step[0]
+    S = shared_len[0]
 
     def nc_of(r2):
         # Uniform >=1 so the start/wait DMA stream stays in lockstep even
@@ -67,14 +66,19 @@ def _wd_kernel(
         return pl.cdiv(jnp.maximum(paged_lens[r2], 1), chunk_kv)
 
     def c0_of(r2):
+        # Cascade: the shared prefix (kv_pos < S) is covered by the init
+        # state — start at its chunk boundary (the straddling chunk is
+        # masked below).
+        base = S // chunk_kv if cascade else jnp.int32(0)
         if sliding_window is None and chunk_attn is None:
-            return jnp.int32(0)
+            return jnp.clip(base, 0, nc_of(r2) - 1)
         pos2 = paged_lens[r2] + i
         if chunk_attn is not None:
             lo = (pos2 // chunk_attn) * chunk_attn
         else:
             lo = pos2 - sliding_window + 1
-        return jnp.clip(lo // chunk_kv, 0, nc_of(r2) - 1)
+        return jnp.clip(jnp.maximum(lo // chunk_kv, base), 0,
+                        nc_of(r2) - 1)
 
     def start_chunk(r2, c2):
         slot = jax.lax.rem(ctr[0], 2)
@@ -97,9 +101,14 @@ def _wd_kernel(
     nc = nc_of(r)
     c0 = c0_of(r)
 
-    acc[...] = jnp.zeros_like(acc)
-    m_i[...] = jnp.full_like(m_i, -jnp.inf)
-    l_i[...] = jnp.zeros_like(l_i)
+    if cascade:
+        acc[...] = acc0_ref[0]
+        m_i[...] = m0_ref[0, :, :, :1]
+        l_i[...] = l0_ref[0, :, :, :1]
+    else:
+        acc[...] = jnp.zeros_like(acc)
+        m_i[...] = jnp.full_like(m_i, -jnp.inf)
+        l_i[...] = jnp.zeros_like(l_i)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (group, chunk_kv), 1)
 
@@ -141,6 +150,8 @@ def _wd_kernel(
 
         kv_pos = c * chunk_kv + col
         mask = kv_pos < plen
+        if cascade:
+            mask &= kv_pos >= S  # shared prefix covered by the init state
         if sliding_window is not None:
             mask &= kv_pos > pos - sliding_window
         if chunk_attn is not None:
@@ -199,6 +210,8 @@ def window_decode_attention(
     logits_soft_cap: Optional[float] = None,
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
     interpret: Optional[bool] = None,
+    cascade_init=None,       # (acc0 [R,kvh,g,hd] f32, m0/l0 [R,kvh,g,128])
+    shared_len=None,         # [] i32 tokens covered by cascade_init
 ) -> jax.Array:
     if interpret is None:
         interpret = os.environ.get("APHRODITE_PALLAS_INTERPRET", "0") == "1"
@@ -208,25 +221,45 @@ def window_decode_attention(
     group = nq // kvh
     max_pages = block_tables.shape[1]
     Kw = tail_k.shape[3]
+    cascade = cascade_init is not None
+    if cascade:
+        assert sliding_window is None and chunk_attn is None
 
     q4 = q.reshape(R, kvh, group, hd)
     lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
     step = jnp.asarray(step_idx, jnp.int32).reshape(1)
+    slen = (jnp.asarray(shared_len, jnp.int32).reshape(1) if cascade
+            else jnp.zeros((1,), jnp.int32))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(R,),
-        in_specs=[
+    in_specs = [
+        pl.BlockSpec((1, kvh, group, hd), lambda r, *_: (r, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((1, 1, kvh, Kw, hd),
+                     lambda r, lidx, *_: (lidx[0], r, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, kvh, Kw, hd),
+                     lambda r, lidx, *_: (lidx[0], r, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [q4, kv_cache, tail_k, tail_v]
+    if cascade:
+        acc0, m0, l0 = cascade_init
+        in_specs += [
             pl.BlockSpec((1, kvh, group, hd), lambda r, *_: (r, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, kvh, Kw, hd),
-                         lambda r, lidx, *_: (lidx[0], r, 0, 0, 0),
+            pl.BlockSpec((1, kvh, group, 128), lambda r, *_: (r, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kvh, Kw, hd),
-                         lambda r, lidx, *_: (lidx[0], r, 0, 0, 0),
+            pl.BlockSpec((1, kvh, group, 128), lambda r, *_: (r, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+        operands += [acc0.astype(jnp.float32), m0.astype(jnp.float32),
+                     l0.astype(jnp.float32)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(R,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, kvh, group, hd), lambda r, *_: (r, 0, 0, 0),
             memory_space=pltpu.VMEM),
@@ -245,7 +278,8 @@ def window_decode_attention(
         _wd_kernel, scale=scale, chunk_pages=chunk_pages,
         page_size=page_size, num_kv_heads=kvh, group=group, head_dim=hd,
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
-        chunk_attn=chunk_attn, max_pages=max_pages, q_dtype=q.dtype)
+        chunk_attn=chunk_attn, max_pages=max_pages, q_dtype=q.dtype,
+        cascade=cascade)
 
     out = pl.pallas_call(
         kernel,
@@ -254,7 +288,7 @@ def window_decode_attention(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(lidx, step, paged_lens, block_tables, q4, kv_cache, tail_k, tail_v)
+    )(lidx, step, paged_lens, block_tables, slen, *operands)
     return out.reshape(R, nq, hd)
 
 

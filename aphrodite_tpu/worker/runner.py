@@ -442,7 +442,9 @@ class ModelRunner:
                 mrope_deltas=mrope_deltas,
                 decode_mode=True,
                 window_step=i,
-                paged_lens=paged_lens)
+                paged_lens=paged_lens,
+                shared_pages=ex.get("shared_pages"),
+                shared_len=ex.get("shared_len"))
             hidden, (_, tk, tv) = model.apply(
                 params, toks, (kv_cache, tk, tv), md,
                 use_pallas=self.use_pallas, lora=lora)
@@ -1151,6 +1153,27 @@ class ModelRunner:
                 outs.append(seg.mean(0) if pooling == "mean" else seg[-1])
         return outs
 
+    def _detect_shared_prefix(self, order, min_plen: int):
+        """(shared page ids, shared token count) when EVERY request in the
+        batch has the same leading block ids (prefix caching dedups them
+        physically) — the cascade path then attends those pages once per
+        sub-step for the whole batch. None when not worthwhile."""
+        if len(order) < 2:
+            return None
+        tables = [self.requests[rid].block_ids for rid in order]
+        first = tables[0]
+        k = min(len(t) for t in tables)
+        k = min(k, min_plen // self.block_size)
+        n = 0
+        while n < k and all(t[n] == first[n] for t in tables):
+            n += 1
+        if n < 4:  # a short shared prefix is not worth the extra pass
+            return None
+        pages = list(first[:n])
+        pad = next_power_of_2(len(pages))  # stable jit layouts
+        pages += [0] * (pad - len(pages))
+        return pages, n * self.block_size
+
     # ------------------------------------------------ fused prefill + window
     def _maybe_fused_window(self, so, order, R, R_pad, flags,
                             samples_expected, packed_dev, topk_v_d,
@@ -1211,6 +1234,11 @@ class ModelRunner:
         fields = {"seq_lens0": seq_lens0, "block_tables": block_tables,
                   "step_budget": budget_arr,
                   "num_live_steps": np.asarray(W, np.int32)}
+        shared = self._detect_shared_prefix(
+            order, int(seq_lens0[:R].min()) - 1)
+        if shared is not None:
+            fields["shared_pages"] = np.asarray(shared[0], np.int32)
+            fields["shared_len"] = np.asarray(shared[1], np.int32)
         lora_arg = None
         if self.lora_manager is not None and self.lora_manager.slots:
             rows = np.zeros((R_pad,), np.int32)
@@ -1368,6 +1396,12 @@ class ModelRunner:
         fields = {"cur_tokens": cur_tokens, "seq_lens0": seq_lens0,
                   "block_tables": block_tables,
                   "num_live_steps": np.asarray(num_steps, np.int32)}
+        if self.use_window_decode:
+            shared = self._detect_shared_prefix(
+                order, int(seq_lens0[:R].min()) - 1)
+            if shared is not None:
+                fields["shared_pages"] = np.asarray(shared[0], np.int32)
+                fields["shared_len"] = np.asarray(shared[1], np.int32)
         if step_budgets is not None:
             budgets = np.full((R_pad,), num_steps, np.int32)
             budgets[:R] = np.minimum(step_budgets, num_steps)
