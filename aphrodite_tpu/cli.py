@@ -45,6 +45,15 @@ def main(argv=None) -> None:
     batch_p.add_argument("-o", "--output-file", required=True)
     batch_p.add_argument("--served-model-name", default=None)
 
+    fol_p = sub.add_parser(
+        "follower",
+        help="peer-host engine: follow host 0's step stream "
+             "(multi-host SPMD; parallel/control_plane.py). Bind address "
+             "from --bind or APHRODITE_CP_BIND.")
+    EngineArgs.add_cli_args(fol_p)
+    fol_p.add_argument("--bind", default=None,
+                       help="ZMQ PULL bind address for host 0's stream")
+
     sub.add_parser("collect-env",
                    help="print environment info for bug reports "
                         "(reference: endpoints/cli/collect_env.py)")
@@ -67,6 +76,11 @@ def main(argv=None) -> None:
         collect_env()
     elif args.cmd == "openai":
         openai_client(args)
+    elif args.cmd == "follower":
+        from aphrodite_tpu.engine.args import EngineArgs as _EA
+        from aphrodite_tpu.parallel.control_plane import run_follower
+        cfg = _EA.from_cli_args(args).create_engine_config()
+        run_follower(cfg, bind_addr=args.bind)
     elif args.cmd == "run-batch":
         from aphrodite_tpu.engine.args import EngineArgs as _EA
         from aphrodite_tpu.entrypoints.run_batch import run_batch

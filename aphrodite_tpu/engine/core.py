@@ -105,6 +105,15 @@ class EngineCore:
             else:
                 raise ValueError(f"unknown kv_role: {ktc.kv_role}")
 
+        # ---- multi-host control plane (parallel/control_plane.py) -------
+        # Host 0 broadcasts each step's SchedulerOutput so peer hosts
+        # enter the same jitted SPMD step; peers run run_follower().
+        self.broadcaster = None
+        import os as _os
+        if _os.environ.get("APHRODITE_CP_PEERS"):
+            from aphrodite_tpu.parallel.control_plane import StepBroadcaster
+            self.broadcaster = StepBroadcaster()
+
         # ---- async scheduling (reference: v1 --async-scheduling) --------
         # In-flight PendingSteps: host scheduling + the next dispatch
         # overlap device compute; results realize lazily.
@@ -215,6 +224,8 @@ class EngineCore:
             if masks:
                 sched_out.structured_output_request_ids = rows
                 sched_out.grammar_bitmask = np.stack(masks)
+        if self.broadcaster is not None:
+            self.broadcaster.broadcast_step(sched_out)
         runner_out = self.worker.execute_model(sched_out)
         from aphrodite_tpu.core.sched_output import PendingStep
         if isinstance(runner_out, PendingStep):
@@ -276,7 +287,20 @@ class EngineCore:
                 or bool(self._pending) or bool(self._pending_outputs))
 
     def reset_prefix_cache(self) -> bool:
+        # Prefix-cache bookkeeping lives on host 0 only; no broadcast.
         return self.scheduler.kv.reset_prefix_cache()
+
+    def worker_utility(self, method: str, *args, **kwargs):
+        """Invoke a worker method on ALL hosts (sleep/wake, LoRA tensor
+        management): broadcast first so peers mutate device state in the
+        same order relative to steps."""
+        if self.broadcaster is not None:
+            self.broadcaster.broadcast_utility(method, *args, **kwargs)
+        return getattr(self.worker, method)(*args, **kwargs)
+
+    def shutdown(self) -> None:
+        if self.broadcaster is not None:
+            self.broadcaster.shutdown()
 
     def engine_stats(self) -> dict:
         sched = self.scheduler
