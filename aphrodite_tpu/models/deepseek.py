@@ -51,6 +51,13 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
 
     router_style = "v2"  # softmax scores, greedy/group_limited_greedy
     rope_interleaved = True     # DeepSeek ropes the pe dims pair-interleaved
+
+    @property
+    def _window_forward_ok(self) -> bool:
+        """MLA takes the window-decode path: latent K/V rows ride the tail
+        buffers, attention runs the frozen-cache window kernel as 1-head
+        MQA (VERDICT r2 #6)."""
+        return type(self).apply is DeepseekV2ForCausalLM.apply
     embedding_multiplier = 1.0  # muP knobs (MiniCPM3)
     residual_multiplier = 1.0
     logits_multiplier = 1.0
@@ -365,7 +372,11 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         return specs
 
     # ----------------------------------------------------------------- forward
-    def _attention(self, x, lp, kvc, cos, sin, md, use_pallas):
+    def _attention(self, x, lp, kvc, cos, sin, md, use_pallas,
+                   window=None):
+        """``window``: (frozen cache, tail_k, tail_v, layer_idx) for the
+        multi-step window-decode path — the latent K/V rows go into the
+        tail buffers and attention runs the frozen-cache window kernel."""
         T = x.shape[0]
         nq, R = self.num_heads, self.kv_lora_rank
         h = rms_norm(x, lp["input_norm"], self.rms_eps)
@@ -392,9 +403,19 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         v_cat = jnp.concatenate(
             [ckv[:, None, :],
              jnp.zeros((T, 1, self.qk_rope_head_dim), ckv.dtype)], axis=-1)
-        kvc = write_kv(kvc, k_cat, v_cat, md.slot_mapping)
-        o = paged_attention(q_cat, kvc, md, self.scale,
-                            use_pallas=use_pallas)
+        if window is not None:
+            from aphrodite_tpu.attention.backend import (window_attention,
+                                                         write_tail)
+            cache, tk, tv, lidx = window
+            tk = write_tail(tk, k_cat, lidx, md.window_step)
+            tv = write_tail(tv, v_cat, lidx, md.window_step)
+            o = window_attention(q_cat, cache, tk, tv, lidx, md,
+                                 self.scale, use_pallas=use_pallas)
+            kvc = (tk, tv)
+        else:
+            kvc = write_kv(kvc, k_cat, v_cat, md.slot_mapping)
+            o = paged_attention(q_cat, kvc, md, self.scale,
+                                use_pallas=use_pallas)
         o = jnp.einsum("thr,rhd->thd", o[..., :R], lp["w_uv"],
                        preferred_element_type=jnp.float32).astype(x.dtype)
         o = apply_linear(o.reshape(T, nq * self.v_head_dim), lp["wo"],
@@ -476,6 +497,38 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         cos, sin = compute_cos_sin(md.token_pos, self._inv_freq,
                                    self._rope_mscale,
                                    self._longrope_orig_max)
+        sl = jax.tree.map  # alias
+
+        if isinstance(kv_cache, tuple):
+            # Multi-step window decode: frozen latent cache + tails.
+            cache, tail_k, tail_v = kv_cache
+
+            def body_w(kind):
+                def layer(carry, xs):
+                    x, tk, tv = carry
+                    (lp, mp), lidx = xs
+                    x, (tk, tv) = self._attention(
+                        x, lp, None, cos, sin, md, use_pallas,
+                        window=(cache, tk, tv, lidx))
+                    h = rms_norm(x, lp["post_norm"], self.rms_eps)
+                    y = (self._moe_mlp(h, mp) if kind == "moe"
+                         else self._mlp(h, mp))
+                    x = self._sp(x + y * self.residual_multiplier)
+                    return (x, tk, tv), None
+                return layer
+
+            carry = (x, tail_k, tail_v)
+            for kind, s, e, ks in self.runs:
+                ke = ks + (e - s)
+                common = sl(lambda a: a[s:e], params["layers"])
+                stack = sl(lambda a: a[ks:ke],
+                           params["moe" if kind == "moe" else "dense_mlp"])
+                carry, _ = jax.lax.scan(
+                    body_w(kind), carry,
+                    ((common, stack), jnp.arange(s, e)))
+            x, tail_k, tail_v = carry
+            x = rms_norm(x, params["final_norm"], self.rms_eps)
+            return x, (cache, tail_k, tail_v)
 
         def body(kind):
             def layer(x, xs):
@@ -490,7 +543,6 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 return self._sp(x + y * self.residual_multiplier), kvc
             return layer
 
-        sl = jax.tree.map  # alias
         for kind, s, e, ks in self.runs:
             ke = ks + (e - s)
             common = sl(lambda a: a[s:e], params["layers"])

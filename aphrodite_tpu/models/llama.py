@@ -272,12 +272,17 @@ class LlamaForCausalLM:
         return self._base_forward
 
     @property
+    def _window_forward_ok(self) -> bool:
+        """Hook: can this model's forward take the window (frozen cache +
+        tail) form? Base requirement: the base scan machinery. MoE/MLA
+        subclasses override after implementing their window branches."""
+        return self._base_forward
+
+    @property
     def supports_window_decode(self) -> bool:
         """True when the multi-step runner may use the frozen-cache + tail
-        window path (ops/window_decode_attention.py). Only the base scan
-        machinery qualifies; subclasses with their own apply/_scan_stack
-        (MoE segmented scans, MLA, pipelines) keep the v1 decode path."""
-        return self._base_forward and self.pp_size == 1
+        window path (ops/window_decode_attention.py)."""
+        return self._window_forward_ok and self.pp_size == 1
 
     def _cos_sin(self, md):
         """Rotary cos/sin for this step's tokens (hook: Qwen2-VL overrides
@@ -376,9 +381,8 @@ class LlamaForCausalLM:
                                      use_pallas=use_pallas)
                 return (x := finish_layer(x, o, lp, lin), tk, tv), None
 
-            (x, tail_k, tail_v), _ = jax.lax.scan(
-                layer_w, (x, tail_k, tail_v),
-                (scan_layers, jnp.arange(self.num_layers)))
+            x, tail_k, tail_v = self._scan_stack_window(
+                layer_w, (x, tail_k, tail_v), scan_layers, params)
             x = rms_norm(x, params["final_norm"], self.rms_eps)
             return x, (cache, tail_k, tail_v)
 
@@ -425,6 +429,15 @@ class LlamaForCausalLM:
         heterogeneous per-layer parameter stacks (mixed dense/MoE) override
         this with a run-segmented scan (see mixtral.py)."""
         return jax.lax.scan(layer, x, (scan_layers, kv_cache))
+
+    def _scan_stack_window(self, layer_w, carry, scan_layers, params):
+        """Window-decode layer scan (carry = (x, tail_k, tail_v)); same
+        heterogeneous-stack hook as _scan_stack (tails are full [L, ...]
+        buffers indexed by the layer id, so segmented overrides thread the
+        whole carry through every run)."""
+        carry, _ = jax.lax.scan(layer_w, carry,
+                                (scan_layers, jnp.arange(self.num_layers)))
+        return carry
 
     # Microbatches per pipeline step (GPipe-style; bubble fraction is
     # (pp-1)/(M+pp-1), so more microbatches amortize it better as long as

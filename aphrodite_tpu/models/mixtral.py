@@ -264,11 +264,39 @@ class MixtralForCausalLM(LlamaForCausalLM):
         return specs
 
     # ----------------------------------------------------------------- forward
+    @property
+    def _window_forward_ok(self) -> bool:
+        """MoE models take the window-decode path too (VERDICT r2 #6): the
+        base window branch already routes the MLP through self._mlp, and
+        mixed stacks get the segmented _scan_stack_window below. Excluded
+        only when a subclass replaced apply/_scan_stack wholesale
+        (e.g. Llama4's own forward)."""
+        return (type(self).apply is MixtralForCausalLM.apply
+                and type(self)._scan_stack is MixtralForCausalLM._scan_stack)
+
     def apply(self, *args, **kwargs):
         if self.mixed and self.pp_size > 1:
             raise NotImplementedError(
                 "pipeline parallelism for mixed dense/MoE stacks: follow-up")
         return super().apply(*args, **kwargs)
+
+    def _scan_stack_window(self, layer_w, carry, scan_layers, params):
+        """Mixed dense/MoE window scan: one lax.scan per same-kind run with
+        the run's MLP stack merged in; the tail buffers ride the carry
+        whole (layer-id indexed writes)."""
+        if not self.mixed:
+            return super()._scan_stack_window(layer_w, carry, scan_layers,
+                                              params)
+        for kind, s, e, ks in self.runs:
+            ke = ks + (e - s)
+            common = jax.tree.map(lambda a: a[s:e], scan_layers)
+            stack = jax.tree.map(
+                lambda a: a[ks:ke],
+                params["moe" if kind == "moe" else "dense_mlp"])
+            carry, _ = jax.lax.scan(
+                layer_w, carry,
+                ({**common, **stack}, jnp.arange(s, e)))
+        return carry
 
     def _scan_stack(self, layer, x, scan_layers, kv_cache, params):
         """Mixed stacks: one lax.scan per contiguous run of same-kind layers,
