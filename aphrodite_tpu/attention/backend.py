@@ -310,9 +310,17 @@ def paged_attention(
     hd_cache = kv_cache.shape[-1]
     if hd_cache != hd:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, hd_cache - hd)))
+    # ALiBi slopes are model constants: bake them into the kernels as a
+    # static tuple (the per-row bias pattern compiles to constants). A
+    # traced slopes array (shouldn't happen) falls back to the oracle.
+    alibi_static = None
+    if alibi is not None and not isinstance(alibi, jax.core.Tracer):
+        import numpy as _np
+        alibi_static = tuple(
+            float(x) for x in _np.asarray(alibi, _np.float32).ravel())
+    pallas_ok = use_pallas and (alibi is None or alibi_static is not None)
     full = kv_cache.ndim == 6
-    if full and (blocksparse is not None or alibi is not None
-                 or md.mm_bidir_spans is not None or not use_pallas):
+    if full and (blocksparse is not None or not pallas_ok):
         # Oracle paths take the per-layer view.
         kv_view = jax.lax.dynamic_index_in_dim(kv_cache, layer_idx, 0,
                                                keepdims=False)
@@ -324,24 +332,17 @@ def paged_attention(
         out = ref_ragged_paged_attention(
             q, kv_view, md, scale, sliding_window=sliding_window,
             logits_soft_cap=logits_soft_cap, blocksparse=blocksparse)
-    elif alibi is not None or md.mm_bidir_spans is not None:
-        # ALiBi models (Bloom/MPT/Falcon-alibi/Baichuan-13B) and
-        # bidirectional-image models (Gemma-3 MM) run the XLA path: the
-        # per-(q,k) bias/mask needs indices the Pallas kernels don't
-        # thread yet. XLA still fuses this into one attention program per
-        # layer.
-        out = ref_ragged_paged_attention(
-            q, kv_view, md, scale, sliding_window=sliding_window,
-            logits_soft_cap=logits_soft_cap, alibi=alibi,
-            chunk_attn=chunk_attn)
-    elif use_pallas and md.decode_mode:
+    elif pallas_ok and md.decode_mode:
+        # Decode q tokens sit past every image span, so bidirectional
+        # spans never alter decode masks — ALiBi bias is in-kernel.
         from aphrodite_tpu.ops.decode_paged_attention import (
             decode_paged_attention)
         out, kv_cache = decode_paged_attention(
             q, kv_cache, md.block_tables, md.seq_lens, scale,
             sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
-            chunk_attn=chunk_attn, layer_idx=layer_idx)
-    elif use_pallas:
+            chunk_attn=chunk_attn, layer_idx=layer_idx,
+            alibi=alibi_static)
+    elif pallas_ok:
         from aphrodite_tpu.ops.ragged_paged_attention import (
             DEFAULT_BLOCK_Q, ragged_paged_attention)
         out, kv_cache = ragged_paged_attention(
@@ -350,12 +351,14 @@ def paged_attention(
             logits_soft_cap=logits_soft_cap,
             chunk_attn=chunk_attn,
             block_q=md.block_q or DEFAULT_BLOCK_Q,
-            layer_idx=layer_idx)
+            layer_idx=layer_idx,
+            alibi=alibi_static)
     else:
         out = ref_ragged_paged_attention(
             q, kv_view, md, scale,
             sliding_window=sliding_window,
             logits_soft_cap=logits_soft_cap,
+            alibi=alibi,
             chunk_attn=chunk_attn)
     out = out[..., :hd]
     # with_cache: thread the (kernel-aliased) cache back to the caller so

@@ -38,7 +38,7 @@ def _decode_kernel(
     num_kv_heads: int, group: int, head_dim: int,
     sliding_window: Optional[int], logits_soft_cap: Optional[float],
     chunk_attn: Optional[int],
-    max_pages: int, q_dtype=None,
+    max_pages: int, q_dtype=None, alibi=None,
 ):
     r = pl.program_id(0)
     l = layer_idx[0]
@@ -94,6 +94,18 @@ def _decode_kernel(
                 s = jax.lax.dot_general(
                     q_h, k_h, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
+                if alibi is not None:
+                    # ALiBi: slope[h,g] * (kv_pos - pos). Array constants
+                    # can't be captured in Pallas: build from iota +
+                    # scalar selects.
+                    g_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (group, 1), 0)
+                    slopes_h = alibi[h * group:(h + 1) * group]
+                    sl_g = jnp.full((group, 1), slopes_h[0], jnp.float32)
+                    for g2 in range(1, group):
+                        sl_g = jnp.where(g_iota == g2,
+                                         jnp.float32(slopes_h[g2]), sl_g)
+                    s = s + sl_g * (kv_pos - pos).astype(jnp.float32)
                 if logits_soft_cap is not None:
                     s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
                 s = jnp.where(mask, s, -jnp.inf)
@@ -121,7 +133,7 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "sliding_window", "logits_soft_cap",
-                     "chunk_attn",
+                     "chunk_attn", "alibi",
                      "chunk_pages", "interpret"))
 def decode_paged_attention(
     q: jax.Array,  # [R, nq, hd]
@@ -135,6 +147,7 @@ def decode_paged_attention(
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
     interpret: Optional[bool] = None,
     layer_idx=None,
+    alibi=None,  # static per-q-head slope tuple
 ) -> jax.Array:
     if interpret is None:
         interpret = os.environ.get("APHRODITE_PALLAS_INTERPRET", "0") == "1"
@@ -177,7 +190,7 @@ def decode_paged_attention(
         page_size=page_size, num_kv_heads=kvh, group=group, head_dim=hd,
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
         chunk_attn=chunk_attn,
-        max_pages=max_pages, q_dtype=q.dtype)
+        max_pages=max_pages, q_dtype=q.dtype, alibi=alibi)
 
     out, kv_cache_out = pl.pallas_call(
         kernel,

@@ -42,7 +42,7 @@ DEFAULT_CHUNK_PAGES = 8
 def _rpa_kernel(
     # scalar prefetch (SMEM)
     layer_idx, item_req, item_qstart, item_qlen, item_pos, seq_lens,
-    block_tables, num_items,
+    block_tables, num_items, mm_spans,
     # tensor inputs
     q_hbm,   # [kvh, (T+BQ)*group, hd]
     kv_hbm,  # [L, P, 2, kvh, page, hd]
@@ -58,6 +58,7 @@ def _rpa_kernel(
     sliding_window: Optional[int], logits_soft_cap: Optional[float],
     chunk_attn: Optional[int],
     max_pages: int, q_dtype=None,
+    alibi: Optional[tuple] = None, num_spans: int = 0,
 ):
     it = pl.program_id(0)
     l = layer_idx[0]
@@ -72,6 +73,11 @@ def _rpa_kernel(
     # computes), so per-item first-chunk latency is never exposed — the
     # same scheme as ops/window_decode_attention.py.
     def kv_limit_of(i2):
+        if num_spans:
+            # Bidirectional image spans may reach PAST the causal limit
+            # (everything already written this step is visible): scan up
+            # to seq_len and let the mask decide.
+            return seq_lens[item_req[i2]]
         return jnp.minimum(item_pos[i2] + item_qlen[i2],
                            seq_lens[item_req[i2]])
 
@@ -163,7 +169,20 @@ def _rpa_kernel(
             ctr[1] = ctr[1] + 1
 
             kv_pos = c * chunk_kv + col  # [rows, chunk_kv]
-            mask = (kv_pos <= q_pos) & (kv_pos < kv_limit)
+            causal = kv_pos <= q_pos
+            if num_spans:
+                # Gemma3-MM bidirectional image spans: q and kv both inside
+                # ANY span of this request attend regardless of causality
+                # (HF token-type-run masking); M is static and small.
+                req2 = item_req[it]
+                bidir = jnp.zeros_like(causal)
+                for m in range(num_spans):
+                    lo = mm_spans[req2 * num_spans * 2 + 2 * m]
+                    hi = mm_spans[req2 * num_spans * 2 + 2 * m + 1]
+                    bidir |= ((q_pos >= lo) & (q_pos < hi)
+                              & (kv_pos >= lo) & (kv_pos < hi))
+                causal = causal | bidir
+            mask = causal & (kv_pos < kv_limit)
             if sliding_window is not None:
                 mask &= kv_pos > q_pos - sliding_window
             if chunk_attn is not None:  # Llama4 chunked local attention
@@ -179,6 +198,20 @@ def _rpa_kernel(
                 s = jax.lax.dot_general(
                     q_h, k_h, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
+                if alibi is not None:
+                    # ALiBi: slope[h,g] * (kv_pos - q_pos). Pallas kernels
+                    # cannot capture array constants, so the per-row slope
+                    # vector is built from iota + scalar selects (row =
+                    # token*group + g; group static values per kv head).
+                    g_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (rows, 1), 0) % group
+                    slopes_h = alibi[h * group:(h + 1) * group]
+                    sl_rows = jnp.full((rows, 1), slopes_h[0], jnp.float32)
+                    for g2 in range(1, group):
+                        sl_rows = jnp.where(g_iota == g2,
+                                            jnp.float32(slopes_h[g2]),
+                                            sl_rows)
+                    s = s + sl_rows * (kv_pos - q_pos).astype(jnp.float32)
                 if logits_soft_cap is not None:
                     s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
                 s = jnp.where(mask, s, -jnp.inf)
@@ -209,7 +242,7 @@ def _rpa_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "sliding_window", "logits_soft_cap",
-                     "chunk_attn",
+                     "chunk_attn", "alibi",
                      "block_q", "chunk_pages", "interpret"))
 def ragged_paged_attention(
     q: jax.Array,  # [T, nq, hd] (flat token layout)
@@ -223,6 +256,7 @@ def ragged_paged_attention(
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
     interpret: Optional[bool] = None,
     layer_idx=None,
+    alibi: Optional[tuple] = None,  # static per-q-head slopes
 ) -> jax.Array:
     if interpret is None:
         # Env override lets the full engine run the Pallas path on CPU.
@@ -266,8 +300,16 @@ def ragged_paged_attention(
     q_arr = jnp.transpose(q_arr, (1, 0, 2, 3)).reshape(
         kvh, (T + block_q) * group, hd)
 
+    # Bidirectional image spans (Gemma3-MM) flat [R*M*2] for SMEM prefetch.
+    num_spans = 0
+    spans_flat = jnp.zeros((2,), jnp.int32)
+    if md.mm_bidir_spans is not None:
+        R_, M_, _ = md.mm_bidir_spans.shape
+        num_spans = M_
+        spans_flat = md.mm_bidir_spans.reshape(-1)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=9,
         grid=(max_items,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # q
@@ -295,7 +337,8 @@ def ragged_paged_attention(
         page_size=page_size, num_q_heads=nq, num_kv_heads=kvh, head_dim=hd,
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
         chunk_attn=chunk_attn,
-        max_pages=md.block_tables.shape[1], q_dtype=q.dtype)
+        max_pages=md.block_tables.shape[1], q_dtype=q.dtype,
+        alibi=alibi, num_spans=num_spans)
 
     out_items, kv_cache_out = pl.pallas_call(
         kernel,
@@ -303,12 +346,13 @@ def ragged_paged_attention(
         out_shape=(jax.ShapeDtypeStruct(
             (max_items, kvh, block_q * group, hd), q.dtype),
             jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype)),
-        input_output_aliases={9: 1},  # kv_cache -> cache pass-through
+        input_output_aliases={10: 1},  # kv_cache -> cache pass-through
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(lidx, md.item_req, md.item_qstart, md.item_qlen, md.item_pos,
-      md.seq_lens, md.block_tables, md.num_items_arr, q_arr, kv_cache)
+      md.seq_lens, md.block_tables, md.num_items_arr, spans_flat,
+      q_arr, kv_cache)
 
     # [items, kvh, BQ*G, hd] -> [items, BQ, nq, hd] -> flat [T, nq, hd].
     out = out_items.reshape(max_items, kvh, block_q, group, hd)
