@@ -85,6 +85,7 @@ class AriaTextForCausalLM(MixtralForCausalLM):
         out = moe_combine(h, lp, self.act, topi, topw,
                           quant_fmt=self.quant_fmt,
                           expert_parallel=self.expert_parallel,
+                          mesh=self.mesh,
                           num_experts=self.num_experts)
         if self.shared_intermediate:
             s = self.act(apply_linear(h, lp["ws_gate"]),

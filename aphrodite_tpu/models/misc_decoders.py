@@ -446,4 +446,5 @@ class Grok1ModelForCausalLM(FlexibleDecoder):
         return moe_combine(h, lp, self.act, topi.astype(jnp.int32), topw,
                            quant_fmt=self.quant_fmt,
                            expert_parallel=self.expert_parallel,
+                          mesh=self.mesh,
                            num_experts=self.num_experts)

@@ -221,13 +221,21 @@ class MixtralForCausalLM(LlamaForCausalLM):
     def _moe_specs(self) -> dict:
         if self.expert_parallel:
             # EP: shard the expert dim E across tp; each device holds E/tp
-            # whole experts, computes their contribution locally, and GSPMD
-            # all-reduces the weighted combine (one psum per MoE block).
+            # whole experts, runs the sorted-token grouped GEMM over its
+            # local range (moe_common._ep_moe), one psum per MoE block.
+            # Quantized expert dicts shard every leaf on the expert dim.
+            ep = P(None, "tp", None, None)
+            if self.quant_fmt is not None:
+                skey = "weight_scale" if self.quant_fmt == "fp8" \
+                    else "scales"
+                espec = {"qweight": ep, skey: P(None, "tp", None)}
+            else:
+                espec = ep
             moe = {
                 "router": P(),
-                "we_gate": P(None, "tp", None, None),
-                "we_up": P(None, "tp", None, None),
-                "we_down": P(None, "tp", None, None),
+                "we_gate": espec,
+                "we_up": espec,
+                "we_down": espec,
             }
         else:
             expert_specs = {
@@ -327,6 +335,7 @@ class MixtralForCausalLM(LlamaForCausalLM):
         out = moe_combine(h, lp, self.act, topi, topw,
                           quant_fmt=self.quant_fmt,
                           expert_parallel=self.expert_parallel,
+                          mesh=self.mesh,
                           num_experts=self.num_experts)
         if self.shared_intermediate:
             from aphrodite_tpu.layers.linear import apply_linear

@@ -26,7 +26,7 @@ from aphrodite_tpu.layers.linear import apply_linear
 def moe_combine(h: jax.Array, lp: dict, act, topi: jax.Array,
                 topw: jax.Array, *, quant_fmt=None,
                 expert_parallel: bool = False,
-                num_experts: int | None = None) -> jax.Array:
+                num_experts: int | None = None, mesh=None) -> jax.Array:
     """Weighted combine of top-k experts.
 
     h: [T, H]; lp holds we_gate/we_up [.., H, I] and we_down [.., I, H]
@@ -40,19 +40,7 @@ def moe_combine(h: jax.Array, lp: dict, act, topi: jax.Array,
     topw = topw.astype(h.dtype)
 
     if expert_parallel:
-        if quant_fmt is not None:
-            raise NotImplementedError(
-                "expert parallelism with quantized experts: follow-up")
-        gates = jnp.sum(
-            topw[:, :, None] * jax.nn.one_hot(topi, E, dtype=h.dtype),
-            axis=1)  # [T, E]
-        g = jnp.einsum("th,ehi->eti", h, lp["we_gate"],
-                       preferred_element_type=jnp.float32).astype(h.dtype)
-        u = jnp.einsum("th,ehi->eti", h, lp["we_up"],
-                       preferred_element_type=jnp.float32).astype(h.dtype)
-        y = jnp.einsum("eti,eio->eto", act(g, u), lp["we_down"],
-                       preferred_element_type=jnp.float32).astype(h.dtype)
-        return jnp.einsum("te,eto->to", gates, y)
+        return _ep_moe(h, lp, act, topi, topw, E, quant_fmt, mesh)
 
     # Large token batches (prefill): sorted-token grouped GEMM — FLOPs
     # scale with top_k, not E (the reference's fused_moe grouped kernel,
@@ -79,6 +67,106 @@ def moe_combine(h: jax.Array, lp: dict, act, topi: jax.Array,
         (lp["we_gate"], lp["we_up"], lp["we_down"],
          jnp.arange(E, dtype=jnp.int32)))
     return acc
+
+
+def _ep_moe(h: jax.Array, lp: dict, act, topi: jax.Array, topw: jax.Array,
+            E: int, quant_fmt, mesh) -> jax.Array:
+    """Expert-parallel combine: each device owns E/tp experts and runs the
+    sorted-token grouped GEMM over its LOCAL expert range only — FLOPs per
+    device ∝ top_k/tp, not E (ref: fused_moe/layer.py:432 EP dispatch;
+    redesigned as shard_map + megablox with the roll-to-local trick
+    instead of NCCL all-to-all). Quantized experts run a local expert scan
+    (dequant GEMMs can't ride the grouped kernel) — FLOPs ∝ E/tp per
+    device. Both end in one psum over the expert axis."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    assert mesh is not None, "expert parallelism needs the device mesh"
+    axis = "tp"
+    ntp = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis, 1)
+    if E % ntp:
+        raise ValueError(f"num_experts {E} must divide by tp={ntp} for EP")
+    T, k = topi.shape
+    M = T * k
+    flat_e = topi.reshape(-1)
+    order = jnp.argsort(flat_e, stable=True)
+    src_tok = order // k
+    x_sorted = jnp.take(h, src_tok, axis=0)
+    group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+    w_sorted = jnp.take(topw.reshape(-1), order)
+    weights = {kk: lp[kk] for kk in ("we_gate", "we_up", "we_down")}
+    wspec = jax.tree.map(lambda _: P(axis), weights)
+
+    def per_shard(h_rep, xs_rep, gsz, topi_r, topw_r, ws):
+        d = jax.lax.axis_index(axis)
+        wg, wu, wd = ws["we_gate"], ws["we_up"], ws["we_down"]
+        E_local = (wg["qweight"] if isinstance(wg, dict) else wg).shape[0]
+        offset = d * E_local
+        if quant_fmt is not None:
+            # Local expert scan with quantized leaves; gates use global ids.
+            def expert(acc, xs2):
+                ws_e, e_local = xs2
+                y = act(apply_linear(h_rep, ws_e["we_gate"],
+                                     fmt=quant_fmt),
+                        apply_linear(h_rep, ws_e["we_up"], fmt=quant_fmt))
+                y = apply_linear(y, ws_e["we_down"], fmt=quant_fmt)
+                gid = offset + e_local
+                gate = jnp.sum(jnp.where(topi_r == gid, topw_r, 0.0),
+                               axis=-1)
+                return acc + gate[:, None] * y, None
+            acc, _ = jax.lax.scan(
+                expert, jnp.zeros_like(h_rep),
+                ({"we_gate": wg, "we_up": wu, "we_down": wd},
+                 jnp.arange(E_local, dtype=jnp.int32)))
+            return jax.lax.psum(acc, axis)
+        # Grouped GEMM over the local expert range: roll the globally
+        # sorted rows so this shard's range starts at row 0, run the
+        # group GEMMs with the local sizes (rows past the local range are
+        # untouched garbage), mask, roll back, psum.
+        local_sizes = jax.lax.dynamic_slice(gsz, (offset,), (E_local,))
+        start = jnp.sum(jnp.where(jnp.arange(E) < offset, gsz, 0))
+        n_local = jnp.sum(local_sizes)
+        xs = jnp.roll(xs_rep, -start, axis=0)
+        import os
+        interpret = os.environ.get("APHRODITE_PALLAS_INTERPRET",
+                                   "0") == "1"
+        if jax.default_backend() == "tpu" or interpret:
+            from jax.experimental.pallas.ops.tpu.megablox import gmm
+
+            def tile(dim):
+                return 128 if dim % 128 == 0 else dim
+            tm = min(128, xs.shape[0])
+
+            def run(x2, w2, n_dim):
+                return gmm(x2, w2, local_sizes,
+                           preferred_element_type=jnp.float32,
+                           tiling=(tm, tile(w2.shape[1]), tile(n_dim)),
+                           interpret=interpret).astype(h.dtype)
+            g = run(xs, wg, wg.shape[-1])
+            u = run(xs, wu, wu.shape[-1])
+            y = run(act(g, u), wd, wd.shape[-1])
+        else:
+            g = jax.lax.ragged_dot(
+                xs, wg, local_sizes,
+                preferred_element_type=jnp.float32).astype(h.dtype)
+            u = jax.lax.ragged_dot(
+                xs, wu, local_sizes,
+                preferred_element_type=jnp.float32).astype(h.dtype)
+            y = jax.lax.ragged_dot(
+                act(g, u), wd, local_sizes,
+                preferred_element_type=jnp.float32).astype(h.dtype)
+        rows = jnp.arange(M)
+        y = jnp.where((rows < n_local)[:, None], y, 0)
+        y = jnp.roll(y, start, axis=0)
+        return jax.lax.psum(y, axis)
+
+    fn = shard_map(per_shard, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(), P(), wspec),
+                   out_specs=P(), check_rep=False)
+    y = fn(h, x_sorted, group_sizes, topi, topw, weights)
+    if quant_fmt is not None:
+        return y  # scan path already combined per token
+    out = jnp.zeros_like(h)
+    return out.at[src_tok].add(y * w_sorted[:, None])
 
 
 def _grouped_moe(h: jax.Array, lp: dict, act, topi: jax.Array,

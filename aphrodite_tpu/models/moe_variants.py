@@ -73,6 +73,7 @@ class GraniteMoeForCausalLM(FlexibleDecoder):
         return moe_combine(h, lp, self.act, topi, topw,
                            quant_fmt=self.quant_fmt,
                            expert_parallel=self.expert_parallel,
+                          mesh=self.mesh,
                            num_experts=self.num_experts)
 
 
@@ -158,6 +159,7 @@ class PhiMoEForCausalLM(FlexibleDecoder):
         return moe_combine(h, lp, self.act, topi, topw,
                            quant_fmt=self.quant_fmt,
                            expert_parallel=self.expert_parallel,
+                          mesh=self.mesh,
                            num_experts=self.num_experts)
 
 
@@ -232,4 +234,5 @@ class DbrxForCausalLM(FlexibleDecoder):
         return moe_combine(h, lp, self.act, topi, topw,
                            quant_fmt=self.quant_fmt,
                            expert_parallel=self.expert_parallel,
+                          mesh=self.mesh,
                            num_experts=self.num_experts)
