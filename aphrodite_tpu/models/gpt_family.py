@@ -137,8 +137,8 @@ class _ClassicDecoder:
               md: AttentionMetadata, *, use_pallas: bool = False,
               lora: dict | None = None, mm=None):
         if lora is not None:
-            raise NotImplementedError(f"LoRA on {type(self).__name__}: "
-                                      "follow-up")
+            lora = {k: v for k, v in lora.items()
+                    if not k.endswith(("_embed", "_lm_head"))}
         T = input_ids.shape[0]
         nh, hd, D = self.num_heads, self.head_dim, self.hidden_size
         x = jnp.take(params["embed"], input_ids, axis=0)
@@ -154,21 +154,30 @@ class _ClassicDecoder:
                                        self._rope_mscale)
         eps = self.ln_eps
 
+        def lin(h, key, lp):
+            y = jnp.dot(h, lp[key])
+            A = lp.get("lora_A_" + key)
+            if A is not None:
+                from aphrodite_tpu.lora.models import lora_apply
+                y = y + lora_apply(h, A, lp["lora_B_" + key],
+                                   md.lora_slots)
+            return y
+
         def attn(h, lp, kvc):
-            q = (jnp.dot(h, lp["wq"]) + lp["bq"]).reshape(T, nh, hd)
-            k = (jnp.dot(h, lp["wk"]) + lp["bk"]).reshape(T, nh, hd)
-            v = (jnp.dot(h, lp["wv"]) + lp["bv"]).reshape(T, nh, hd)
+            q = (lin(h, "wq", lp) + lp["bq"]).reshape(T, nh, hd)
+            k = (lin(h, "wk", lp) + lp["bk"]).reshape(T, nh, hd)
+            v = (lin(h, "wv", lp) + lp["bv"]).reshape(T, nh, hd)
             if cos is not None:
                 q = apply_rope(q, cos, sin)
                 k = apply_rope(k, cos, sin)
             kvc = write_kv(kvc, k, v, md.slot_mapping)
             o = paged_attention(q, kvc, md, self.scale,
                                 use_pallas=use_pallas)
-            return jnp.dot(o.reshape(T, D), lp["wo"]) + lp["bo"], kvc
+            return lin(o.reshape(T, D), "wo", lp) + lp["bo"], kvc
 
         def mlp(h, lp):
-            h = self.act(jnp.dot(h, lp["fc1_w"]) + lp["fc1_b"])
-            return jnp.dot(h, lp["fc2_w"]) + lp["fc2_b"]
+            h = self.act(lin(h, "fc1_w", lp) + lp["fc1_b"])
+            return lin(h, "fc2_w", lp) + lp["fc2_b"]
 
         def layer(x, xs):
             lp, kvc = xs
@@ -190,7 +199,9 @@ class _ClassicDecoder:
             x = layer_norm(x + mlp(x, lp), lp["ln2_w"], lp["ln2_b"], eps)
             return x, kvc
 
-        x, kv_cache = jax.lax.scan(layer, x, (params["layers"], kv_cache))
+        scan_layers = (params["layers"] if lora is None
+                       else {**params["layers"], **lora})
+        x, kv_cache = jax.lax.scan(layer, x, (scan_layers, kv_cache))
         if self.final_ln:
             x = layer_norm(x, params["final_ln_w"], params["final_ln_b"],
                            eps)
@@ -331,6 +342,23 @@ class GPTNeoXForCausalLM(_ClassicDecoder):
     QKV, partial rotary, parallel residual, untied embed_out."""
 
     positions = "rope"
+    # LoRA checkpoints target the FUSED query_key_value projection: the
+    # shared A lands on wq/wk/wv and B splits evenly across the fused
+    # output dim (lora/models.py fused mapping).
+    lora_target_map = {
+        "query_key_value": ("wq", "wk", "wv"),
+        "dense": "wo",
+        "dense_h_to_4h": "fc1_w",
+        "dense_4h_to_h": "fc2_w",
+    }
+
+    def lora_split_fused(self, keys, w):
+        # B [out=3*D, r] rows interleaved (head, (q,k,v), hd) exactly like
+        # the base query_key_value weight above.
+        nh, hd = self.num_heads, self.head_dim
+        w4 = w.reshape(nh, 3, hd, -1)
+        return {k: w4[:, j].reshape(nh * hd, -1)
+                for j, k in enumerate(keys)}
 
     def _setup(self, hf):
         self.intermediate_size = hf.intermediate_size

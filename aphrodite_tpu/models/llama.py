@@ -294,7 +294,20 @@ class LlamaForCausalLM:
               md: AttentionMetadata, *, use_pallas: bool = False,
               lora: dict | None = None, mm=None
               ) -> tuple[jax.Array, jax.Array]:
+        if lora is not None:
+            # Boundary adapters ([S, ...], no layer dim) must not enter the
+            # layer scan; split them off (lora/models.py embed/lm_head).
+            lora = dict(lora)
+            lora_extra = {k: lora.pop(k) for k in list(lora)
+                          if k.endswith(("_embed", "_lm_head"))}
+        else:
+            lora_extra = {}
         x = jnp.take(params["embed"], input_ids, axis=0)
+        if "lora_A_embed" in lora_extra and md.lora_slots is not None:
+            from aphrodite_tpu.lora.models import lora_embed_delta
+            x = x + lora_embed_delta(
+                input_ids, md.lora_slots, lora_extra["lora_A_embed"],
+                lora_extra["lora_B_embed"]).astype(x.dtype)
         if mm is not None:
             # Multimodal merge: projected image embeddings overwrite the
             # placeholder-token rows (scatter; pad rows carry index==T and

@@ -223,6 +223,17 @@ class ModelRunner:
                   if not k.startswith(("md_", "s_"))}
         return md, smd, extras
 
+    @staticmethod
+    def _head_lora(logits, rows_h, lora, slots):
+        """lm_head LoRA delta on the gathered sample rows (lora/models.py
+        boundary adapters)."""
+        if lora is None or "lora_A_lm_head" not in lora or slots is None:
+            return logits
+        from aphrodite_tpu.lora.models import lora_apply
+        d = lora_apply(rows_h, lora["lora_A_lm_head"],
+                       lora["lora_B_lm_head"], slots)
+        return logits + d.astype(logits.dtype)
+
     def _step(self, params, kv_cache, flat_meta, layout, flags,
               max_logprobs, spec_k=0, plp_k=0, need_sample=True,
               need_hidden=False, block_q=None, lora=None, mm=None):
@@ -252,9 +263,14 @@ class ModelRunner:
             offs = jnp.arange(spec_k + 1, dtype=jnp.int32) - spec_k
             row_idx = jnp.clip(ends[:, None] + offs[None, :], 0).reshape(-1)
             rows = jnp.take(hidden, row_idx, axis=0)
+            row_src = row_idx
         else:
             rows = jnp.take(hidden, ends, axis=0)
+            row_src = ends
         logits = self.model.compute_logits(params, rows)
+        if lora is not None and md.lora_slots is not None:
+            logits = self._head_lora(logits, rows, lora,
+                                     jnp.take(md.lora_slots, row_src))
         if grammar_mask is not None:
             # Packed uint32 bitmask per row (structured output): unpack and
             # mask in-graph (reference TPU structured_decode pattern).
@@ -353,6 +369,7 @@ class ModelRunner:
                                           use_pallas=self.use_pallas,
                                           lora=lora)
             logits = self.model.compute_logits(params, hidden)
+            logits = self._head_lora(logits, hidden, lora, lora_row_slots)
             out = sample_tokens(logits, smd, flags, max_logprobs,
                                 step_offset=i)
             new_tok = jnp.where(live, out["tokens"], toks)
@@ -449,6 +466,7 @@ class ModelRunner:
                 params, toks, (kv_cache, tk, tv), md,
                 use_pallas=self.use_pallas, lora=lora)
             logits = model.compute_logits(params, hidden)
+            logits = self._head_lora(logits, hidden, lora, lora_row_slots)
             out = sample_tokens(logits, smd, flags, max_logprobs,
                                 step_offset=i)
             new_tok = jnp.where(live, out["tokens"], toks)
@@ -817,7 +835,7 @@ class ModelRunner:
                     a, b = seg_starts[r], qsl[r + 1]
                     lora_slots[a:b] = slot
             fields["md_lora_slots"] = lora_slots
-            lora_arg = self.lora_manager.tensors
+            lora_arg = self.lora_manager.device_tensors
 
         if self.is_ssm:
             state_slots = np.zeros((R_pad,), np.int32)
@@ -1247,7 +1265,7 @@ class ModelRunner:
                 if nm:
                     rows[r] = self.lora_manager.slot_of(nm)
             fields["lora_rows"] = rows
-            lora_arg = self.lora_manager.tensors
+            lora_arg = self.lora_manager.device_tensors
         if getattr(self.model, "uses_mrope", False):
             deltas = np.zeros((R_pad,), np.int32)
             for r, rid in enumerate(order):
@@ -1415,7 +1433,7 @@ class ModelRunner:
                 if nm:
                     rows[r] = self.lora_manager.slot_of(nm)
             fields["lora_rows"] = rows
-            lora_arg = self.lora_manager.tensors
+            lora_arg = self.lora_manager.device_tensors
         if getattr(self.model, "uses_mrope", False):
             deltas = np.zeros((R_pad,), np.int32)
             for r, rid in enumerate(order):
