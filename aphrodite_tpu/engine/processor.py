@@ -170,8 +170,16 @@ class Processor:
             params = params.clone()
             params.max_tokens = self.max_model_len - len(token_ids)
         if params.allowed_token_ids is not None:
-            raise NotImplementedError(
-                "allowed_token_ids is not supported yet")
+            from aphrodite_tpu.sample.metadata import MAX_ALLOWED_TOKENS
+            if not params.allowed_token_ids:
+                raise ValueError("allowed_token_ids must be non-empty")
+            if len(params.allowed_token_ids) > MAX_ALLOWED_TOKENS:
+                raise ValueError(
+                    f"allowed_token_ids supports up to "
+                    f"{MAX_ALLOWED_TOKENS} ids")
+            if any(t < 0 or t >= self.model_config.vocab_size
+                   for t in params.allowed_token_ids):
+                raise ValueError("allowed_token_ids out of vocab range")
         # Stop strings arrive as a convenience str sometimes.
         if isinstance(params.stop, str):
             params.stop = [params.stop]

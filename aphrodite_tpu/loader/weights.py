@@ -151,6 +151,17 @@ def load_model_params(model, model_config: ModelConfig,
     Quantized paths: packed GPTQ/AWQ checkpoints are repacked at load; fp
     checkpoints (or dummy weights) are quantized on the fly."""
     fmt = load_config.load_format
+    if fmt in ("tensorizer", "runai_streamer", "runai_streamer_sharded"):
+        # Deliberately dropped (SURVEY §2.4 loader row): both formats are
+        # CUDA-ecosystem streaming loaders for S3-scale weight delivery.
+        # The TPU-native equivalents are ``sharded_state`` (pre-sharded
+        # per-host .safetensors + instant mmap load) and the persistent
+        # XLA compile cache; safetensors itself already mmaps lazily.
+        raise NotImplementedError(
+            f"load_format={fmt!r} is intentionally not supported on the "
+            "TPU engine: use 'sharded_state' (see "
+            "loader/sharded_state.py) for fast multi-host weight "
+            "delivery, or plain safetensors")
     if fmt == "sharded_state":
         from aphrodite_tpu.loader.sharded_state import load_sharded_state
         logger.info("loading pre-sharded state from %s", model_config.model)

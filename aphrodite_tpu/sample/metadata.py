@@ -22,6 +22,7 @@ from aphrodite_tpu.utils import next_power_of_2
 MAX_BREAKERS = 16
 MAX_STOP_TOKENS = 16
 MAX_LOGIT_BIAS = 32
+MAX_ALLOWED_TOKENS = 64
 
 
 class SamplerFlags(NamedTuple):
@@ -42,6 +43,10 @@ class SamplerFlags(NamedTuple):
     do_temp_last: bool = False
     do_min_tokens: bool = False
     do_logit_bias: bool = False
+    do_allowed: bool = False
+    # Batch-global sampler_priority (static tuple of SamplerID ints);
+    # () = default pipeline order.
+    order: tuple = ()
 
 
 @jax.tree_util.register_dataclass
@@ -85,6 +90,7 @@ class SamplingMetadata:
     stop_tokens: jax.Array        # [R, MAX_STOP_TOKENS] int32, pad -1
     bias_tokens: jax.Array        # [R, MAX_LOGIT_BIAS] int32, pad -1
     bias_values: jax.Array        # [R, MAX_LOGIT_BIAS] f32
+    allowed_tokens: jax.Array     # [R, MAX_ALLOWED_TOKENS] int32, pad -1
     # -- sampling ------------------------------------------------------------
     is_greedy: jax.Array      # [R] bool
     # Per-row RNG derivation happens IN-GRAPH (no host-side key material):
@@ -147,6 +153,7 @@ def build_sampling_arrays(
     stop_tokens = np.full((R, MAX_STOP_TOKENS), -1, np.int32)
     bias_tokens = np.full((R, MAX_LOGIT_BIAS), -1, np.int32)
     bias_values = np.zeros((R, MAX_LOGIT_BIAS), np.float32)
+    allowed_tokens = np.full((R, MAX_ALLOWED_TOKENS), -1, np.int32)
     min_tokens = np.zeros((R,), np.int32)
     is_greedy = np.ones((R,), bool)
     seeds = np.zeros((R,), np.uint32)
@@ -232,6 +239,10 @@ def build_sampling_arrays(
                 stop_tokens[r, :len(ids)] = ids
                 min_tokens[r] = p.min_tokens
                 flags["do_min_tokens"] = True
+        if p.allowed_token_ids:
+            ids = list(p.allowed_token_ids)[:MAX_ALLOWED_TOKENS]
+            allowed_tokens[r, :len(ids)] = ids
+            flags["do_allowed"] = True
         if p.logit_bias:
             items = list(p.logit_bias.items())[:MAX_LOGIT_BIAS]
             for j, (tok, val) in enumerate(items):
@@ -241,6 +252,10 @@ def build_sampling_arrays(
         seed = p.seed if p.seed is not None else (base_seed + r * 7919)
         seeds[r] = np.uint32(seed & 0x7fffffff)
 
+    for p, _, _, _ in reqs:
+        if p.sampler_priority is not None:
+            flags["order"] = tuple(int(x) for x in p.sampler_priority)
+            break
     sampler_flags = SamplerFlags(**flags)
     need_tok = (need_tokens if need_tokens is not None else
                 (sampler_flags.do_penalties or sampler_flags.do_dry
@@ -262,6 +277,7 @@ def build_sampling_arrays(
         stop_tokens=stop_tokens,
         bias_tokens=bias_tokens,
         bias_values=bias_values,
+        allowed_tokens=allowed_tokens,
         is_greedy=is_greedy,
         seeds=seeds,
         out_len=out_lens,

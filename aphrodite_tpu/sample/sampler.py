@@ -13,8 +13,9 @@ Known deviations (documented):
 - DRY ignores the reference's GPU perf caps `max_occurrences` /
   `early_exit_match_len` (we compute the exact penalty over all occurrences,
   with a static match-length cap of MAX_MATCH).
-- Per-request `sampler_priority` reordering is not yet honored in-graph
-  (default order always; the engine warns).
+- `sampler_priority` follows the reference's batch-global semantics (the
+  first request's order applies to the batch; one jit specialization per
+  distinct order).
 """
 from __future__ import annotations
 
@@ -321,6 +322,20 @@ def _apply_min_tokens(logits, md, step_offset):
     return jnp.where(mask, NEG_INF, logits)
 
 
+def _apply_allowed_tokens(logits, md):
+    """allowed_token_ids: rows with a restriction keep ONLY the listed
+    token logits (everything else -inf); unrestricted rows pass through
+    (reference SamplingParams.allowed_token_ids semantics)."""
+    R, V = logits.shape
+    allowed = md.allowed_tokens
+    has = jnp.any(allowed >= 0, axis=1)
+    vals = jnp.take_along_axis(logits, jnp.clip(allowed, 0), axis=1)
+    tgt = jnp.where(allowed < 0, V, allowed)  # pad -> OOB drop
+    masked = jnp.full_like(logits, -jnp.inf).at[
+        jnp.arange(R)[:, None], tgt].set(vals, mode="drop")
+    return jnp.where(has[:, None], masked, logits)
+
+
 def _apply_logit_bias(logits, md):
     R, V = logits.shape
     tgt = jnp.where(md.bias_tokens < 0, V, md.bias_tokens)
@@ -365,6 +380,8 @@ def sample_tokens(
     accept/reject exactly."""
     logits = logits.astype(jnp.float32)
 
+    if flags.do_allowed:
+        logits = _apply_allowed_tokens(logits, md)
     if flags.do_logit_bias:
         logits = _apply_logit_bias(logits, md)
     if flags.do_min_tokens:
@@ -385,27 +402,73 @@ def sample_tokens(
     key_xtc = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
     key_sample = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
 
-    if not flags.all_greedy and not flags.do_temp_last:
-        logits = _apply_temperature(logits, md, flags.do_advanced)
-    if flags.do_advanced:
-        logits = _apply_nsigma(logits, md)
-    if flags.do_top_k_p:
-        logits = _apply_top_k_top_p(logits, md)
-    if flags.do_advanced:
-        logits = _apply_top_a(logits, md)
-    if flags.do_min_p:
-        logits = _apply_min_p(logits, md)
-    if flags.do_advanced:
-        logits = _apply_tfs(logits, md)
-        logits = _apply_eta(logits, md)
-        logits = _apply_epsilon(logits, md)
-        logits = _apply_typical(logits, md)
-        logits = _apply_quadratic(logits, md)
-    if flags.do_xtc:
+    # Technique application order: default pipeline, or the batch's
+    # sampler_priority (the reference reads it from the FIRST seq group
+    # and applies it batch-wide, aphrodite/modeling/layers/sampler.py:318;
+    # here it rides SamplerFlags as a static tuple — one jit
+    # specialization per distinct order in traffic).
+    from aphrodite_tpu.sampling_params import SamplerID as _SID
+    stages = {
+        _SID.TEMPERATURE: lambda lg: (
+            _apply_temperature(lg, md, flags.do_advanced)
+            if not flags.all_greedy else lg),
+        _SID.TOP_NSIGMA: lambda lg: (_apply_nsigma(lg, md)
+                                     if flags.do_advanced else lg),
+        _SID.TOP_K: lambda lg: (_apply_top_k_top_p(lg, md)
+                                if flags.do_top_k_p else lg),
+        _SID.TOP_P: lambda lg: lg,  # fused with TOP_K above
+        _SID.TOP_A: lambda lg: (_apply_top_a(lg, md)
+                                if flags.do_advanced else lg),
+        _SID.MIN_P: lambda lg: (_apply_min_p(lg, md)
+                                if flags.do_min_p else lg),
+        _SID.TFS: lambda lg: (_apply_tfs(lg, md)
+                              if flags.do_advanced else lg),
+        _SID.ETA: lambda lg: (_apply_eta(lg, md)
+                              if flags.do_advanced else lg),
+        _SID.EPSILON: lambda lg: (_apply_epsilon(lg, md)
+                                  if flags.do_advanced else lg),
+        _SID.TYPICAL: lambda lg: (_apply_typical(lg, md)
+                                  if flags.do_advanced else lg),
+        _SID.QUADRATIC: lambda lg: (_apply_quadratic(lg, md)
+                                    if flags.do_advanced else lg),
+        _SID.XTC: lambda lg: _xtc_stage(lg),
+        _SID.DRY: lambda lg: lg,          # token-history stages ran above
+        _SID.PENALTIES: lambda lg: lg,
+        _SID.NO_REPEAT_NGRAM: lambda lg: lg,
+        _SID.MIN_TOKENS: lambda lg: lg,
+    }
+
+    def _xtc_stage(lg):
+        if not flags.do_xtc:
+            return lg
         u = jax.vmap(lambda k: jax.random.uniform(k, ()))(key_xtc)
-        logits = _apply_xtc(logits, md, u)
-    if flags.do_temp_last:
-        logits = _apply_temperature(logits, md, flags.do_advanced)
+        return _apply_xtc(lg, md, u)
+
+    order = getattr(flags, "order", ()) or ()
+    if order:
+        for sid in order:
+            logits = stages[_SID(sid)](logits)
+    else:
+        if not flags.all_greedy and not flags.do_temp_last:
+            logits = _apply_temperature(logits, md, flags.do_advanced)
+        if flags.do_advanced:
+            logits = _apply_nsigma(logits, md)
+        if flags.do_top_k_p:
+            logits = _apply_top_k_top_p(logits, md)
+        if flags.do_advanced:
+            logits = _apply_top_a(logits, md)
+        if flags.do_min_p:
+            logits = _apply_min_p(logits, md)
+        if flags.do_advanced:
+            logits = _apply_tfs(logits, md)
+            logits = _apply_eta(logits, md)
+            logits = _apply_epsilon(logits, md)
+            logits = _apply_typical(logits, md)
+            logits = _apply_quadratic(logits, md)
+        if flags.do_xtc:
+            logits = _xtc_stage(logits)
+        if flags.do_temp_last:
+            logits = _apply_temperature(logits, md, flags.do_advanced)
 
     need_lp = flags.need_logprobs or max_logprobs > 0
     if flags.all_greedy:

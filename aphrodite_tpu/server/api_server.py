@@ -114,6 +114,8 @@ class OpenAIServer:
         r.add_get("/metrics", self.metrics)
         r.add_post("/reset_prefix_cache", self.reset_prefix_cache)
         r.add_get("/v1/models", self.list_models)
+        r.add_get("/samplers", self.samplers)
+        r.add_get("/v1/samplers", self.samplers)
         r.add_post("/v1/tokenize", self.tokenize)
         r.add_post("/v1/detokenize", self.detokenize)
         r.add_post("/v1/chat/completions", self.chat_completions)
@@ -340,6 +342,23 @@ class OpenAIServer:
         return web.Response(status=200)
 
     # --------------------------------------------------------------- admin
+    async def samplers(self, request: web.Request) -> web.Response:
+        """Sampler capability descriptor (reference
+        endpoints/openai/samplers.json): field name -> type/default for
+        every SamplingParams knob the engine honors, so UI clients can
+        render controls without hardcoding the surface."""
+        import dataclasses as _dc
+        from aphrodite_tpu.sampling_params import SamplingParams
+        props = {}
+        for f in _dc.fields(SamplingParams):
+            default = f.default if f.default is not _dc.MISSING else None
+            if callable(default) or default is _dc.MISSING:
+                default = None
+            t = {int: "integer", float: "number", bool: "boolean",
+                 str: "string"}.get(type(default), "any")
+            props[f.name] = {"type": t, "default": default}
+        return web.json_response({"type": "object", "properties": props})
+
     async def health(self, request: web.Request) -> web.Response:
         try:
             await self.engine.check_health()

@@ -265,3 +265,59 @@ def test_topk_logprobs():
     assert list(idx) == [7, 3, 11]
     vals = np.asarray(out["topk_values"][0])
     assert np.all(np.diff(vals) <= 0)
+
+
+def test_allowed_token_ids():
+    """allowed_token_ids restricts sampling to the listed ids; rows
+    without a restriction are untouched."""
+    from aphrodite_tpu.sampling_params import SamplingParams as SP
+    import numpy as np
+    import jax.numpy as jnp
+    from aphrodite_tpu.sample.metadata import build_sampling_metadata
+    from aphrodite_tpu.sample.sampler import sample_tokens
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(2, VOCAB), jnp.float32)
+    p_restrict = SP(temperature=0.0, allowed_token_ids=[5, 9, 11])
+    p_free = SP(temperature=0.0)
+    md, flags = build_sampling_metadata(
+        [(p_restrict, [1], 1, 0), (p_free, [1], 1, 0)], VOCAB, 2)
+    assert flags.do_allowed
+    out = sample_tokens(logits, md, flags, 0)
+    toks = np.asarray(out["tokens"])
+    assert toks[0] in (5, 9, 11)
+    assert toks[1] == int(np.argmax(np.asarray(logits)[1]))
+    # the restricted row picks the best among the allowed set
+    sub = {i: float(np.asarray(logits)[0][i]) for i in (5, 9, 11)}
+    assert toks[0] == max(sub, key=sub.get)
+
+
+def test_sampler_priority_reorders_pipeline():
+    """sampler_priority is honored batch-globally (reference reads the
+    first seq group's order, sampler.py:318): applying temperature AFTER
+    min_p changes which tokens survive the min_p cut for temp > 1."""
+    import numpy as np
+    import jax.numpy as jnp
+    from aphrodite_tpu.sample.metadata import build_sampling_metadata
+    from aphrodite_tpu.sample.sampler import sample_tokens
+    from aphrodite_tpu.sampling_params import (DEFAULT_SAMPLER_ORDER,
+                                               SamplerID,
+                                               SamplingParams as SP)
+    logits = jnp.asarray([[4.0, 3.0] + [0.0] * (VOCAB - 2)], jnp.float32)
+    # min_p=0.5: default order (temp 4.0 first) flattens the gap so token 1
+    # SURVIVES min_p; with temperature moved after min_p, the raw gap
+    # (e^-1 < 0.5 relative) kills token 1.
+    kw = dict(temperature=4.0, min_p=0.5, seed=7, max_tokens=4)
+    p_default = SP(**kw)
+    order = [i for i in DEFAULT_SAMPLER_ORDER]
+    order.remove(SamplerID.TEMPERATURE)
+    order.insert(order.index(SamplerID.MIN_P) + 1, SamplerID.TEMPERATURE)
+    p_reordered = SP(**kw, sampler_priority=list(order))
+
+    def surviving(p):
+        md, flags = build_sampling_metadata([(p, [1], 1, 0)], VOCAB, 1)
+        out = sample_tokens(logits, md, flags, max_logprobs=4)
+        lp = np.asarray(out["topk_values"])[0]
+        return int(np.isfinite(lp).sum())
+
+    assert surviving(p_default) >= 2      # both tokens alive
+    assert surviving(p_reordered) == 1    # min_p saw the raw distribution
