@@ -356,7 +356,13 @@ def sample_tokens(
     max_logprobs: int = 0,
     step_offset: jax.Array | int = 0,
     spec_draft: jax.Array | None = None,   # [R] draft token per row; -1=none
-    spec_q: jax.Array | None = None,       # [R] draft prob q(d) (None=1.0)
+    # [R] draft proposal prob q(d); None = one-hot q (q(d)=1). Every
+    # built-in proposer (ngram, greedy draft model, EAGLE/Medusa/MLP
+    # heads, MTP) proposes DETERMINISTICALLY, so q is one-hot and
+    # min(1, p/q) == p — None is exact AND acceptance-optimal for them.
+    # A stochastic proposer must thread its per-token q here or its
+    # acceptance rate drops below the reference RejectionSampler's.
+    spec_q: jax.Array | None = None,
     spec_method: str | None = None,
     posterior_threshold: float = 0.09,
     posterior_alpha: float = 0.3,
