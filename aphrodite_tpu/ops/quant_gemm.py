@@ -20,15 +20,27 @@ import jax
 import jax.numpy as jnp
 
 
-def _use_pallas() -> bool:
-    """Dequant GEMMs default to the XLA path even on TPU: at decode batch
-    sizes XLA's fused upcast-into-dot measured faster than the explicit
-    Pallas dequant kernels on v5e (the per-element VPU dequant dominates
-    and XLA schedules it better). The kernels remain for experimentation:
-    APHRODITE_QUANT_PALLAS=1 (interpret-mode tests force them too)."""
-    if os.environ.get("APHRODITE_QUANT_PALLAS", "0") == "1":
+def _use_pallas(w4_packed: bool = False) -> bool:
+    """Pallas-vs-XLA dequant GEMM policy, settled by measurement
+    (benchmarks/quant_microbench_v5e.json, r3):
+
+    - W4A16 packed: Pallas by DEFAULT on TPU. HLO inspection confirms the
+      XLA path materializes the dequantized bf16 weight buffer
+      (bf16[K,N] appears as a fusion output), so it streams 4x the bytes;
+      the Pallas kernel measured faster at every decode M (8/16/32/64,
+      e.g. 3.28 vs 4.01 ms at M=32, 8B shapes) — and inside a decode
+      window XLA's materialization cancels the 4-bit HBM saving entirely.
+    - W8A16: a tie within noise at decode M (2.83 vs 2.90 ms at M=64);
+      XLA stays the default (simpler program, one fewer custom call).
+
+    Override with APHRODITE_QUANT_PALLAS=1/0; interpret-mode tests force
+    the kernels."""
+    env = os.environ.get("APHRODITE_QUANT_PALLAS")
+    if env is not None:
+        return env == "1"
+    if os.environ.get("APHRODITE_PALLAS_INTERPRET", "0") == "1":
         return True
-    return os.environ.get("APHRODITE_PALLAS_INTERPRET", "0") == "1"
+    return w4_packed and jax.default_backend() == "tpu"
 
 
 def w8a16_matmul(x: jax.Array, qweight: jax.Array,
@@ -144,7 +156,8 @@ def w4a16_matmul(x: jax.Array, qweight: Optional[jax.Array],
     """
     if input_perm is not None:
         x = jnp.take(x, input_perm, axis=-1)  # desc_act reorder
-    if qpacked is not None and zeros is not None and _use_pallas():
+    if qpacked is not None and zeros is not None and \
+            _use_pallas(w4_packed=True):
         from aphrodite_tpu.ops.quant_matmul_pallas import (
             w4a16_packed_matmul_pallas)
         return w4a16_packed_matmul_pallas(x, qpacked, scales, zeros)

@@ -1,8 +1,11 @@
 """Pallas TPU kernel: fused dequant matmul (W8A16 / W4A16).
 
-The XLA path (`convert(int8->bf16); dot`) materializes a bf16 copy of the
-weights in HBM — worse than not quantizing. Here the int8 block is converted
-in VMEM on the way into the MXU, so HBM traffic is the packed weights only.
+The XLA W4 path materializes a bf16 copy of the weights in HBM (HLO
+verified + microbenched, benchmarks/quant_microbench_v5e.json) — worse
+than not quantizing at decode. Here the packed block is converted in VMEM
+on the way into the MXU, so HBM traffic is the packed weights only; the
+W4-packed kernel is the TPU default (ops/quant_gemm._use_pallas). W8A16
+measured a tie with XLA's fused upcast and stays opt-in.
 This is the TPU replacement for the reference's marlin/machete dequant GEMMs
 (kernels/quantization/, SURVEY.md §2.7 "Quant GEMMs" row).
 
