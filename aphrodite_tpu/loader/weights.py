@@ -180,7 +180,14 @@ def load_model_params(model, model_config: ModelConfig,
             params = quantize_stacked_params(params, quant_config,
                                              model=model)
         else:
-            params = model.init_dummy_params(jax.random.PRNGKey(rng_seed))
+            # Initialize on the host CPU backend: jax.random.normal would
+            # otherwise compile remotely for every distinct leaf shape
+            # (~55 s of engine init through the tunneled compile helper);
+            # the weights transfer h2d once at placement either way.
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu):
+                params = model.init_dummy_params(jax.random.PRNGKey(rng_seed))
+            params = jax.tree.map(np.asarray, params)
     elif quant_config is not None and quant_config.from_checkpoint:
         from aphrodite_tpu.quantization.loader import load_llama_quantized
         logger.info("loading %s-quantized weights from %s",

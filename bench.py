@@ -64,7 +64,7 @@ def main():
 
     t0 = time.time()
     llm = LLM(model="bench-dummy", hf_config=hf_config, tokenizer="unused",
-              dtype="bfloat16", load_format="dummy", block_size=32,
+              dtype="bfloat16", load_format="dummy", block_size=64,
               max_num_batched_tokens=args.max_num_batched_tokens,
               max_num_seqs=MAX_NUM_SEQS,
               max_model_len=prefix_len + decode_len + 64)
