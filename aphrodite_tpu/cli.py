@@ -113,10 +113,12 @@ def collect_env() -> None:
         print(f"devices          : unavailable ({e})")
     import os
     flags = {k: v for k, v in os.environ.items()
-             if k.startswith(("APHRODITE_", "JAX_", "XLA_", "TPU_",
-                              "LIBTPU_"))}
+             if k.startswith(("JAX_", "XLA_", "TPU_", "LIBTPU_"))}
     for k in sorted(flags):
         print(f"env {k}={flags[k]}")
+    from aphrodite_tpu.envs import environment_report
+    for line in environment_report():
+        print(f"env {line}")
 
 
 def openai_client(args) -> None:

@@ -41,6 +41,12 @@ class EngineArgs:
     enforce_eager: bool = False
     otlp_traces_endpoint: Optional[str] = None
     kv_events_endpoint: Optional[str] = None
+    enable_lora: bool = False
+    max_loras: int = 4
+    max_lora_rank: int = 16
+    long_prefill_token_threshold: Optional[int] = None
+    async_scheduling: bool = True
+    multi_step_decode: Optional[int] = None
 
     @staticmethod
     def add_cli_args(parser: argparse.ArgumentParser
@@ -83,7 +89,26 @@ class EngineArgs:
                             'prefill, e.g. \'{"kv_role": "kv_producer"}\'')
         parser.add_argument("--device", default="auto")
         parser.add_argument("--load-format", default="auto",
-                            choices=["auto", "safetensors", "dummy"])
+                            choices=["auto", "safetensors", "dummy",
+                                     "sharded_state"])
+        parser.add_argument("--enable-lora", action="store_true")
+        parser.add_argument("--max-loras", type=int, default=4)
+        parser.add_argument("--max-lora-rank", type=int, default=16)
+        parser.add_argument("--long-prefill-token-threshold", type=int,
+                            default=None,
+                            help="cap on prefill tokens per request per "
+                                 "step (None = budget-limited)")
+        parser.add_argument("--no-async-scheduling",
+                            dest="async_scheduling", action="store_false",
+                            help="disable overlap of host scheduling with "
+                                 "device compute (v1 --async-scheduling "
+                                 "is on by default here)")
+        parser.add_argument("--multi-step-decode", type=int, default=None,
+                            help="cap on in-graph decode steps per "
+                                 "dispatch (default 64)")
+        parser.add_argument("--enable-chunked-prefill", action="store_true",
+                            help="accepted for reference-CLI compatibility;"
+                                 " chunked prefill is always native here")
         parser.add_argument("--enforce-eager", action="store_true")
         parser.add_argument("--otlp-traces-endpoint", default=None,
                             help="OTLP gRPC endpoint for per-request "
@@ -135,7 +160,13 @@ class EngineArgs:
             device=args.device, load_format=args.load_format,
             enforce_eager=args.enforce_eager,
             otlp_traces_endpoint=args.otlp_traces_endpoint,
-            kv_events_endpoint=args.kv_events_endpoint)
+            kv_events_endpoint=args.kv_events_endpoint,
+            enable_lora=args.enable_lora,
+            max_loras=args.max_loras,
+            max_lora_rank=args.max_lora_rank,
+            long_prefill_token_threshold=args.long_prefill_token_threshold,
+            async_scheduling=args.async_scheduling,
+            multi_step_decode=args.multi_step_decode)
 
     def create_engine_config(self) -> EngineConfig:
         from aphrodite_tpu.entrypoints.llm import build_engine_config

@@ -45,6 +45,9 @@ def build_engine_config(
     enable_lora: bool = False,
     max_loras: int = 4,
     max_lora_rank: int = 16,
+    long_prefill_token_threshold: Optional[int] = None,
+    async_scheduling: bool = True,
+    multi_step_decode: Optional[int] = None,
     kv_transfer_config: Any = None,
     otlp_traces_endpoint: Optional[str] = None,
     kv_events_endpoint: Optional[str] = None,
@@ -71,7 +74,9 @@ def build_engine_config(
         scheduler_config=SchedulerConfig(
             max_num_seqs=max_num_seqs,
             max_num_batched_tokens=max_num_batched_tokens,
-            max_model_len=max_model_len or mc.max_model_len),
+            max_model_len=max_model_len or mc.max_model_len,
+            long_prefill_token_threshold=long_prefill_token_threshold,
+            async_scheduling=async_scheduling),
         parallel_config=ParallelConfig(
             tensor_parallel_size=tensor_parallel_size,
             data_parallel_size=data_parallel_size,
@@ -89,7 +94,10 @@ def build_engine_config(
         observability_config=ObservabilityConfig(
             otlp_traces_endpoint=otlp_traces_endpoint,
             kv_events_endpoint=kv_events_endpoint),
-        tpu_config=TPUConfig(**extra.pop("tpu_config", {})),
+        tpu_config=TPUConfig(**{
+            **({"multi_step_decode": multi_step_decode}
+               if multi_step_decode is not None else {}),
+            **extra.pop("tpu_config", {})}),
         kv_transfer_config=kv_transfer_config,
     )
 
