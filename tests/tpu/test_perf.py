@@ -1,0 +1,41 @@
+"""Committed TPU perf-regression thresholds, in the style of the
+reference's tests/v1/tpu/test_perf.py:54-71 (which pins 1.4 s ± 0.3 on
+v5e / 1.7 s ± 0.2 on v6e for this exact workload).
+
+Round-3 measured baseline on the tunneled v5e: **1.32 s** (see
+PROFILE.md) — faster than the reference's own v5e threshold. The assert
+allows generous headroom for chip/tunnel variance while still catching
+order-of-magnitude regressions.
+
+Run: PYTHONPATH=. python -m pytest tests/tpu/test_perf.py (needs a real
+TPU; skipped on CPU).
+"""
+import subprocess
+import sys
+import json
+
+import pytest
+import jax
+
+# Our committed regression thresholds per device generation.
+EXPECTED_AVG_TIME_S = {"v5": 1.55, "v6": 1.35}
+NUM_RUNS = 3
+WARMUP = 1
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="perf thresholds are TPU-only")
+def test_reference_ci_workload_regression():
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--runs", str(NUM_RUNS),
+         "--warmup", str(WARMUP)],
+        capture_output=True, text=True, timeout=1800, check=True)
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    res = json.loads(line)
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    gen = "v6" if "v6" in kind else "v5"
+    assert res["value"] <= EXPECTED_AVG_TIME_S[gen], (
+        f"bench regressed: {res['value']} s > "
+        f"{EXPECTED_AVG_TIME_S[gen]} s threshold on {kind} "
+        f"(round-3 measured 1.32 s; reference v5e CI pins 1.4 s)")
