@@ -447,7 +447,9 @@ class TPUConfig:
 
     min_token_bucket: int = 32
     min_req_bucket: int = 8
-    # Precompile all (token, req) buckets at startup instead of lazily.
+    # Server startup warms the hot jitted programs by running a synthetic
+    # full-budget wave through the real engine loop (EngineCore.precompile)
+    # before accepting traffic. Offline LLM() compiles lazily on first use.
     precompile: bool = True
     # Use the Pallas ragged paged attention kernel (False = pure-JAX reference
     # attention; automatic on CPU).

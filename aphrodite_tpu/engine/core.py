@@ -124,6 +124,40 @@ class EngineCore:
             self.worker.runner.async_mode = False
         self.scheduler.realize_hook = self._realize_all_hook
 
+    def precompile(self) -> None:
+        """Warm the hot jitted programs at init by running synthetic
+        requests through the REAL engine loop: one full-budget prefill
+        wave (biggest token/req bucket) plus a decode window, so a server
+        is compiled before it accepts traffic (reference
+        tpu_model_runner.py:1018-1124 precompile; here the dummy run IS
+        the precompile since bucketing replaces the shape zoo)."""
+        import time as _time
+        from aphrodite_tpu.sampling_params import SamplingParams
+        t0 = _time.time()
+        sc = self.config.scheduler_config
+        vocab = max(self.worker.model.vocab_size - 2, 2)
+        R = sc.max_num_seqs
+        plen = max(min(sc.max_num_batched_tokens // max(R, 1),
+                       sc.max_model_len - 66), 1)
+        dec = min(self.config.tpu_config.multi_step_decode + 1,
+                  max(sc.max_model_len - plen - 1, 1))
+        params = SamplingParams(temperature=0.0, max_tokens=dec,
+                                ignore_eos=True)
+        import numpy as np
+        rng = np.random.RandomState(0)
+        for i in range(R):
+            self.scheduler.add_request(Request(
+                request_id=f"__warmup_{i}",
+                prompt_token_ids=rng.randint(
+                    1, vocab, size=plen).tolist(),
+                sampling_params=params))
+        while self.has_unfinished_requests():
+            self.step()
+        self.scheduler.kv.reset_prefix_cache()
+        logger.info("precompile: warmed hot buckets in %.1fs "
+                    "(%d reqs x %d prompt + %d decode)",
+                    _time.time() - t0, R, plen, dec)
+
     def add_request(self, request: Request) -> None:
         self.stats.on_request_arrival(request.request_id,
                                       request.num_prompt_tokens,

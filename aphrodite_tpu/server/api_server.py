@@ -848,6 +848,12 @@ def run_server(config, model_name: str, host: str = "0.0.0.0",
                port: int = 2242, multiprocess: bool = False,
                kobold_api: bool = False) -> None:
     engine = AsyncLLM(config, multiprocess=multiprocess)
+    if config.tpu_config.precompile and \
+            config.device_config.resolve() == "tpu":
+        # Warm the hot jitted programs BEFORE accepting traffic
+        # (EngineCore.precompile): the first real request then hits a
+        # compiled server instead of paying the bucket warmup.
+        engine.worker_call("precompile", timeout=1800)
     app = build_app(engine, model_name, kobold_api=kobold_api)
     logger.info("serving %s on %s:%d", model_name, host, port)
     web.run_app(app, host=host, port=port)
