@@ -46,7 +46,7 @@ def _use_pallas(w4_packed: bool = False) -> bool:
 def w8a16_matmul(x: jax.Array, qweight: jax.Array,
                  scales: jax.Array) -> jax.Array:
     """Weight-only int8: per-output-channel symmetric scales."""
-    if _use_pallas():
+    if _use_pallas() and x.shape[0] <= 256:  # M kept whole in VMEM
         from aphrodite_tpu.ops.quant_matmul_pallas import w8a16_matmul_pallas
         return w8a16_matmul_pallas(x, qweight, scales)
     acc = jnp.dot(x, qweight.astype(x.dtype),
@@ -156,8 +156,11 @@ def w4a16_matmul(x: jax.Array, qweight: Optional[jax.Array],
     """
     if input_perm is not None:
         x = jnp.take(x, input_perm, axis=-1)  # desc_act reorder
-    if qpacked is not None and zeros is not None and \
-            _use_pallas(w4_packed=True):
+    # Pallas for decode-sized M only: the kernel keeps the M dim whole in
+    # VMEM (fine at M<=256; OOM at prefill M~16k), and at prefill the
+    # GEMM is MXU-bound so XLA's dequant materialization amortizes anyway.
+    if qpacked is not None and zeros is not None and x.shape[0] <= 256 \
+            and _use_pallas(w4_packed=True):
         from aphrodite_tpu.ops.quant_matmul_pallas import (
             w4a16_packed_matmul_pallas)
         return w4a16_packed_matmul_pallas(x, qpacked, scales, zeros)

