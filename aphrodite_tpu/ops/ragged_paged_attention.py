@@ -281,13 +281,15 @@ def ragged_paged_attention(
     # auto-shrinks block_q (_compute_block_q_cap); a hand-passed block_q
     # that blows VMEM fails loudly here instead of deep in Mosaic.
     rows_ = block_q * group
+    chunk_kv_ = chunk_pages * page_size
     scratch_bytes = (
         2 * kvh * rows_ * hd * q.dtype.itemsize          # q double buffer
         + 2 * chunk_pages * 2 * kvh * page_size * hd
         * kv_cache.dtype.itemsize                        # kv chunks
         + kvh * rows_ * hd * 4 + 2 * kvh * rows_ * 4     # acc + m/l
-        + kvh * rows_ * hd * q.dtype.itemsize)           # out block
-    assert scratch_bytes < 14 * 2 ** 20, (
+        + 2 * kvh * rows_ * hd * q.dtype.itemsize        # out (2x buffered)
+        + 4 * rows_ * chunk_kv_ * 4)                     # VPU temporaries
+    assert scratch_bytes < 15 * 2 ** 20, (
         f"ragged kernel scratch {scratch_bytes/2**20:.1f} MiB exceeds VMEM "
         f"(block_q={block_q}, group={group}, head_dim={hd}); shrink "
         "block_q — the runner's _compute_block_q_cap does this from model "

@@ -197,11 +197,15 @@ class ModelRunner:
             self.kv_cache, dict) else 128
         page = self.block_size
         chunk_pages = 8
+        chunk_kv = chunk_pages * page
         kv_bytes = 2 * chunk_pages * 2 * kvh * page * hd * 2
-        budget = 12 * 2 ** 20 - kv_bytes
-        # per q row: acc f32 + double-buffered q (bf16) + out + m/l state
-        per_row = kvh * (hd * (4 + 2 * 2 + 2) + 16)
-        rows = max(budget // per_row, 8)
+        budget = 10 * 2 ** 20 - kv_bytes
+        # Per q row: double-buffered q (bf16) + fp32 acc + double-buffered
+        # out window + m/l, PLUS the in-kernel VPU temporaries
+        # (s/p/mask, ~4 live [rows, chunk_kv] f32 arrays) — omitting the
+        # temporaries under-counted and OOM'd scoped VMEM at 8B geometry.
+        per_row = kvh * (hd * (2 * 2 + 4 + 2 * 2) + 8) + 16 * chunk_kv
+        rows = max(budget // max(per_row, 1), 8)
         return int(max(8, min(128, (rows // group) // 8 * 8)))
 
     # -------------------------------------------------------------- jit step
