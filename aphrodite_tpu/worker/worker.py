@@ -71,7 +71,7 @@ def _enable_compile_cache() -> None:
         tag = hashlib.sha256(feat.encode()).hexdigest()[:12]
         path = os.environ.get(
             "APHRODITE_COMPILE_CACHE_DIR",
-            os.path.expanduser(f"~/.cache/aphrodite_tpu/xla-{tag}"))
+            os.path.expanduser(f"~/.cache/aphrodite_tpu/xla2-{tag}"))
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
