@@ -188,6 +188,34 @@ class LLM:
             pbar.close()
         return agg
 
+    def evaluate_perplexity(self, token_lists: list[list[int]]
+                            ) -> dict[str, float]:
+        """Teacher-forced perplexity over the given token sequences —
+        the quality-parity half of the BASELINE.md north-star metric
+        (perplexity parity vs the CUDA reference at the same bit-width).
+        Uses the engine's prompt-logprobs path (every position scored by
+        the real serving forward: paged KV, kernels, quantized weights),
+        so the number reflects the DEPLOYED numerics, not an offline
+        reimplementation. Returns token-weighted mean NLL and PPL."""
+        import math
+        from aphrodite_tpu.sampling_params import SamplingParams
+        params = SamplingParams(temperature=0.0, max_tokens=1,
+                                prompt_logprobs=0, ignore_eos=True)
+        outs = self.generate(token_lists, params)
+        total_nll = 0.0
+        total_tok = 0
+        for out in outs:
+            plp = out.prompt_logprobs or []
+            for d in plp:
+                if d is None:
+                    continue  # position 0 has no prediction
+                lp = next(iter(d.values()))
+                total_nll += -float(getattr(lp, "logprob", lp))
+                total_tok += 1
+        mean_nll = total_nll / max(total_tok, 1)
+        return {"tokens": total_tok, "mean_nll": mean_nll,
+                "perplexity": math.exp(mean_nll)}
+
     def beam_search(self, prompts, beam_width: int = 4,
                     max_tokens: int = 16,
                     ignore_eos: bool = False) -> list[dict]:

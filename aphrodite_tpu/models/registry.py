@@ -385,6 +385,10 @@ def get_model_class(arch: str) -> Callable:
             "draft via --speculative-config "
             f"'{{\"draft_model\": \"<path>\"}}' (method "
             f"{SPECULATIVE_ARCHS[arch]!r}), not as a standalone model")
+    if arch in EXPLICITLY_DROPPED:
+        raise ValueError(
+            f"Model architecture {arch!r} is deliberately not supported: "
+            f"{EXPLICITLY_DROPPED[arch]}")
     try:
         module, name = MODEL_REGISTRY[arch]
     except KeyError:
@@ -400,6 +404,17 @@ def get_model_class(arch: str) -> Callable:
             f"Model architecture {arch!r} is not supported. "
             f"Supported: {sorted(MODEL_REGISTRY)}") from None
     return getattr(importlib.import_module(module), name)
+
+
+# Reference architectures deliberately NOT carried over, with rationale
+# (SURVEY §2.4 registry row: every gap is a decision, not an omission).
+EXPLICITLY_DROPPED = {
+    "PrithviGeoSpatialMAE": (
+        "geospatial masked-autoencoder for satellite imagery segmentation "
+        "(reference prithvi_geospatial_mae.py) — an image-in/image-out "
+        "model with no tokenizer or LLM serving surface; out of scope for "
+        "a text/multimodal LLM engine"),
+}
 
 
 def supported_architectures() -> list[str]:
