@@ -82,6 +82,17 @@ class AttentionMetadata:
     # [R] int32: flat-layout index of each request's first scheduled token
     # (segments have alignment gaps, so this is not query_start_loc[:-1]).
     seg_starts: Optional[jax.Array] = None
+    # ---- pipeline-parallel per-microbatch Pallas work items ([M, ...]
+    # stacks built by runner.build_pp_work_items; the pipeline slices the
+    # active microbatch's row in-graph so attention inside the pp
+    # shard_map takes the Pallas kernel instead of the XLA oracle). ----
+    pp_item_req: Optional[jax.Array] = None
+    pp_item_qstart: Optional[jax.Array] = None
+    pp_item_qlen: Optional[jax.Array] = None
+    pp_item_pos: Optional[jax.Array] = None
+    pp_num_items: Optional[jax.Array] = None       # [M, 1]
+    pp_token_item: Optional[jax.Array] = None
+    pp_token_item_row: Optional[jax.Array] = None
     # ---- cascade / shared-prefix attention (ops/cascade_attention.py).
     # [n] physical page ids every request in the batch shares as its KV
     # prefix + the token count they cover; None = no cascade this step.
@@ -119,6 +130,60 @@ def build_kv_stage(slots: np.ndarray, T_pad: int, R_pad: int,
         stage_pages[:len(upages)] = upages
         stage_src[inv, offs] = valid
     return stage_pages, stage_src
+
+
+def build_pp_work_items(seg_starts: np.ndarray, seg_counts: np.ndarray,
+                        pos0s: np.ndarray, num_reqs: int, T_pad: int,
+                        num_microbatches: int, block_q: int,
+                        num_reqs_pad: int) -> dict[str, np.ndarray]:
+    """Per-microbatch Pallas work items for the pipeline: microbatch m
+    covers flat tokens [m*Tm, (m+1)*Tm); each request's intersection with
+    that window becomes q blocks with MICROBATCH-RELATIVE qstart (the
+    pipeline's q buffer is the Tm-token slice) and absolute context
+    positions. Boundary-crossing segments split at the window edge
+    (relative qstart 0 and Tm%8==0 keep Mosaic's 8-alignment).
+    pos0s[r]: context position of request r's FIRST scheduled token."""
+    M = num_microbatches
+    Tm = T_pad // M
+    max_items = Tm // block_q + num_reqs_pad
+    item_req = np.zeros((M, max_items), np.int32)
+    item_qstart = np.zeros((M, max_items), np.int32)
+    item_qlen = np.zeros((M, max_items), np.int32)
+    item_pos = np.zeros((M, max_items), np.int32)
+    num_items = np.zeros((M, 1), np.int32)
+    token_item = np.zeros((M, Tm), np.int32)
+    token_row = np.zeros((M, Tm), np.int32)
+    for m in range(M):
+        lo, hi = m * Tm, (m + 1) * Tm
+        n = 0
+        for r in range(num_reqs):
+            qs_abs = int(seg_starts[r])
+            qe_abs = qs_abs + int(seg_counts[r])
+            a, b = max(qs_abs, lo), min(qe_abs, hi)
+            if a >= b:
+                continue
+            off = 0
+            while a + off < b:
+                qlen = min(block_q, b - a - off)
+                rel = a - lo + off
+                item_req[m, n] = r
+                item_qstart[m, n] = rel
+                item_qlen[m, n] = qlen
+                item_pos[m, n] = int(pos0s[r]) + (a - qs_abs) + off
+                token_item[m, rel:rel + qlen] = n
+                token_row[m, rel:rel + qlen] = np.arange(qlen)
+                off += qlen
+                n += 1
+        num_items[m, 0] = n
+    return {
+        "pp_item_req": item_req,
+        "pp_item_qstart": item_qstart,
+        "pp_item_qlen": item_qlen,
+        "pp_item_pos": item_pos,
+        "pp_num_items": num_items,
+        "pp_token_item": token_item,
+        "pp_token_item_row": token_row,
+    }
 
 
 def build_work_items(seg_starts: np.ndarray, seg_counts: np.ndarray,

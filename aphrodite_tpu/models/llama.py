@@ -422,9 +422,11 @@ class LlamaForCausalLM:
                                       md_l.stage_src)
             else:
                 kvc = write_kv(kvc, k, v, slots)
-            o = paged_attention(q, kvc, md_l, self.scale,
-                                sliding_window=self.sliding_window,
-                                use_pallas=use_pallas and ctx is None)
+            o = paged_attention(
+                q, kvc, md_l, self.scale,
+                sliding_window=self.sliding_window,
+                use_pallas=use_pallas and (ctx is None
+                                           or md_l.item_req is not None))
             x = finish_layer(x, o, lp, lin)
             return x, kvc
 
@@ -471,8 +473,12 @@ class LlamaForCausalLM:
         with KV writes masked (slot=-1); the finished microbatches are
         harvested from the last stage with a masked psum broadcast (f32:
         bf16 all-reduce inside a partial-manual shard_map crashes XLA:CPU's
-        partitioner). Attention inside the pipeline uses the XLA path —
-        per-microbatch Pallas work items are not threaded yet.
+        partitioner). Attention inside the pipeline takes the Pallas kernel when the
+        runner supplies per-microbatch work items
+        (build_pp_work_items): relative qstarts stay 8-aligned because
+        Tm is a multiple of 128, bubble iterations run with a zero item
+        count, and causal masking covers the not-yet-written KV of later
+        microbatches.
 
         Causality across microbatches holds because every stage processes
         microbatches in order: tokens in microbatch m+1 attend to KV that
@@ -531,6 +537,21 @@ class LlamaForCausalLM:
                 if mrope_pos is not None:
                     repl["mrope_pos"] = lax.dynamic_slice_in_dim(
                         mrope_pos, start, Tm, axis=1)
+                if md.pp_item_req is not None:
+                    # Per-microbatch Pallas work items (runner
+                    # build_pp_work_items): slice the active row; gate
+                    # the item count by `active` so bubble iterations
+                    # skip every grid step.
+                    nitems = jnp.where(active, md.pp_num_items[mbc],
+                                       0)
+                    repl.update(
+                        item_req=md.pp_item_req[mbc],
+                        item_qstart=md.pp_item_qstart[mbc],
+                        item_qlen=md.pp_item_qlen[mbc],
+                        item_pos=md.pp_item_pos[mbc],
+                        num_items_arr=nitems,
+                        token_item=md.pp_token_item[mbc],
+                        token_item_row=md.pp_token_item_row[mbc])
                 md_mb = dataclasses.replace(md, **repl)
                 cos_mb, sin_mb = self._cos_sin(md_mb)
 
@@ -560,6 +581,9 @@ class LlamaForCausalLM:
             in_specs=(layers_specs, P("pp"), P(), tok_specs,
                       P() if mrope is not None else None),
             out_specs=(P(), P("pp")),
+            # Pallas calls inside the region produce ShapeDtypeStructs
+            # without vma annotations; skip the varying-mesh-axes check.
+            check_vma=False,
             axis_names={"pp"})(scan_layers, kv_cache, x, tok_fields, mrope)
 
     def _sp(self, x: jax.Array) -> jax.Array:

@@ -795,6 +795,21 @@ class ModelRunner:
             items = build_work_items(seg_starts, seg_counts, seq_lens, R,
                                      T_pad, block_q, R_pad)
             fields.update({"md_" + k: v for k, v in items.items()})
+            pp = getattr(self.model, "pp_size", 1)
+            if pp > 1:
+                # Per-microbatch work items so attention inside the
+                # pipeline shard_map takes the Pallas kernel too.
+                from aphrodite_tpu.attention.metadata import (
+                    build_pp_work_items)
+                M = min(getattr(self.model, "pp_microbatches", 4), T_pad)
+                while T_pad % M:
+                    M -= 1
+                block_q = min(self._block_q_cap, T_pad // M)
+                pos0s = seq_lens[:R] - seg_counts[:R]
+                fields.update({
+                    "md_" + k: v for k, v in build_pp_work_items(
+                        seg_starts, seg_counts, pos0s, R, T_pad, M,
+                        block_q, R_pad).items()})
         if not self.is_ssm and getattr(self.model, "supports_staged_kv_write",
                                        False):
             from aphrodite_tpu.attention.metadata import build_kv_stage

@@ -81,3 +81,37 @@ def test_pp_divides_per_device_compute(ckpt):
     pp2 = step_flops(2)
     # theory at M=4, pp=2: (M+pp-1)/(M*pp) = 5/8 of the dense FLOPs
     assert pp2 < 0.85 * dense, (pp2, dense, pp2 / dense)
+
+
+def test_pp_pallas_kernel_path(monkeypatch, tmp_path):
+    """Attention inside the pipeline takes the Pallas kernel when the
+    runner supplies per-microbatch work items (interpret mode on CPU):
+    token-exact vs the XLA pipeline path and vs single-device."""
+    import numpy as np
+    from tests.utils import save_tiny_hf_checkpoint, tiny_llama_hf_config
+    from aphrodite_tpu.sampling_params import SamplingParams
+    from aphrodite_tpu.entrypoints.llm import LLM
+
+    d = tmp_path / "ckpt"
+    save_tiny_hf_checkpoint(d, tiny_llama_hf_config(max_pos=512))
+    rng = np.random.RandomState(0)
+    prompts = [rng.randint(10, 200, size=30 + 11 * i).tolist()
+               for i in range(3)]
+    params = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+
+    def gen(pp, pallas):
+        if pallas:
+            monkeypatch.setenv("APHRODITE_PALLAS_INTERPRET", "1")
+        else:
+            monkeypatch.delenv("APHRODITE_PALLAS_INTERPRET",
+                               raising=False)
+        llm = LLM(model=str(d), dtype="float32", block_size=16,
+                  num_kv_blocks=128, max_num_batched_tokens=256,
+                  max_num_seqs=4, max_model_len=256, tokenizer="unused",
+                  device="cpu", pipeline_parallel_size=pp,
+                  tpu_config={"use_pallas_attention": pallas})
+        return [o.outputs[0].token_ids
+                for o in llm.generate(prompts, params)]
+
+    base = gen(1, False)
+    assert gen(2, True) == base
