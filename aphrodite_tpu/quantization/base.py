@@ -71,6 +71,15 @@ class QuantizationConfig:
                 group_size=hf_quant_cfg.get("group_size", 128),
                 zero_point=hf_quant_cfg.get("zero_point", True),
                 from_checkpoint=True)
+        if m == "marlin":
+            # Serialized Marlin = tile-permuted symmetric GPTQ W4A16
+            # (reference quantization/marlin.py); unpacked back to the
+            # gptq layout at load (importers.unpack_marlin).
+            return QuantizationConfig(
+                method="gptq", weight_bits=4,
+                group_size=hf_quant_cfg.get("group_size", 128),
+                zero_point=False, from_checkpoint=True,
+                checkpoint_layout="marlin")
         if m in ("fp8", "fbgemm_fp8"):
             wbs = hf_quant_cfg.get("weight_block_size")
             return QuantizationConfig(

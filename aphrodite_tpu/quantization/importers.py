@@ -232,3 +232,64 @@ def unpack_hqq(parts: dict, out_features: int) -> dict:
             "scales": np.ascontiguousarray(scale.reshape(out, G).T),
             "zeros": np.ascontiguousarray(zero.reshape(out, G).T),
             "group_size": k // G, "out_features": out}
+
+
+# ------------------------------------------------------------------- Marlin
+def _marlin_weight_perm() -> np.ndarray:
+    """The 1024-entry intra-supertile column permutation the Marlin CUDA
+    kernel bakes into serialized checkpoints (reference
+    quantization/utils/marlin_utils_test.py:65 get_weight_perm, 4-bit):
+    each warp lane's ldmatrix fragment layout, tiled 4x across the
+    supertile, then the dequant interleave [0,2,4,6,1,3,5,7]."""
+    perm = []
+    for i in range(32):
+        lane = []
+        col = i // 4
+        for block in (0, 1):
+            for row in (2 * (i % 4), 2 * (i % 4) + 1,
+                        2 * (i % 4 + 4), 2 * (i % 4 + 4) + 1):
+                lane.append(16 * row + col + 8 * block)
+        for j in range(4):
+            perm.extend(p + 256 * j for p in lane)
+    perm = np.array(perm)
+    interleave = np.array([0, 2, 4, 6, 1, 3, 5, 7])
+    return perm.reshape(-1, 8)[:, interleave].ravel()
+
+
+def unpack_marlin(B: np.ndarray, s: np.ndarray) -> dict:
+    """Serialized Marlin checkpoint (B int32 [K/16, N*16/8], s fp16 scales)
+    -> native w4a16 dict. Marlin is tile-permuted symmetric GPTQ (implicit
+    zero point 8): invert the nibble pack, the column permutation, and the
+    16x16 tiling (reference quantization/marlin.py:220 B/s tensors;
+    marlin_utils_test.py:30 marlin_permute_weights)."""
+    B = np.asarray(B)
+    s = np.asarray(s, np.float32)
+    Kt, Nw = B.shape          # [K/16, N*16/8]
+    N = Nw * 8 // 16
+    K = Kt * 16
+    # nibble unpack: word holds columns c, c+8N/8... interleaved by shift
+    shifts = np.arange(8, dtype=np.uint32) * 4
+    qw = np.zeros((Kt, Nw * 8), np.uint8)
+    unpacked = (B.astype(np.uint32)[:, :, None] >> shifts[None, None, :]
+                ) & 0xF
+    for i in range(8):
+        qw[:, i::8] = unpacked[:, :, i].astype(np.uint8)
+    # invert the 1024-wide column permutation
+    perm = _marlin_weight_perm()
+    inv = np.argsort(perm)
+    qw = qw.reshape(-1, 1024)[:, inv].reshape(Kt, N * 16)
+    # invert the 16x16 tiling: [K/16, N/16, 16, 16] -> [K, N]
+    qw = qw.reshape(Kt, N // 16, 16, 16).transpose(0, 2, 1, 3).reshape(K, N)
+    # invert the scale permutation (marlin_utils.py:204 get_scale_perms)
+    scale_perm = np.array([i + 8 * j for i in range(8) for j in range(8)])
+    scale_perm_single = np.array(
+        [2 * i + j for i in range(4) for j in (0, 1, 8, 9, 16, 17, 24, 25)])
+    G = s.size // N
+    if G > 1:
+        s = s.reshape(-1, 64)[:, np.argsort(scale_perm)].reshape(G, N)
+    else:
+        s = s.reshape(-1, 32)[:, np.argsort(scale_perm_single)].reshape(1, N)
+    zeros = np.full((G, N), 8.0, np.float32)
+    return {"format": "w4a16", "qweight": qw.astype(np.int8),
+            "scales": s, "zeros": zeros,
+            "group_size": K // G, "out_features": N}

@@ -132,7 +132,9 @@ _QPARTS = ("qweight", "qzeros", "scales", "g_idx", "bias",
            "weight_zero_point", "input_scale",
            "weight_packed", "weight_shape", "weight_g_idx",
            # HQQ naming
-           "W_q", "zero", "scale")
+           "W_q", "zero", "scale",
+           # serialized-Marlin naming (reference quantization/marlin.py:220)
+           "B", "s")
 
 
 def _unpack_compressed(parts: dict, method: str, out_dtype) -> dict:
@@ -283,6 +285,10 @@ def load_llama_quantized(model, weights: Iterable[tuple[str, np.ndarray]],
                 unpacked = _unpack_compressed(parts, qcfg.method, target)
             elif qcfg.checkpoint_layout == "fp8_native":
                 unpacked = _unpack_fp8_native(parts, qcfg)
+            elif qcfg.checkpoint_layout == "marlin":
+                from aphrodite_tpu.quantization.importers import \
+                    unpack_marlin
+                unpacked = unpack_marlin(parts["B"], parts["s"])
             elif qcfg.checkpoint_layout == "hqq":
                 from aphrodite_tpu.quantization.importers import unpack_hqq
                 out_features = {

@@ -7,7 +7,7 @@ the kernel is compute-bound; decode attention is inherently HBM-bound (every
 attended KV byte is read once, ~2 FLOPs/byte), so the right metric is
 achieved KV-read bandwidth vs the chip's HBM roofline, not MXU occupancy.
 
-Usage (real TPU): PYTHONPATH=. python benchmarks/decode_attn_roofline.py
+Usage (real TPU): PYTHONPATH=.:/root/.axon_site python benchmarks/decode_attn_roofline.py
 Writes benchmarks/decode_attn_roofline.json.
 
 Reference equivalents: kernels/attention/paged_attention_v2.cu (the
@@ -67,13 +67,15 @@ def bench_case(R, ctx, kvh, group, hd=128, page=32, L=4, Kw=8, n=30):
     # Slope method: (t(2C) - t(C)) / C cancels the fixed sync/dispatch RPC.
     # Adaptive chain: small cases need >=2 GiB of chained KV traffic to
     # rise above the tunnel's timing noise.
-    kv_bytes_est = R * pages_per_req * page * 2 * kvh * hd * 2
-    C = max(16, -(-2**31 // kv_bytes_est))
+    kv_bytes = R * pages_per_req * page * 2 * kvh * hd * 2  # bf16
+    C = max(16, -(-2**31 // kv_bytes))
     t1 = min(timed(C) for _ in range(3))
     t2 = min(timed(2 * C) for _ in range(3))
-    dt = max((t2 - t1) / C, 1e-9)
+    assert t2 > t1, (
+        f"non-monotone timing (t({C})={t1:.4f}s >= t({2*C})={t2:.4f}s): "
+        "tunnel timing noise swamped the slope; rerun or raise the chain")
+    dt = (t2 - t1) / C
 
-    kv_bytes = R * pages_per_req * page * 2 * kvh * hd * 2  # bf16
     gbps = kv_bytes / dt / 1e9
     return dt * 1e3, kv_bytes / 2**30, gbps
 
