@@ -335,10 +335,17 @@ class SchedulerConfig:
     # scheduler advances optimistically and fetches values lazily
     # (reference: v1 --async-scheduling).
     async_scheduling: bool = True
+    # "fcfs" | "priority": priority orders both queues by
+    # (request.priority, arrival) and force-preempts lower-priority
+    # running requests when a higher-priority waiting request cannot be
+    # admitted (reference processing/scheduler.py:965).
+    policy: str = "fcfs"
 
     def __post_init__(self) -> None:
         if self.max_num_batched_tokens < 1:
             raise ValueError("max_num_batched_tokens must be >= 1")
+        if self.policy not in ("fcfs", "priority"):
+            raise ValueError(f"unknown scheduling policy {self.policy!r}")
 
 
 @dataclass

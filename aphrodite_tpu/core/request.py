@@ -43,8 +43,13 @@ class Request:
         prompt: Optional[str] = None,
         lora_name: Optional[str] = None,
         mm_inputs=None,
+        priority: int = 0,
     ) -> None:
         self.request_id = request_id
+        # Scheduling priority under policy="priority": LOWER value = higher
+        # priority, arrival time breaks ties (reference
+        # processing/scheduler.py:954 _get_priority).
+        self.priority = priority
         self.prompt = prompt
         self.prompt_token_ids = list(prompt_token_ids)
         self.sampling_params = sampling_params

@@ -107,6 +107,43 @@ class Scheduler:
         self._finished_req_ids.add(request.request_id)
         del self.requests[request.request_id]
 
+    # --------------------------------------------------------------- priority
+    @staticmethod
+    def _prio(req: Request) -> tuple:
+        """LOWER sorts first = scheduled first / preempted last (reference
+        processing/scheduler.py:954 _get_priority)."""
+        return (req.priority, req.metrics.arrival_time)
+
+    def _priority_preemption(self, preempted: set) -> None:
+        """Force-preempt running requests with WORSE priority than the best
+        waiting request when it could not otherwise be admitted (reference
+        processing/scheduler.py:965 _schedule_priority_preemption;
+        recompute-style, like all preemption here)."""
+        if not self.waiting:
+            return
+        head = self.waiting[0]
+        need_blocks = -(-(
+            (head.num_tokens - head.num_computed_tokens)
+            + self.num_lookahead_tokens) // self.block_size)
+        while (self.running
+               and self._prio(self.running[-1]) > self._prio(head)):
+            have_seat = len(self.running) < self.config.max_num_seqs
+            have_pages = self.kv.pool.get_num_free_blocks() >= need_blocks
+            if have_seat and have_pages:
+                break
+            victim = self.running[-1]
+            if victim.num_async_pending and self.realize_hook is not None:
+                # In-flight async step: realize before recompute-preempting
+                # (a preempted in-flight request corrupts at realize).
+                self.realize_hook()
+                if victim not in self.running:
+                    continue
+            self._preempt(victim)
+            preempted.add(victim.request_id)
+        # _preempt appendlefts its victims: restore priority order so the
+        # waiting loop admits the best-priority request first.
+        self.waiting = deque(sorted(self.waiting, key=self._prio))
+
     # ---------------------------------------------------------------- schedule
     def schedule(self) -> SchedulerOutput:
         budget = self.config.max_num_batched_tokens
@@ -117,6 +154,14 @@ class Scheduler:
         new_reqs: list[NewRequestData] = []
         cached = CachedRequestData()
         preempted: set[str] = set()
+
+        if self.config.policy == "priority":
+            # Order both queues by (priority, arrival): the running loop
+            # gives budget to high-priority requests first, and memory
+            # pressure preempts self.running[-1] = the worst priority.
+            self.waiting = deque(sorted(self.waiting, key=self._prio))
+            self.running.sort(key=self._prio)
+            self._priority_preemption(preempted)
 
         # -- 1. running requests (FCFS) -----------------------------------
         idx = 0

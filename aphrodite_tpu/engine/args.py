@@ -47,6 +47,7 @@ class EngineArgs:
     long_prefill_token_threshold: Optional[int] = None
     async_scheduling: bool = True
     multi_step_decode: Optional[int] = None
+    scheduling_policy: str = "fcfs"
 
     @staticmethod
     def add_cli_args(parser: argparse.ArgumentParser
@@ -103,6 +104,11 @@ class EngineArgs:
                             help="disable overlap of host scheduling with "
                                  "device compute (v1 --async-scheduling "
                                  "is on by default here)")
+        parser.add_argument("--scheduling-policy", default="fcfs",
+                            choices=["fcfs", "priority"],
+                            help="priority orders by (priority, arrival) "
+                                 "and preempts lower-priority requests "
+                                 "under pressure")
         parser.add_argument("--multi-step-decode", type=int, default=None,
                             help="cap on in-graph decode steps per "
                                  "dispatch (default 64)")
@@ -166,7 +172,8 @@ class EngineArgs:
             max_lora_rank=args.max_lora_rank,
             long_prefill_token_threshold=args.long_prefill_token_threshold,
             async_scheduling=args.async_scheduling,
-            multi_step_decode=args.multi_step_decode)
+            multi_step_decode=args.multi_step_decode,
+            scheduling_policy=args.scheduling_policy)
 
     def create_engine_config(self) -> EngineConfig:
         from aphrodite_tpu.entrypoints.llm import build_engine_config

@@ -144,16 +144,18 @@ class AsyncLLM:
             q.put_nowait(e)
 
     # --------------------------------------------------------------- requests
-    def _add_request(self, request_id, prompt, params, lora_name) -> None:
+    def _add_request(self, request_id, prompt, params, lora_name,
+                     priority=0) -> None:
         if not self.multiprocess:
             self.engine.add_request(request_id, prompt, params,
-                                    lora_name=lora_name)
+                                    lora_name=lora_name, priority=priority)
             self._wakeup.set()
             return
         n = params.n
         if n == 1:
             req = self.processor.process(request_id, prompt, params,
-                                         lora_name=lora_name)
+                                         lora_name=lora_name,
+                                         priority=priority)
             self.client.add_request(req)
             self.output_processor.add_request(req)
             return
@@ -164,7 +166,8 @@ class AsyncLLM:
             if params.seed is not None:
                 child.seed = params.seed + i
             req = self.processor.process(f"{request_id}-cld-{i}", prompt,
-                                         child, lora_name=lora_name)
+                                         child, lora_name=lora_name,
+                                         priority=priority)
             self.client.add_request(req)
             self.output_processor.add_request(req, parent_id=request_id,
                                               index=i)
@@ -186,6 +189,7 @@ class AsyncLLM:
         sampling_params: SamplingParams,
         request_id: str,
         lora_name: Optional[str] = None,
+        priority: int = 0,
     ) -> AsyncGenerator[RequestOutput, None]:
         """Yields incremental RequestOutputs (delta text/tokens) until
         finished."""
@@ -195,7 +199,8 @@ class AsyncLLM:
         q: asyncio.Queue = asyncio.Queue()
         self._streams[request_id] = q
         try:
-            self._add_request(request_id, prompt, sampling_params, lora_name)
+            self._add_request(request_id, prompt, sampling_params, lora_name,
+                              priority)
             n_expect = sampling_params.n
             finished = 0
             while finished < n_expect:

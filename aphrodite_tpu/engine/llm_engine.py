@@ -35,7 +35,8 @@ class LLMEngine:
     def add_request(self, request_id: str, prompt: PromptType,
                     params: Optional[SamplingParams] = None,
                     arrival_time: Optional[float] = None,
-                    lora_name: Optional[str] = None) -> None:
+                    lora_name: Optional[str] = None,
+                    priority: int = 0) -> None:
         params = params or SamplingParams()
         if lora_name is not None:
             # Validate at admission — a bad adapter name must reject THIS
@@ -47,7 +48,8 @@ class LLMEngine:
         n = params.n
         if n == 1:
             req = self.processor.process(request_id, prompt, params,
-                                         arrival_time, lora_name=lora_name)
+                                         arrival_time, lora_name=lora_name,
+                                         priority=priority)
             self.core.add_request(req)
             self.output_processor.add_request(req)
             return
@@ -61,7 +63,8 @@ class LLMEngine:
                 child.seed = params.seed + i
             req = self.processor.process(f"{request_id}-cld-{i}", prompt,
                                          child, arrival_time,
-                                         lora_name=lora_name)
+                                         lora_name=lora_name,
+                                         priority=priority)
             self.core.add_request(req)
             self.output_processor.add_request(req, parent_id=request_id,
                                               index=i)

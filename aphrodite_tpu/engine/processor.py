@@ -61,7 +61,8 @@ class Processor:
     def process(self, request_id: str, prompt: PromptType,
                 params: SamplingParams,
                 arrival_time: Optional[float] = None,
-                lora_name: Optional[str] = None) -> Request:
+                lora_name: Optional[str] = None,
+                priority: int = 0) -> Request:
         text: Optional[str] = None
         enc_ids = None
         if isinstance(prompt, dict):
@@ -192,4 +193,5 @@ class Processor:
             arrival_time=arrival_time or time.monotonic(),
             prompt=text,
             lora_name=lora_name,
-            mm_inputs=mm_inputs)
+            mm_inputs=mm_inputs,
+            priority=priority)

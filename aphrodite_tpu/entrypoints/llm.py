@@ -47,6 +47,7 @@ def build_engine_config(
     max_lora_rank: int = 16,
     long_prefill_token_threshold: Optional[int] = None,
     async_scheduling: bool = True,
+    scheduling_policy: str = "fcfs",
     multi_step_decode: Optional[int] = None,
     kv_transfer_config: Any = None,
     otlp_traces_endpoint: Optional[str] = None,
@@ -76,7 +77,8 @@ def build_engine_config(
             max_num_batched_tokens=max_num_batched_tokens,
             max_model_len=max_model_len or mc.max_model_len,
             long_prefill_token_threshold=long_prefill_token_threshold,
-            async_scheduling=async_scheduling),
+            async_scheduling=async_scheduling,
+            policy=scheduling_policy),
         parallel_config=ParallelConfig(
             tensor_parallel_size=tensor_parallel_size,
             data_parallel_size=data_parallel_size,
@@ -146,6 +148,7 @@ class LLM:
                                None] = None,
         use_tqdm: bool = False,
         lora_request: Union[str, None] = None,
+        priority: Union[int, Sequence[int], None] = None,
     ) -> list[RequestOutput]:
         if isinstance(prompts, (str, dict)) or (
                 isinstance(prompts, list) and prompts
@@ -158,13 +161,19 @@ class LLM:
             sampling_params = [sampling_params] * n
         if len(sampling_params) != n:
             raise ValueError("prompts / sampling_params length mismatch")
+        if priority is None:
+            priority = [0] * n
+        elif isinstance(priority, int):
+            priority = [priority] * n
+        if len(priority) != n:
+            raise ValueError("prompts / priority length mismatch")
 
         order: list[str] = []
-        for prompt, params in zip(prompts, sampling_params):
+        for prompt, params, prio in zip(prompts, sampling_params, priority):
             rid = str(next(self._counter))
             order.append(rid)
             self.engine.add_request(rid, prompt, params,
-                                    lora_name=lora_request)
+                                    lora_name=lora_request, priority=prio)
         agg = self._run(use_tqdm)
         return [self._finalize(agg[rid]) for rid in order]
 

@@ -608,9 +608,9 @@ class OpenAIServer:
         stop_reason: dict[int, object] = {}
         prompt_tokens = 0
         try:
-            async for out in self.engine.generate(prompt, params,
-                                                  request_id,
-                                                  lora_name=lora):
+            async for out in self.engine.generate(
+                    prompt, params, request_id, lora_name=lora,
+                    priority=req.priority):
                 prompt_tokens = len(out.prompt_token_ids)
                 for c in out.outputs:
                     texts[c.index] = texts.get(c.index, "") + c.text
@@ -711,9 +711,9 @@ class OpenAIServer:
                                  reasoning_content=reasoning or None,
                                  tool_calls=tcs or None), fin)
         try:
-            async for out in self.engine.generate(prompt, params,
-                                                  request_id,
-                                                  lora_name=lora):
+            async for out in self.engine.generate(
+                    prompt, params, request_id, lora_name=lora,
+                    priority=req.priority):
                 n_prompt = len(out.prompt_token_ids)
                 choices = []
                 for c in out.outputs:
@@ -777,7 +777,7 @@ class OpenAIServer:
                 prompt_len = 0
                 async for out in self.engine.generate(
                         prompt, params, f"{request_id}-{pi}",
-                        lora_name=lora):
+                        lora_name=lora, priority=req.priority):
                     prompt_len = len(out.prompt_token_ids)
                     for c in out.outputs:
                         texts[c.index] = texts.get(c.index, "") + c.text
@@ -813,8 +813,8 @@ class OpenAIServer:
                      "Cache-Control": "no-cache"})
         await resp.prepare(request)
         try:
-            async for out in self.engine.generate(prompt, params,
-                                                  request_id):
+            async for out in self.engine.generate(
+                    prompt, params, request_id, priority=req.priority):
                 for c in out.outputs:
                     if c.text or c.finish_reason:
                         chunk = CompletionResponse(

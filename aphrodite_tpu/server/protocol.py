@@ -87,6 +87,9 @@ class _SamplerMixin(BaseModel):
     temperature_last: bool = False
     skew: float = 0.0
     sampler_priority: Optional[list[Union[int, str]]] = None
+    # Scheduling priority (policy="priority"): lower = served first
+    # (reference endpoints: priority passes through to the scheduler)
+    priority: int = 0
     # --- guided decoding ---
     guided_json: Optional[Union[str, dict]] = None
     guided_regex: Optional[str] = None
