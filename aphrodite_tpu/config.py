@@ -56,6 +56,8 @@ class ModelConfig:
 
     model: str
     tokenizer: Optional[str] = None
+    # "auto" | "hf" | "mistral" (tekken.json; tokenizer_utils.get_tokenizer)
+    tokenizer_mode: str = "auto"
     trust_remote_code: bool = False
     dtype: str = "bfloat16"
     seed: int = 0

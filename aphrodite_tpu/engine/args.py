@@ -18,6 +18,7 @@ class EngineArgs:
     seed: int = 0
     max_model_len: Optional[int] = None
     quantization: Optional[str] = None
+    tokenizer_mode: str = "auto"
     trust_remote_code: bool = False
     block_size: int = 32
     num_kv_blocks: Optional[int] = None
@@ -55,6 +56,10 @@ class EngineArgs:
         parser.add_argument("model", nargs="?", help="model name or path")
         parser.add_argument("--model", dest="model_opt", default=None)
         parser.add_argument("--tokenizer", default=None)
+        parser.add_argument("--tokenizer-mode", default="auto",
+                            choices=["auto", "hf", "slow", "mistral"],
+                            help="mistral = Mistral-format tekken.json "
+                                 "tokenizer")
         parser.add_argument("--dtype", default="bfloat16",
                             choices=["bfloat16", "float16", "float32",
                                      "auto"])
@@ -149,6 +154,8 @@ class EngineArgs:
             kv_cache_dtype=args.kv_cache_dtype,
             enable_prefix_caching=args.epc,
             max_num_seqs=args.max_num_seqs,
+            tokenizer_mode=("hf" if args.tokenizer_mode == "slow"
+                            else args.tokenizer_mode),
             max_num_batched_tokens=args.max_num_batched_tokens,
             tensor_parallel_size=args.tensor_parallel_size,
             data_parallel_size=args.data_parallel_size,

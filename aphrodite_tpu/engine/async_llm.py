@@ -45,8 +45,9 @@ class AsyncLLM:
             from aphrodite_tpu.engine.processor import Processor
             from aphrodite_tpu.tokenizer_utils import get_tokenizer
             mc = config.model_config
-            tokenizer = (get_tokenizer(mc.tokenizer,
-                                       trust_remote_code=mc.trust_remote_code)
+            tokenizer = (get_tokenizer(
+                mc.tokenizer, trust_remote_code=mc.trust_remote_code,
+                tokenizer_mode=getattr(mc, "tokenizer_mode", "auto"))
                          if mc.tokenizer != "unused" else None)
             self._tokenizer = tokenizer
             dp = config.parallel_config.data_parallel_size

@@ -44,7 +44,9 @@ def _core_main(config, input_addr: str, output_addr: str) -> None:
         if config.model_config.tokenizer != "unused":
             tokenizer = get_tokenizer(
                 config.model_config.tokenizer,
-                trust_remote_code=config.model_config.trust_remote_code)
+                trust_remote_code=config.model_config.trust_remote_code,
+                tokenizer_mode=getattr(config.model_config,
+                                       "tokenizer_mode", "auto"))
         core = EngineCore(config, tokenizer=tokenizer)
         out_sock.send(pickle.dumps(("ready", None)))
     except Exception:

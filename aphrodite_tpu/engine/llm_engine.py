@@ -22,8 +22,9 @@ class LLMEngine:
         self.config = config
         mc = config.model_config
         if tokenizer is None and mc.tokenizer != "unused":
-            tokenizer = get_tokenizer(mc.tokenizer,
-                                      trust_remote_code=mc.trust_remote_code)
+            tokenizer = get_tokenizer(
+                mc.tokenizer, trust_remote_code=mc.trust_remote_code,
+                tokenizer_mode=getattr(mc, "tokenizer_mode", "auto"))
         self.tokenizer = tokenizer
         self.processor = Processor(config, tokenizer)
         self.core = EngineCore(config, tokenizer=tokenizer)

@@ -19,6 +19,7 @@ def build_engine_config(
     model: str,
     *,
     tokenizer: Optional[str] = None,
+    tokenizer_mode: str = "auto",
     dtype: str = "bfloat16",
     seed: int = 0,
     max_model_len: Optional[int] = None,
@@ -57,7 +58,8 @@ def build_engine_config(
     if isinstance(kv_transfer_config, dict):
         from aphrodite_tpu.distributed.kv_transfer import KVTransferConfig
         kv_transfer_config = KVTransferConfig(**kv_transfer_config)
-    mc = ModelConfig(model=model, tokenizer=tokenizer, dtype=dtype,
+    mc = ModelConfig(model=model, tokenizer=tokenizer,
+                     tokenizer_mode=tokenizer_mode, dtype=dtype,
                      seed=seed, max_model_len=max_model_len,
                      quantization=quantization,
                      trust_remote_code=trust_remote_code,

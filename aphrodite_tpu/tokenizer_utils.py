@@ -7,6 +7,7 @@ prefix/read offsets — emits text only once multi-token glyphs resolve).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 # Number of trailing prompt tokens used to prime detokenization spacing.
@@ -15,7 +16,30 @@ _PRIME_TOKENS = 5
 
 @functools.lru_cache(maxsize=8)
 def get_tokenizer(name: str, trust_remote_code: bool = False,
-                  revision: Optional[str] = None):
+                  revision: Optional[str] = None,
+                  tokenizer_mode: str = "auto"):
+    """tokenizer_mode: "auto" picks tekken.json when it is the only
+    tokenizer in a Mistral-format checkpoint dir; "mistral" forces it;
+    "hf"/"slow" force transformers (reference
+    transformers_utils/tokenizer.py get_tokenizer modes)."""
+    if tokenizer_mode != "hf":
+        from aphrodite_tpu.tokenizers_mistral import (TekkenTokenizer,
+                                                      find_tekken_file)
+        tekken = find_tekken_file(name)
+        if tokenizer_mode == "mistral":
+            if tekken is None:
+                raise ValueError(
+                    f"tokenizer_mode='mistral' but no tekken.json under "
+                    f"{name!r} (sentencepiece tokenizer.model.v* files "
+                    "need the HF conversion in this environment)")
+            return TekkenTokenizer(tekken)
+        if tekken is not None and not (
+                os.path.isdir(name)
+                and (os.path.isfile(os.path.join(name, "tokenizer.json"))
+                     or os.path.isfile(
+                         os.path.join(name, "tokenizer_config.json")))):
+            # Mistral-format checkpoint with no HF tokenizer alongside.
+            return TekkenTokenizer(tekken)
     from transformers import AutoTokenizer
     return AutoTokenizer.from_pretrained(
         name, trust_remote_code=trust_remote_code, revision=revision)
