@@ -418,6 +418,10 @@ class SpeculativeConfig:
     acceptance_method: str = "rejection_sampler"
     posterior_threshold: float = 0.09
     posterior_alpha: float = 0.3
+    # Disable speculation for steps whose running-queue depth exceeds this
+    # (reference spec_decode_worker.py:292 disable_by_batch_size: at high
+    # batch the target model is compute-bound and drafts only burn FLOPs).
+    disable_by_batch_size: Optional[int] = None
 
     # Speculator architectures -> proposer method (reference registry.py
     # _SPECULATIVE_DECODING_MODELS; reference spec_decode_worker.py:141

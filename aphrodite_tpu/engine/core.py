@@ -75,6 +75,14 @@ class EngineCore:
                 self.proposer = "draft"
             if self.proposer is not None:
                 self.worker.runner.spec_k = sc.num_speculative_tokens
+            if sc.method == "ngram":
+                # Host-side proposer: in-graph decode windows keep requests
+                # async-pending across steps, so the propose loop would
+                # never see a decode-ready request — speculation would be
+                # silently inert. Window decode and host speculation are
+                # alternative latency optimizations; spec was explicitly
+                # configured, so it wins.
+                self.worker.runner.use_graph_multi_step = False
 
         # Disaggregated prefill (reference: distributed/kv_transfer/):
         # producer ships finished requests' prompt pages into a ZMQ lookup
@@ -293,6 +301,15 @@ class EngineCore:
             for rid in sched_out.finished_req_ids:
                 self.structured.remove_request(rid)
         if self.proposer is not None:
+            dbs = (self.config.speculative_config.disable_by_batch_size
+                   if self.config.speculative_config else None)
+            if dbs is not None and len(self.scheduler.running) > dbs:
+                # Queue too deep: decode is batch-efficient already; drafts
+                # would only add verify FLOPs (reference
+                # spec_decode_worker.py:553 _maybe_disable_speculative_tokens)
+                for req in self.scheduler.running:
+                    req.spec_token_ids = []
+                return outputs0 + outputs
             drafts_map = (self.worker.runner.pending_drafts_map()
                           if self.proposer == "draft" else None)
             for req in self.scheduler.running:

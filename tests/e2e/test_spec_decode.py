@@ -63,3 +63,38 @@ def test_spec_with_stop_and_max_tokens(ckpt):
                        stop_token_ids=[stop_tok], ignore_eos=True)
     got = _generate(ckpt, True, prompts, p)[0]
     assert got == base[:base.index(stop_tok)]
+
+
+def test_spec_dynamic_disable_by_batch_size(ckpt):
+    """disable_by_batch_size: speculation off while the running queue is
+    deeper than the threshold (reference spec_decode_worker.py:292 +
+    tests/spec_decode/test_dynamic_spec_decode.py), outputs unchanged."""
+    from aphrodite_tpu.config import SpeculativeConfig
+    from aphrodite_tpu.entrypoints.llm import LLM
+    from aphrodite_tpu.sampling_params import SamplingParams
+
+    # repetitive prompts: the ngram proposer needs ngram hits to draft
+    prompts = [[7, 8, 9, 7, 8, 9, 7, 8, 9, 7, 8],
+               [11, 12, 11, 12, 11, 12, 11, 12],
+               [3, 4, 5, 3, 4, 5, 3, 4, 5],
+               [20, 21, 20, 21, 20, 21, 20, 21]]
+    params = [SamplingParams(temperature=0.0, max_tokens=8,
+                             ignore_eos=True)] * 4
+
+    def run(dbs):
+        sc = SpeculativeConfig(method="ngram", num_speculative_tokens=4,
+                               prompt_lookup_max=3, prompt_lookup_min=1,
+                               disable_by_batch_size=dbs)
+        llm = LLM(model=str(ckpt), dtype="float32", block_size=16,
+                  num_kv_blocks=128, max_num_batched_tokens=256,
+                  max_num_seqs=4, max_model_len=128, tokenizer="unused",
+                  speculative_config=sc)
+        outs = llm.generate(prompts, params)
+        drafted = llm.engine.core.stats.spec_drafted
+        return [o.outputs[0].token_ids for o in outs], drafted
+
+    base, drafted_off = run(dbs=1)     # 4 running > 1: never speculates
+    spec, drafted_on = run(dbs=None)   # unlimited: speculates
+    assert spec == base
+    assert drafted_off == 0
+    assert drafted_on > 0
