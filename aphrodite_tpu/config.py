@@ -459,6 +459,9 @@ class TPUConfig:
     """Shape-bucketing and compile policy for the jitted serving step."""
 
     min_token_bucket: int = 32
+    # Shared cross-request encoder-output cache budget (worker/encoder_cache
+    # .py; reference v1/core/encoder_cache_manager.py).
+    encoder_cache_budget_mb: int = 512
     min_req_bucket: int = 8
     # Server startup warms the hot jitted programs by running a synthetic
     # full-budget wave through the real engine loop (EngineCore.precompile)

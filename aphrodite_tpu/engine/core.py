@@ -363,5 +363,9 @@ class EngineCore:
         }
 
     def metrics_text(self) -> str:
+        runner = getattr(self.worker, "runner", None)
+        if runner is not None:
+            self.stats.encoder_cache = getattr(runner, "encoder_cache",
+                                               None)
         return "\n".join(
             self.stats.prometheus_lines(self.scheduler)) + "\n" 

@@ -124,6 +124,9 @@ class StatsAggregator:
                 num_generation_tokens=t.num_generation_tokens)
 
     # -------------------------------------------------------------- renderers
+    # Set by the engine core from the runner's shared EncoderCache.
+    encoder_cache = None
+
     def prometheus_lines(self, scheduler=None) -> list[str]:
         out = []
         if scheduler is not None:
@@ -149,6 +152,19 @@ class StatsAggregator:
             "# TYPE aphrodite_num_preemptions_total counter",
             f"aphrodite_num_preemptions_total {self.num_preemptions}",
         ]
+        if self.encoder_cache is not None and (
+                self.encoder_cache.hits or self.encoder_cache.misses):
+            ec = self.encoder_cache
+            out += [
+                "# TYPE aphrodite_encoder_cache_hits_total counter",
+                f"aphrodite_encoder_cache_hits_total {ec.hits}",
+                "# TYPE aphrodite_encoder_cache_misses_total counter",
+                f"aphrodite_encoder_cache_misses_total {ec.misses}",
+                "# TYPE aphrodite_encoder_cache_evictions_total counter",
+                f"aphrodite_encoder_cache_evictions_total {ec.evictions}",
+                "# TYPE aphrodite_encoder_cache_bytes gauge",
+                f"aphrodite_encoder_cache_bytes {ec.used_bytes}",
+            ]
         out += self.ttft.render("aphrodite_time_to_first_token_seconds")
         out += self.tpot.render("aphrodite_time_per_output_token_seconds")
         out += self.e2e.render("aphrodite_e2e_request_latency_seconds")

@@ -157,6 +157,9 @@ class ModelRunner:
         # Draft-model proposer (spec_decode/draft_model.py), set by the
         # worker. Runs in lockstep with the target step.
         self.draft = None
+        from aphrodite_tpu.worker.encoder_cache import EncoderCache
+        self.encoder_cache = EncoderCache(
+            budget_bytes=tc.encoder_cache_budget_mb * 1024 * 1024)
 
         self._step_fn = jax.jit(
             self._step, donate_argnums=(1,),
@@ -549,26 +552,33 @@ class ModelRunner:
         return st.mrope_table, st.mrope_delta
 
     def _mm_embeds(self, st: RequestState):
-        """Per-request encoder cache: run the vision tower once per request
-        (image-count-bucketed jit), keep the projected embeddings on device
-        (reference: v1 encoder cache, aphrodite/v1/core/encoder_cache_manager.py)."""
-        if st.mm_embeds is None:
-            pv = np.asarray(st.mm.pixel_values)
-            if getattr(self.model, "mm_needs_extra", False):
-                # Variable-token encoders (Qwen2-VL, BART-style text
-                # encoders): the model jits per static signature;
-                # embeddings come back as the flat concat in span order.
-                enc = getattr(self.model, "encode_media", None) \
-                    or self.model.encode_images
-                st.mm_embeds = enc(self.params, jnp.asarray(pv),
-                                   **(st.mm.extra or {}))
-                return st.mm_embeds
-            if getattr(st.mm, "is_embeddings", False):
-                # Soft prompts: the payload already IS the embedding rows.
-                st.mm_embeds = jnp.asarray(
-                    pv, self.params["embed"].dtype).reshape(
-                        -1, self.model.hidden_size)
-                return st.mm_embeds
+        """Encoder outputs: shared budgeted cross-request cache keyed by
+        MMInputs.content_hash() — the same image in two requests encodes
+        once, and preemption does not force a re-encode (reference:
+        aphrodite/v1/core/encoder_cache_manager.py). Falls back to the
+        per-request slot for uncacheable payloads."""
+        if st.mm_embeds is not None:
+            return st.mm_embeds
+        key = st.mm.content_hash() if st.mm is not None else None
+        cached = self.encoder_cache.get(key)
+        if cached is not None:
+            st.mm_embeds = cached
+            return cached
+        pv = np.asarray(st.mm.pixel_values)
+        if getattr(self.model, "mm_needs_extra", False):
+            # Variable-token encoders (Qwen2-VL, BART-style text
+            # encoders): the model jits per static signature;
+            # embeddings come back as the flat concat in span order.
+            enc = getattr(self.model, "encode_media", None) \
+                or self.model.encode_images
+            st.mm_embeds = enc(self.params, jnp.asarray(pv),
+                               **(st.mm.extra or {}))
+        elif getattr(st.mm, "is_embeddings", False):
+            # Soft prompts: the payload already IS the embedding rows.
+            st.mm_embeds = jnp.asarray(
+                pv, self.params["embed"].dtype).reshape(
+                    -1, self.model.hidden_size)
+        else:
             N = pv.shape[0]
             N_pad = next_power_of_2(N)
             if N_pad != N:
@@ -581,6 +591,7 @@ class ModelRunner:
             flat = self._encode_fn(self.params, jnp.asarray(pv))
             per_img = flat.shape[0] // N_pad
             st.mm_embeds = flat[:N * per_img]
+        self.encoder_cache.put(key, st.mm_embeds)
         return st.mm_embeds
 
     def _build_mm_arg(self, so: SchedulerOutput, order, seg_starts, T_pad):
