@@ -137,3 +137,117 @@ def test_follower_host_reaches_identical_state(tmp_path):
         expect = tuple(prompts[i] + list(out.outputs[0].token_ids))
         assert expect in snap_by_tokens, f"request {i} diverged"
     follower.close()
+
+
+# ------------------------------------------------------- failure detection
+def _free_port():
+    import socket
+    s = socket.socket(); s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]; s.close()
+    return port
+
+
+def _follower_proc(bind, health, fail_on_step):
+    """Subprocess body: follow the stream; optionally blow up on a step."""
+    from aphrodite_tpu.parallel.control_plane import StepFollower
+
+    class W:
+        def execute_model(self, so):
+            if fail_on_step is not None and so.get("step") == fail_on_step:
+                raise RuntimeError("injected follower failure")
+            return None
+
+    f = StepFollower(W(), bind, health_addr=health, follower_id="f0",
+                     heartbeat_interval=0.2)
+    try:
+        f.serve_forever()
+    finally:
+        f.close()
+
+
+def _spawn_follower(bind, health, fail_on_step=None):
+    import multiprocessing as mp
+    ctx = mp.get_context("spawn")
+    p = ctx.Process(target=_follower_proc,
+                    args=(bind, health, fail_on_step), daemon=True)
+    p.start()
+    return p
+
+
+def test_follower_death_detected_within_timeout():
+    """SIGKILL a follower: host 0 surfaces FollowerDeadError from
+    broadcast_step within the heartbeat deadline, instead of hanging in
+    the next collective (reference analog: v1/engine/core.py:499
+    ENGINE_CORE_DEAD)."""
+    import time as _t
+
+    from aphrodite_tpu.parallel.control_plane import (FollowerDeadError,
+                                                      HealthMonitor)
+    bind = _addr(_free_port())
+    health = _addr(_free_port())
+    mon = HealthMonitor(health, num_followers=1, timeout_s=1.0)
+    bc = StepBroadcaster([bind], health=mon)
+    proc = _spawn_follower(bind, health)
+    try:
+        mon.wait_for_followers(1, timeout_s=30)
+        bc.broadcast_step({"step": 0})  # healthy: no raise
+        proc.kill()                     # SIGKILL: no bye, no error message
+        proc.join(10)
+        deadline = _t.monotonic() + 10
+        with pytest.raises(FollowerDeadError, match="heartbeat deadline"):
+            while _t.monotonic() < deadline:
+                bc.broadcast_step({"step": 1})
+                _t.sleep(0.1)
+        assert _t.monotonic() < deadline, "detection took too long"
+    finally:
+        proc.kill()
+        mon.close()
+
+
+def test_follower_error_propagates_traceback():
+    """A follower whose worker raises reports the traceback on the health
+    channel; host 0's next broadcast raises with the cause."""
+    from aphrodite_tpu.parallel.control_plane import (FollowerDeadError,
+                                                      HealthMonitor)
+    import time as _t
+    bind = _addr(_free_port())
+    health = _addr(_free_port())
+    mon = HealthMonitor(health, num_followers=1, timeout_s=30.0)
+    bc = StepBroadcaster([bind], health=mon)
+    proc = _spawn_follower(bind, health, fail_on_step=1)
+    try:
+        mon.wait_for_followers(1, timeout_s=30)
+        bc.broadcast_step({"step": 0})
+        bc.broadcast_step({"step": 1})  # follower raises on this one
+        deadline = _t.monotonic() + 10
+        with pytest.raises(FollowerDeadError,
+                           match="injected follower failure"):
+            while _t.monotonic() < deadline:
+                bc.broadcast_step({"step": 2})
+                _t.sleep(0.1)
+    finally:
+        proc.kill()
+        mon.close()
+
+
+def test_clean_shutdown_not_flagged():
+    """A follower that departs after shutdown (bye) must not trip the
+    monitor."""
+    import time as _t
+
+    from aphrodite_tpu.parallel.control_plane import HealthMonitor
+    bind = _addr(_free_port())
+    health = _addr(_free_port())
+    mon = HealthMonitor(health, num_followers=1, timeout_s=1.0)
+    bc = StepBroadcaster([bind], health=mon)
+    proc = _spawn_follower(bind, health)
+    try:
+        mon.wait_for_followers(1, timeout_s=30)
+        bc.broadcast_step({"step": 0})
+        bc.shutdown()
+        proc.join(10)
+        _t.sleep(1.5)  # past the heartbeat deadline
+        mon.check()    # departed cleanly: no raise
+    finally:
+        proc.kill()
+        mon.close()
