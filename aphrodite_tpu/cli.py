@@ -23,6 +23,13 @@ def main(argv=None) -> None:
                             "(ZMQ boundary)")
     run_p.add_argument("--launch-kobold-api", action="store_true",
                        help="also mount the KoboldAI legacy API under /api")
+    run_p.add_argument("--tool-call-parser", default="auto",
+                       choices=["auto", "hermes", "mistral", "jamba",
+                                "internlm2", "llama", "llama3_json",
+                                "pythonic"],
+                       help="constrain tool-call parsing to one model "
+                            "family's wire format (reference "
+                            "--tool-call-parser)")
 
     bench_p = sub.add_parser(
         "bench", help="benchmarks: latency | throughput | serve | perf")
@@ -225,7 +232,8 @@ def serve(args) -> None:
     run_server(config, args.served_model_name or engine_args.model,
                host=args.host, port=args.port,
                multiprocess=getattr(args, "multiprocess_engine", False),
-               kobold_api=getattr(args, "launch_kobold_api", False))
+               kobold_api=getattr(args, "launch_kobold_api", False),
+               tool_parser=getattr(args, "tool_call_parser", "auto"))
 
 
 if __name__ == "__main__":

@@ -61,8 +61,58 @@ def _mk_call(name: str, arguments) -> dict:
     }
 
 
-def parse_tool_calls(text: str) -> tuple[list[dict], str]:
-    """Returns (tool_calls, remaining_content)."""
+def parse_pythonic_tool_calls(text: str) -> tuple[list[dict], str]:
+    """Llama-4 / pythonic tool format: the whole output is a Python list
+    of calls with keyword args, e.g. ``[get_weather(city="SF"), f(x=3)]``
+    (reference endpoints/openai/tool_parsers pythonic parser semantics).
+    Returns ([], text) unless the ENTIRE text parses as such a list."""
+    import ast
+    stripped = text.strip()
+    if not (stripped.startswith("[") and stripped.endswith("]")):
+        return [], text
+    try:
+        tree = ast.parse(stripped, mode="eval")
+    except SyntaxError:
+        return [], text
+    if not isinstance(tree.body, ast.List) or not tree.body.elts:
+        return [], text
+    calls = []
+    for el in tree.body.elts:
+        if not (isinstance(el, ast.Call) and isinstance(el.func, ast.Name)
+                and not el.args):
+            return [], text
+        args = {}
+        for kw in el.keywords:
+            if kw.arg is None:
+                return [], text
+            try:
+                args[kw.arg] = ast.literal_eval(kw.value)
+            except (ValueError, SyntaxError):
+                return [], text
+        calls.append(_mk_call(el.func.id, args))
+    return calls, ""
+
+
+# Named-parser registry (reference --tool-call-parser): each name maps to
+# the subset of stream markers that model family emits; "llama" is the
+# bare-JSON format (no markers), "pythonic" is the ast-parsed list above.
+PARSER_MARKERS = {
+    "hermes": [("<tool_call>", "</tool_call>", False)],
+    "jamba": [("<tool_calls>", "</tool_calls>", True)],
+    "mistral": [("[TOOL_CALLS]", None, True)],
+    "internlm2": [("<|action_start|><|plugin|>", "<|action_end|>", False)],
+    "llama": [],
+    "llama3_json": [],
+    "pythonic": [],
+}
+
+
+def parse_tool_calls(text: str, parser_name: str = "auto"
+                     ) -> tuple[list[dict], str]:
+    """Returns (tool_calls, remaining_content). ``parser_name`` constrains
+    parsing to one model family's wire format ("auto" tries them all)."""
+    if parser_name == "pythonic":
+        return parse_pythonic_tool_calls(text)
     calls: list[dict] = []
 
     # Hermes/Qwen: <tool_call>{"name": ..., "arguments": {...}}</tool_call>
@@ -75,9 +125,12 @@ def parse_tool_calls(text: str) -> tuple[list[dict], str]:
         except json.JSONDecodeError:
             return m.group(0)
 
-    rest = _TOOL_CALL_RE.sub(repl, text)
-    if calls:
-        return calls, rest.strip()
+    if parser_name in ("auto", "hermes"):
+        rest = _TOOL_CALL_RE.sub(repl, text)
+        if calls:
+            return calls, rest.strip()
+    if parser_name == "hermes":
+        return [], text
 
     def _from_list(payload: str) -> bool:
         try:
@@ -94,18 +147,24 @@ def parse_tool_calls(text: str) -> tuple[list[dict], str]:
         return bool(calls)
 
     # Jamba: <tool_calls>[{...}, ...]</tool_calls>
-    m = _JAMBA_RE.search(text)
-    if m and _from_list(m.group(1)):
-        return calls, (text[:m.start()] + text[m.end():]).strip()
+    if parser_name in ("auto", "jamba"):
+        m = _JAMBA_RE.search(text)
+        if m and _from_list(m.group(1)):
+            return calls, (text[:m.start()] + text[m.end():]).strip()
+        if parser_name == "jamba":
+            return [], text
 
     # Mistral: [TOOL_CALLS] [{...}, ...]
-    m = _MISTRAL_RE.search(text)
-    if m and _from_list(m.group(1)):
-        return calls, text[:m.start()].strip()
+    if parser_name in ("auto", "mistral"):
+        m = _MISTRAL_RE.search(text)
+        if m and _from_list(m.group(1)):
+            return calls, text[:m.start()].strip()
+        if parser_name == "mistral":
+            return [], text
 
     # InternLM2: <|action_start|><|plugin|>{json}<|action_end|>
     m = _INTERNLM_RE.search(text)
-    if m:
+    if m and parser_name in ("auto", "internlm2"):
         try:
             obj = json.loads(m.group(1))
             if isinstance(obj, dict) and "name" in obj:
@@ -169,7 +228,17 @@ class StreamingToolParser:
     extract_tool_calls_streaming and siblings, redesigned as one
     format-table-driven incremental scanner)."""
 
-    def __init__(self, parse_think: bool = True) -> None:
+    def __init__(self, parse_think: bool = True,
+                 parser_name: str = "auto") -> None:
+        self.parser_name = parser_name
+        self.markers = (PARSER_MARKERS[parser_name]
+                        if parser_name in PARSER_MARKERS else _MARKERS)
+        self._max_marker = max((len(m[0]) for m in self.markers),
+                               default=0)
+        # pythonic: the whole output may be a Python call list -- buffer
+        # and decide at flush (arguments are not valid JSON until the
+        # expression completes, so nothing can stream earlier)
+        self.pythonic = parser_name == "pythonic"
         self.buf = ""
         self.mode = "scan"       # scan | think | call
         self.parse_think = parse_think
@@ -190,7 +259,7 @@ class StreamingToolParser:
     # ---- helpers ---------------------------------------------------------
     def _find_marker(self, text):
         best = None
-        for op, cl, arr in _MARKERS:
+        for op, cl, arr in self.markers:
             i = text.find(op)
             if i >= 0 and (best is None or i < best[0]):
                 best = (i, op, cl, arr)
@@ -198,7 +267,8 @@ class StreamingToolParser:
         # once the buffer confirms '{"' — a lone '{' first chunk is held
         # back in scan mode instead (see feed), so non-JSON content that
         # merely begins with '{' is never irrevocably consumed as a call.
-        if not self.started:
+        if not self.started and self.parser_name in ("auto", "llama",
+                                                     "llama3_json"):
             ls = text.lstrip()
             if ls.startswith('{"'):
                 i = text.find("{")
@@ -209,15 +279,24 @@ class StreamingToolParser:
     def _marker_prefix_len(self, text):
         """Longest suffix of `text` that is a prefix of any open marker
         (held back so a split marker is not emitted as content)."""
-        for n in range(min(len(text), _MAX_MARKER), 0, -1):
+        for n in range(min(len(text), self._max_marker), 0, -1):
             suf = text[-n:]
-            if any(m[0].startswith(suf) for m in _MARKERS):
+            if any(m[0].startswith(suf) for m in self.markers):
                 return n
         return 0
 
     def feed(self, delta: str):
         self.buf += delta
         content, reasoning, calls = "", "", []
+        if self.pythonic:
+            ls = self.buf.lstrip()
+            if not ls:
+                return content, reasoning, calls
+            if ls.startswith("["):
+                return content, reasoning, calls  # hold until flush
+            c, self.buf = self.buf, ""
+            self.started = True
+            return c, reasoning, calls
         progressed = True
         while progressed:
             progressed = False
@@ -419,6 +498,22 @@ class StreamingToolParser:
 
     def flush(self):
         """End of stream: return any held-back content."""
+        if self.pythonic and self.buf:
+            found, rest = parse_pythonic_tool_calls(self.buf)
+            self.buf = ""
+            if not found:
+                return rest, "", []
+            out = []
+            for c in found:
+                out.append({"index": self.finished_calls,
+                            "id": c["id"], "type": "function",
+                            "function": {"name": c["function"]["name"],
+                                         "arguments": ""}})
+                out.append({"index": self.finished_calls,
+                            "function": {"arguments":
+                                         c["function"]["arguments"]}})
+                self.finished_calls += 1
+            return "", "", out
         if self.mode == "scan_close":
             self.mode = "scan"
             return "", "", []
