@@ -125,6 +125,36 @@ class KVCacheManager:
                                         num_full_blocks=num_full)
         return new_blocks
 
+    # -------------------------------------------------------------------- fork
+    def fork(self, parent_rid: str, child_rid: str, num_computed: int):
+        """Share the parent's fully-written KV blocks with a child request
+        (refcount bump, zero copies — full blocks are immutable once
+        written); a partially-written tail block is cloned onto a fresh
+        page so the two branches' future writes cannot collide. Returns
+        (child_block_ids, tail_copy) where tail_copy is the
+        (src_page, dst_page) pair the runner must copy on device, or
+        None. Returns None when the pool cannot supply the tail page.
+
+        Reference analog: processing/block_manager.py fork + CoW; here
+        read-only sharing needs no CoW machinery because the only mutable
+        page is the tail, cloned eagerly at fork time."""
+        pblocks = self.req_to_blocks[parent_rid]
+        n_full = num_computed // self.block_size
+        shared = pblocks[:n_full]
+        child_blocks = list(shared)
+        tail_copy = None
+        if len(pblocks) > n_full and num_computed % self.block_size:
+            if self.pool.get_num_free_blocks() < 1:
+                return None
+            new = self.pool.get_new_blocks(1)
+            tail_copy = (pblocks[n_full].block_id, new[0].block_id)
+            child_blocks.append(new[0])
+        self.pool.touch(shared)
+        self.req_to_blocks[child_rid] = child_blocks
+        self.req_to_hashes[child_rid] = list(
+            self.req_to_hashes.get(parent_rid, [])[:n_full])
+        return [b.block_id for b in child_blocks], tail_copy
+
     # -------------------------------------------------------------------- free
     def free(self, request: Request) -> None:
         blocks = self.req_to_blocks.pop(request.request_id, [])

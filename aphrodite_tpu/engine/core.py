@@ -333,6 +333,44 @@ class EngineCore:
                             req.all_token_ids)
         return outputs0 + outputs
 
+    def fork_request(self, parent_id: str, child_id: str,
+                     next_token: int):
+        """Engine-native beam fork (reference block_manager fork / CoW
+        semantics, TPU form): the child shares the parent's fully-written
+        KV blocks by refcount, clones a mid-block tail page on device, and
+        diverges only in the last not-yet-fed token. The child enters
+        RUNNING directly — no admission, no re-prefill. Returns the child
+        Request, or None when the pool cannot supply the tail page."""
+        from aphrodite_tpu.core.request import Request, RequestStatus
+        parent = self.scheduler.requests[parent_id]
+        assert not parent.num_async_pending, \
+            "realize in-flight steps before forking"
+        forked = self.scheduler.kv.fork(parent_id, child_id,
+                                        parent.num_computed_tokens)
+        if forked is None:
+            return None
+        block_ids, tail_copy = forked
+        child = Request(
+            request_id=child_id,
+            prompt_token_ids=parent.prompt_token_ids,
+            sampling_params=parent.sampling_params.clone(),
+            eos_token_id=parent.eos_token_id,
+            prompt=parent.prompt,
+            lora_name=parent.lora_name,
+            mm_inputs=parent.mm_inputs,
+            priority=parent.priority)
+        child.append_output_token_ids(
+            parent.output_token_ids[:-1] + [int(next_token)])
+        child.num_computed_tokens = parent.num_computed_tokens
+        child.num_cached_tokens = parent.num_cached_tokens
+        child.status = RequestStatus.RUNNING
+        self.scheduler.requests[child_id] = child
+        self.scheduler.running.append(child)
+        self.worker.runner.fork_request_state(
+            parent_id, child_id, block_ids, int(next_token), tail_copy)
+        self.stats.on_request_arrival(child_id, len(parent.prompt_token_ids))
+        return child
+
     def has_unfinished_requests(self) -> bool:
         return (self.scheduler.has_unfinished_requests()
                 or bool(self._pending) or bool(self._pending_outputs))

@@ -230,62 +230,129 @@ class LLM:
     def beam_search(self, prompts, beam_width: int = 4,
                     max_tokens: int = 16,
                     ignore_eos: bool = False) -> list[dict]:
-        """Beam search (reference: v0 beam search / LLM.beam_search).
-        Runs breadth-first over the engine one token per round; the prefix
-        cache makes re-scoring shared prefixes nearly free. Score = sum of
-        token logprobs (no length normalization). Returns per prompt:
-        {"sequences": [token lists], "scores": [floats]} sorted best-first.
-        """
+        """Engine-native beam search (reference: v0 block_manager fork +
+        LLM.beam_search). Each round every live beam decodes ONE token in
+        a single batched engine step; selected continuations that diverge
+        from a beam's own argmax are FORKED in the scheduler
+        (EngineCore.fork_request): full KV blocks are shared by refcount,
+        only a mid-block tail page is copied on device — no admission and
+        no re-prefill per round (the round-3 re-generate loop is gone).
+        Score = sum of token logprobs (no length normalization). Returns
+        per prompt: {"sequences": [...], "scores": [...]} best-first."""
         if isinstance(prompts, (str, dict)) or (
                 isinstance(prompts, list) and prompts
                 and isinstance(prompts[0], int)):
             prompts = [prompts]
+        core = self.engine.core
+        runner = core.worker.runner
+        if beam_width > self.engine.config.scheduler_config.max_num_seqs:
+            raise ValueError("beam_width exceeds max_num_seqs")
         tok = self.engine.tokenizer
         eos_id = tok.eos_token_id if tok is not None else None
-        results = []
-        for prompt in prompts:
-            if isinstance(prompt, str):
-                base = tok.encode(prompt)
-            elif isinstance(prompt, dict):
-                base = prompt.get("prompt_token_ids") or tok.encode(
-                    prompt["prompt"])
-            else:
-                base = list(prompt)
-            beams = [(list(base), 0.0)]
-            done: list[tuple[list[int], float]] = []
-            for _ in range(max_tokens):
-                if not beams:
+        k = max(2 * beam_width, beam_width + 1)
+
+        # Lockstep: one sampled token per engine step per beam — in-graph
+        # multi-step windows and async realize would run ahead of the
+        # per-round fork points.
+        saved = (runner.use_graph_multi_step, runner.async_mode)
+        runner.use_graph_multi_step = False
+        runner.async_mode = False
+        try:
+            results = []
+            for prompt in prompts:
+                if isinstance(prompt, str):
+                    base = tok.encode(prompt)
+                elif isinstance(prompt, dict):
+                    base = prompt.get("prompt_token_ids") or tok.encode(
+                        prompt["prompt"])
+                else:
+                    base = list(prompt)
+                results.append(self._beam_search_one(
+                    base, beam_width, max_tokens, ignore_eos, eos_id, k))
+            return results
+        finally:
+            runner.use_graph_multi_step, runner.async_mode = saved
+
+    def _beam_search_one(self, base, beam_width, max_tokens, ignore_eos,
+                         eos_id, k):
+        core = self.engine.core
+        params = SamplingParams(temperature=0.0, max_tokens=max_tokens + 1,
+                                logprobs=k, ignore_eos=True,
+                                detokenize=False)
+        rid = f"beam-{next(self._counter)}"
+        root = self.engine.processor.process(
+            rid, {"prompt_token_ids": list(base)}, params)
+        core.add_request(root)
+
+        # live beams: rid -> [chosen tokens so far], score; + the last
+        # step's candidate logprobs per rid
+        beams = {rid: ([], 0.0)}
+        lps: dict[str, dict] = {}
+        argmax: dict[str, int] = {}
+
+        def pump():
+            pending = set(beams)
+            while pending:
+                for eco in core.step():
+                    if eco.req_id in pending and eco.new_token_ids:
+                        if eco.logprobs:
+                            lps[eco.req_id] = eco.logprobs[-1]
+                        argmax[eco.req_id] = eco.new_token_ids[-1]
+                        pending.discard(eco.req_id)
+
+        done: list[tuple[list[int], float]] = []
+        fork_n = 0
+        for _ in range(max_tokens):
+            if not beams:
+                break
+            pump()
+            cand = []  # (new_score, parent_rid, token, lp)
+            for prid, (toks, score) in beams.items():
+                d = lps.get(prid) or {argmax[prid]: 0.0}
+                for t, lp in sorted(d.items(), key=lambda kv: -kv[1])[:k]:
+                    cand.append((score + float(lp), prid, int(t)))
+            cand.sort(key=lambda c: -c[0])
+            selected = []  # (parent_rid, token, new_score)
+            for new_score, prid, t in cand:
+                if (not ignore_eos and eos_id is not None and t == eos_id):
+                    done.append((beams[prid][0] + [t], new_score))
+                    continue
+                selected.append((prid, t, new_score))
+                if len(selected) >= beam_width:
                     break
-                k = 2 * beam_width
-                params = SamplingParams(
-                    temperature=0.0, max_tokens=1, logprobs=k,
-                    ignore_eos=True, detokenize=False)
-                outs = self.generate([b[0] for b in beams], params)
-                cand: list[tuple[list[int], float]] = []
-                for (toks, score), out in zip(beams, outs):
-                    lps = out.outputs[0].logprobs[0]
-                    for t, lp in sorted(lps.items(),
-                                        key=lambda kv: -kv[1].logprob)[:k]:
-                        cand.append((toks + [int(t)],
-                                     score + float(lp.logprob)))
-                cand.sort(key=lambda c: -c[1])
-                beams = []
-                for toks, score in cand:
-                    if (not ignore_eos and eos_id is not None
-                            and toks[-1] == eos_id):
-                        done.append((toks, score))
-                    else:
-                        beams.append((toks, score))
-                    if len(beams) >= beam_width:
-                        break
-            done.extend(beams)
-            done.sort(key=lambda c: -c[1])
-            done = done[:beam_width]
-            results.append({
-                "sequences": [t[len(base):] for t, _ in done],
-                "scores": [s for _, s in done],
-            })
-        return results
+
+            new_beams = {}
+            kept = set()
+            forks = []
+            for prid, t, new_score in selected:
+                toks = beams[prid][0]
+                if prid not in kept and t == argmax.get(prid):
+                    # the parent already appended exactly this token
+                    kept.add(prid)
+                    new_beams[prid] = (toks + [t], new_score)
+                else:
+                    forks.append((prid, t, new_score))
+            for prid, t, new_score in forks:
+                cid = f"{prid}-b{fork_n}"
+                fork_n += 1
+                if core.fork_request(prid, cid, t) is None:
+                    continue  # pool exhausted: drop this continuation
+                new_beams[cid] = (beams[prid][0] + [t], new_score)
+            # a kept parent whose argmax was selected keeps running; all
+            # other parents are aborted AFTER their children forked (the
+            # fork's refcount bump keeps the shared blocks alive)
+            dead = [prid for prid in beams if prid not in kept]
+            if dead:
+                core.abort_requests(dead)
+            beams = new_beams
+
+        if beams:
+            done.extend(beams.values())
+            core.abort_requests(list(beams))
+        done.sort(key=lambda c: -c[1])
+        done = done[:beam_width]
+        return {"sequences": [t for t, _ in done],
+                "scores": [s for _, s in done]}
 
     def embed(self, prompts, pooling: str = "last",
               normalize: bool = True) -> list[list[float]]:

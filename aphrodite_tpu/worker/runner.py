@@ -708,6 +708,35 @@ class ModelRunner:
                 lora_name=nr.lora_name,
                 mm=getattr(nr, "mm_inputs", None))
 
+    # ------------------------------------------------------------------ fork
+    def fork_request_state(self, parent_id: str, child_id: str,
+                           block_ids: list[int], last_token: int,
+                           tail_copy=None) -> None:
+        """Beam fork: clone the parent's runner state with the diverging
+        last (not-yet-fed) token and the child's block table; device-copy
+        the partially-written tail KV page when the fork happened
+        mid-block."""
+        p = self.requests[parent_id]
+        self.requests[child_id] = RequestState(
+            req_id=child_id,
+            token_ids=p.token_ids[:-1] + [int(last_token)],
+            prompt_len=p.prompt_len,
+            num_computed=p.num_computed,
+            block_ids=list(block_ids),
+            sampling_params=p.sampling_params,
+            lora_name=p.lora_name,
+            mm=p.mm, mm_embeds=p.mm_embeds)
+        if tail_copy is not None:
+            src, dst = tail_copy
+            if not hasattr(self, "_copy_page_fn"):
+                def _copy(kv, src, dst):
+                    return jax.tree.map(
+                        lambda c: c.at[:, dst].set(c[:, src]), kv)
+                self._copy_page_fn = jax.jit(_copy, donate_argnums=(0,))
+            self.kv_cache = self._copy_page_fn(
+                self.kv_cache, jnp.asarray(src, jnp.int32),
+                jnp.asarray(dst, jnp.int32))
+
     # ------------------------------------------------------------- execution
     def execute_model(self, so: SchedulerOutput) -> ModelRunnerOutput:
         self.update_states(so)
