@@ -14,16 +14,70 @@ Roles (KVTransferConfig.kv_role):
   pushed into an in-process lookup buffer served over a ZMQ REP socket.
 - "kv_consumer": at admission, a ZMQ REQ lookup keyed by the page-aligned
   prompt-token hash chain fetches pages (drop-on-read) and seeds them.
+
+Trust model: the wire format is sha256 keys and a JSON header + raw
+tensor bytes — NO pickle crosses the network (a pickling peer would be
+arbitrary-code-execution), payloads are length-capped
+(max_payload_bytes), and the service only exists when kv_role is
+explicitly configured. The endpoint still carries model activations
+unauthenticated and unencrypted: deploy it on a trusted network segment
+(the reference's NCCL/Mooncake pipes assume the same).
 """
 from __future__ import annotations
 
-import pickle
+import hashlib
+import json
+import struct
 import threading
 from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
+
+_MAGIC = b"KVX1"
+# transport views: 1- and 2-byte logical dtypes ride as uint8/uint16
+_DTYPE_VIEWS = {"bfloat16": np.uint16, "float16": np.uint16,
+                "float8_e4m3fn": np.uint8, "float8_e5m2": np.uint8,
+                "float32": np.uint32}
+
+
+def _logical_dtype(name: str):
+    import ml_dtypes
+    if name in ("float16", "float32"):
+        return np.dtype(name)
+    return np.dtype(getattr(ml_dtypes, name))
+
+
+def encode_payload(kv: np.ndarray, n_tokens: int) -> bytes:
+    name = kv.dtype.name
+    view = _DTYPE_VIEWS.get(name)
+    if view is None:
+        raise ValueError(f"unsupported KV dtype {name}")
+    raw = np.ascontiguousarray(kv).view(view)
+    header = json.dumps({"n_tokens": int(n_tokens), "dtype": name,
+                         "shape": list(kv.shape)}).encode()
+    return _MAGIC + struct.pack("<I", len(header)) + header + raw.tobytes()
+
+
+def decode_payload(buf: bytes, max_bytes: int) -> Optional[dict]:
+    if len(buf) > max_bytes or len(buf) < 8 or buf[:4] != _MAGIC:
+        return None
+    hlen = struct.unpack("<I", buf[4:8])[0]
+    if hlen > 65536 or len(buf) < 8 + hlen:
+        return None
+    try:
+        header = json.loads(buf[8:8 + hlen])
+        name = str(header["dtype"])
+        shape = tuple(int(x) for x in header["shape"])
+        view = _DTYPE_VIEWS[name]
+        n_el = int(np.prod(shape))
+        raw = np.frombuffer(buf, dtype=view, offset=8 + hlen,
+                            count=n_el).reshape(shape)
+    except (KeyError, ValueError, TypeError):
+        return None
+    return {"kv": raw.view(_logical_dtype(name)),
+            "n_tokens": int(header["n_tokens"])}
 
 from aphrodite_tpu.utils import logger
 
@@ -38,13 +92,16 @@ class KVTransferConfig:
     buffer_size_bytes: int = 2 << 30
     # Drop entries when read (one-shot handoff, the SimpleBuffer default).
     drop_on_read: bool = True
+    # Reject network payloads beyond this (DoS / corruption guard).
+    max_payload_bytes: int = 1 << 30
 
 
 def _key(token_ids: list[int], block_size: int) -> Optional[bytes]:
     n_full = len(token_ids) // block_size
     if n_full == 0:
         return None
-    return pickle.dumps(tuple(token_ids[:n_full * block_size]))
+    arr = np.asarray(token_ids[:n_full * block_size], np.int64)
+    return hashlib.sha256(arr.tobytes()).digest()
 
 
 class ProducerBuffer:
@@ -70,9 +127,9 @@ class ProducerBuffer:
         key = _key(token_ids, block_size)
         if key is None:
             return
-        payload = pickle.dumps(
-            {"kv": kv_pages, "n_tokens":
-             len(token_ids) // block_size * block_size}, protocol=4)
+        payload = encode_payload(
+            np.asarray(kv_pages),
+            len(token_ids) // block_size * block_size)
         with self._lock:
             self._store.pop(key, None)
             self._store[key] = payload
@@ -89,6 +146,9 @@ class ProducerBuffer:
                 if not self._sock.poll(200):
                     continue
                 key = self._sock.recv()
+                if len(key) != 32:  # sha256 keys only
+                    self._sock.send(b"")
+                    continue
                 with self._lock:
                     if self.cfg.drop_on_read:
                         payload = self._store.pop(key, None)
@@ -114,6 +174,7 @@ class ConsumerClient:
 
     def __init__(self, cfg: KVTransferConfig) -> None:
         import zmq
+        self.cfg = cfg
         self._ctx = zmq.Context.instance()
         self._sock = self._ctx.socket(zmq.REQ)
         self._sock.setsockopt(zmq.RCVTIMEO, 2000)
@@ -136,7 +197,7 @@ class ConsumerClient:
             return None
         if not payload:
             return None
-        return pickle.loads(payload)
+        return decode_payload(payload, self.cfg.max_payload_bytes)
 
     def close(self) -> None:
         self._sock.close(0)

@@ -268,7 +268,22 @@ class EngineCore:
                 sched_out.grammar_bitmask = np.stack(masks)
         if self.broadcaster is not None:
             self.broadcaster.broadcast_step(sched_out)
-        runner_out = self.worker.execute_model(sched_out)
+        from aphrodite_tpu.utils import PerRequestError
+        try:
+            runner_out = self.worker.execute_model(sched_out)
+        except PerRequestError as e:
+            # Isolate: abort only the offending request; everything else
+            # in the batch reschedules next step (their computed counts
+            # were not advanced). Reference:
+            # engine/aphrodite_engine.py:1430-1442.
+            from aphrodite_tpu.core.request import RequestStatus
+            logger.warning("aborting request %s: %s", e.req_id, e)
+            self.scheduler.finish_requests(
+                [e.req_id], RequestStatus.FINISHED_ABORTED)
+            outputs0.append(EngineCoreOutput(
+                req_id=e.req_id, new_token_ids=[], finished=True,
+                finish_reason="error", stop_reason=str(e)))
+            return outputs0
         from aphrodite_tpu.core.sched_output import PendingStep
         if isinstance(runner_out, PendingStep):
             self.scheduler.note_async(sched_out,

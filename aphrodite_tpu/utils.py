@@ -132,3 +132,16 @@ def jax_dtype(name):
         return _STR_DTYPE_TO_JAX[name]
     except KeyError:
         raise ValueError(f"unknown dtype {name!r}") from None
+
+
+class PerRequestError(Exception):
+    """An error attributable to ONE request discovered inside the engine
+    (after admission validation) — e.g. a multimodal payload that fails in
+    the encoder. The engine core catches this, aborts just that request,
+    and keeps serving the batch (reference:
+    aphrodite/engine/aphrodite_engine.py:1430 per-request input-error
+    isolation)."""
+
+    def __init__(self, req_id: str, msg: str) -> None:
+        super().__init__(msg)
+        self.req_id = req_id

@@ -564,6 +564,18 @@ class ModelRunner:
         if cached is not None:
             st.mm_embeds = cached
             return cached
+        try:
+            return self._mm_embeds_compute(st, key)
+        except Exception as e:
+            from aphrodite_tpu.utils import PerRequestError
+            if isinstance(e, PerRequestError):
+                raise
+            raise PerRequestError(
+                st.req_id,
+                f"multimodal encoder failed for request {st.req_id}: "
+                f"{type(e).__name__}: {e}") from e
+
+    def _mm_embeds_compute(self, st: RequestState, key):
         pv = np.asarray(st.mm.pixel_values)
         if getattr(self.model, "mm_needs_extra", False):
             # Variable-token encoders (Qwen2-VL, BART-style text

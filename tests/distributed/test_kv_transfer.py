@@ -54,3 +54,35 @@ def test_consumer_miss_is_harmless(ckpt):
     params = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
     out = consumer.generate([[1, 2, 3, 4, 5]], params)[0]
     assert len(out.outputs[0].token_ids) == 4
+
+
+def test_wire_format_is_pickle_free_and_capped():
+    """Security: the wire carries sha256 keys + JSON-header payloads (no
+    pickle = no code execution from a hostile peer); oversized or
+    malformed payloads are rejected, bf16 and fp8 round-trip."""
+    import numpy as np
+    import ml_dtypes
+    from aphrodite_tpu.distributed.kv_transfer import (decode_payload,
+                                                       encode_payload,
+                                                       _key)
+    key = _key(list(range(32)), 16)
+    assert isinstance(key, bytes) and len(key) == 32  # sha256, not pickle
+
+    for dt in (ml_dtypes.bfloat16, ml_dtypes.float8_e4m3fn, np.float32):
+        kv = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4) \
+            .astype(dt)
+        buf = encode_payload(kv, 12)
+        assert not buf.startswith(b"\x80")  # not a pickle stream
+        out = decode_payload(buf, max_bytes=1 << 20)
+        assert out["n_tokens"] == 12
+        np.testing.assert_array_equal(
+            out["kv"].astype(np.float32), kv.astype(np.float32))
+
+    # size cap + malformed rejection
+    kv = np.zeros((4, 4), ml_dtypes.bfloat16)
+    buf = encode_payload(kv, 4)
+    assert decode_payload(buf, max_bytes=10) is None
+    assert decode_payload(b"JUNK" + buf[4:], max_bytes=1 << 20) is None
+    import pickle
+    evil = pickle.dumps({"kv": "boom"})
+    assert decode_payload(evil, max_bytes=1 << 20) is None

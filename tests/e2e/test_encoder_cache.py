@@ -97,3 +97,42 @@ def test_preempted_request_does_not_reencode(ckpt):
     llm.generate([req], SamplingParams(temperature=0.0, max_tokens=2,
                                        ignore_eos=True))
     assert ec.misses == 1 and ec.hits >= 1  # served from the shared cache
+
+
+def test_mid_batch_input_error_aborts_one_request(ckpt):
+    """A payload that passes admission but fails in the encoder aborts
+    only that request; the rest of the batch keeps serving (reference
+    aphrodite_engine.py:1430 per-request input-error isolation)."""
+    llm = _llm(ckpt)
+    runner = llm.engine.core.worker.runner
+    rng = np.random.RandomState(5)
+    img = rng.randn(1, 3, 16, 16).astype(np.float32)
+    base = [1, 7, IMG, 9, 20, 3]
+    prompts = [
+        {"prompt_token_ids": base, "multi_modal_data": {"image": img}},
+        [5, 6, 7, 8],                                     # healthy text
+    ]
+    # Admission validation already rejects malformed shapes (multimodal.py
+    # _to_pixels); inject an encoder failure that only manifests inside
+    # the engine step — the class of error the isolation must contain.
+    real = runner._mm_embeds_compute
+
+    def boom(st, key):
+        if st.mm is not None:
+            raise RuntimeError("encoder OOM (injected)")
+        return real(st, key)
+
+    runner._mm_embeds_compute = boom
+    outs = llm.generate(prompts, SamplingParams(temperature=0.0,
+                                                max_tokens=4,
+                                                ignore_eos=True))
+    by_finish = {o.outputs[0].finish_reason: o for o in outs}
+    assert "error" in by_finish, [o.outputs[0].finish_reason for o in outs]
+    assert by_finish["error"].outputs[0].token_ids == []
+    ok = by_finish.get("length")
+    assert ok is not None and len(ok.outputs[0].token_ids) == 4
+    # engine survives: a follow-up request works
+    out2 = llm.generate([[9, 8, 7]], SamplingParams(temperature=0.0,
+                                                    max_tokens=2,
+                                                    ignore_eos=True))[0]
+    assert len(out2.outputs[0].token_ids) == 2
