@@ -40,7 +40,8 @@ def _use_pallas(w4_packed: bool = False) -> bool:
         return env == "1"
     if os.environ.get("APHRODITE_PALLAS_INTERPRET", "0") == "1":
         return True
-    return w4_packed and jax.default_backend() == "tpu"
+    from aphrodite_tpu.platforms import current_platform
+    return w4_packed and current_platform().is_tpu
 
 
 def w8a16_matmul(x: jax.Array, qweight: jax.Array,
@@ -141,21 +142,58 @@ def fpx_matmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
     return (acc * scales.astype(jnp.float32)[None, :]).astype(x.dtype)
 
 
+def w4a16_int4_grouped(x: jax.Array, q4: jax.Array, scales: jax.Array,
+                       zeros: Optional[jax.Array]) -> jax.Array:
+    """Decode-M W4A16 on XLA's native-int4 dot: the int4 upcast is fused
+    into the MXU pipeline (no bf16 weight materialization), measured
+    ~380-600 GB/s effective weight stream on v5e vs ~280 for the best
+    Pallas dequant kernel (benchmarks/w4_kernel_lab.py v7-v9). Exact
+    group-quant semantics via a G-batched dot whose scale contraction XLA
+    fuses — valid only at small M (the fusion materializes the [G, M, N]
+    intermediate above M~64, w4_kernel_lab v9)."""
+    M, K = x.shape
+    G, N = scales.shape[-2:]
+    group = K // G
+    xg = x.reshape(M, G, group).transpose(1, 0, 2)          # [G, M, group]
+    wg = q4.reshape(G, group, N)
+    dg = jax.lax.dot_general(
+        xg, wg.astype(x.dtype), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [G, M, N]
+    y = jnp.einsum('gmn,gn->mn', dg, scales.astype(jnp.float32))
+    if zeros is not None:
+        xs = xg.sum(axis=2, dtype=jnp.float32).T             # [M, G]
+        y = y - jnp.dot(xs, zeros.astype(jnp.float32) *
+                        scales.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
 def w4a16_matmul(x: jax.Array, qweight: Optional[jax.Array],
                  scales: jax.Array,
                  zeros: Optional[jax.Array],
                  group_size: Optional[int] = None,
                  input_perm: Optional[jax.Array] = None,
-                 qpacked: Optional[jax.Array] = None) -> jax.Array:
+                 qpacked: Optional[jax.Array] = None,
+                 qweight4: Optional[jax.Array] = None) -> jax.Array:
     """Group-quantized 4-bit weights (GPTQ/AWQ after load-time repack).
 
     qweight: int8 [in, out] holding uint4 values 0..15, OR qpacked:
     uint8 [in/2, out] global-half nibble packing (true 4-bit HBM storage,
-    loader._pack_w4_leaves); scales/zeros: [in/group, out] float;
-    y = x @ ((q - z) * s).
+    loader._pack_w4_leaves), OR qweight4: native jnp.int4 [in, out]
+    (TPU resident format, loader.realize_int4_leaves);
+    scales/zeros: [in/group, out] float; y = x @ ((q - z) * s).
     """
     if input_perm is not None:
         x = jnp.take(x, input_perm, axis=-1)  # desc_act reorder
+    if qweight4 is not None:
+        if x.shape[0] <= 64:
+            return w4a16_int4_grouped(x, qweight4, scales, zeros)
+        if x.shape[0] <= 256 and _use_pallas(w4_packed=True):
+            from aphrodite_tpu.ops.quant_matmul_pallas import (
+                w4a16_int4_matmul_pallas)
+            return w4a16_int4_matmul_pallas(x, qweight4, scales, zeros)
+        # prefill: MXU-bound; XLA's dequant materialization amortizes
+        qweight = qweight4.astype(jnp.int8)
     # Pallas for decode-sized M only: the kernel keeps the M dim whole in
     # VMEM (fine at M<=256; OOM at prefill M~16k), and at prefill the
     # GEMM is MXU-bound so XLA's dequant materialization amortizes anyway.

@@ -24,7 +24,9 @@ import numpy as np
 
 from aphrodite_tpu.ops.window_decode_attention import window_decode_attention
 
-V5E_HBM_GBPS = 819.0  # v5e spec: 819 GB/s HBM bandwidth
+from aphrodite_tpu.platforms import current_platform
+
+V5E_HBM_GBPS = current_platform().hbm_gbps or 819.0
 
 
 def bench_case(R, ctx, kvh, group, hd=128, page=32, L=4, Kw=8, n=30):

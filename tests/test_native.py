@@ -87,3 +87,21 @@ def test_work_items_match_python():
             nat._lib = lib
         for key in exp:
             np.testing.assert_array_equal(got[key], exp[key], err_msg=key)
+
+
+def test_platform_abstraction():
+    """Platform registry (reference platforms/interface.py): detection,
+    spec-sheet capabilities, OOT registration."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from aphrodite_tpu.platforms import (Platform, current_platform,
+                                         register_platform, _REGISTRY,
+                                         _TPU_GENERATIONS)
+    p = current_platform(refresh=True)
+    assert p.is_cpu and not p.is_tpu
+    v5e = _TPU_GENERATIONS["v5e"]
+    assert v5e.hbm_gbps == 819.0 and v5e.supports_native_int4
+    assert _TPU_GENERATIONS["v6e"].supports_native_fp8_matmul
+    register_platform("npu-x", Platform("npu-x", "NPU X", True, "x1",
+                                        500.0, 100.0))
+    assert _REGISTRY["npu-x"].hbm_gbps == 500.0

@@ -2,10 +2,10 @@
 reference's tests/v1/tpu/test_perf.py:54-71 (which pins 1.4 s ± 0.3 on
 v5e / 1.7 s ± 0.2 on v6e for this exact workload).
 
-Round-3 measured baseline on the tunneled v5e: **1.32 s** (see
-PROFILE.md) — faster than the reference's own v5e threshold. The assert
-allows generous headroom for chip/tunnel variance while still catching
-order-of-magnitude regressions.
+Round-4 measured baseline on the tunneled v5e: **1.32 s** (see
+PROFILE.md) — faster than the reference's own v5e threshold. Thresholds
+sit ~10%% above the measured value (VERDICT r3 weak #2: keep the gate
+tight and ratchet it whenever the bench improves).
 
 Run: PYTHONPATH=. python -m pytest tests/tpu/test_perf.py (needs a real
 TPU; skipped on CPU).
@@ -18,7 +18,7 @@ import pytest
 import jax
 
 # Our committed regression thresholds per device generation.
-EXPECTED_AVG_TIME_S = {"v5": 1.55, "v6": 1.35}
+EXPECTED_AVG_TIME_S = {"v5": 1.45, "v6": 1.30}
 NUM_RUNS = 3
 WARMUP = 1
 
@@ -38,4 +38,21 @@ def test_reference_ci_workload_regression():
     assert res["value"] <= EXPECTED_AVG_TIME_S[gen], (
         f"bench regressed: {res['value']} s > "
         f"{EXPECTED_AVG_TIME_S[gen]} s threshold on {kind} "
-        f"(round-3 measured 1.32 s; reference v5e CI pins 1.4 s)")
+        f"(round-4 measured 1.32 s; reference v5e CI pins 1.4 s)")
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="perf thresholds are TPU-only")
+def test_8b_w4a16_decode_regression():
+    """BASELINE config-2 geometry gate: Llama-3.1-8B-class W4A16 decode
+    through the int4 resident format (round-4 measured 1.495 s/run,
+    1,370 decode tok/s full-run; threshold ~15% above)."""
+    out = subprocess.run(
+        [sys.executable, "benchmarks/baseline_configs.py", "2"],
+        capture_output=True, text=True, timeout=3600, check=True)
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["seconds_per_run"] <= 1.75, (
+        f"8B W4A16 regressed: {res['seconds_per_run']} s/run > 1.75 "
+        "(round-4 measured 1.495)")
