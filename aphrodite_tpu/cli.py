@@ -61,6 +61,23 @@ def main(argv=None) -> None:
     fol_p.add_argument("--bind", default=None,
                        help="ZMQ PULL bind address for host 0's stream")
 
+    launch_p = sub.add_parser(
+        "launch",
+        help="multi-host placement: compute per-host env + argv from a "
+             "hostfile and start host 0 + followers over ssh "
+             "(parallel/launcher.py build_launch_plan; the Ray-placement "
+             "replacement)")
+    launch_p.add_argument("model")
+    launch_p.add_argument("--hostfile", required=True,
+                          help="file with one host per line; first line "
+                               "= host 0 (frontend)")
+    launch_p.add_argument("--ssh-cmd", default="ssh")
+    launch_p.add_argument("--dry-run", action="store_true",
+                          help="print the per-host commands instead of "
+                               "spawning")
+    launch_p.add_argument("engine_args", nargs=argparse.REMAINDER,
+                          help="arguments forwarded to run/follower")
+
     sub.add_parser("collect-env",
                    help="print environment info for bug reports "
                         "(reference: endpoints/cli/collect_env.py)")
@@ -88,6 +105,20 @@ def main(argv=None) -> None:
         from aphrodite_tpu.parallel.control_plane import run_follower
         cfg = _EA.from_cli_args(args).create_engine_config()
         run_follower(cfg, bind_addr=args.bind)
+    elif args.cmd == "launch":
+        from aphrodite_tpu.parallel.launcher import launch
+        with open(args.hostfile) as f:
+            hosts = [ln.strip() for ln in f if ln.strip()
+                     and not ln.startswith("#")]
+        extra = [a for a in args.engine_args if a != "--"]
+        out = launch(hosts, args.model, extra, ssh_cmd=args.ssh_cmd,
+                     dry_run=args.dry_run)
+        if args.dry_run:
+            for cmd in out:
+                print(cmd)
+        else:
+            for proc in out:
+                proc.wait()
     elif args.cmd == "run-batch":
         from aphrodite_tpu.engine.args import EngineArgs as _EA
         from aphrodite_tpu.entrypoints.run_batch import run_batch

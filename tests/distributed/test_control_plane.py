@@ -251,3 +251,40 @@ def test_clean_shutdown_not_flagged():
     finally:
         proc.kill()
         mon.close()
+
+
+def test_launch_plan_placement(tmp_path):
+    """Placement automation: per-host env/argv wiring is consistent
+    (peers <-> binds, health monitor <-> heartbeat connect, ranks)."""
+    from aphrodite_tpu.parallel.launcher import build_launch_plan, launch
+    hosts = ["10.0.0.1", "10.0.0.2", "10.0.0.3"]
+    plan = build_launch_plan(hosts, "/models/m", ["-tp", "4"])
+    assert [e["rank"] for e in plan] == [0, 1, 2]
+    h0 = plan[0]["env"]
+    assert h0["APHRODITE_CP_PEERS"] == \
+        "tcp://10.0.0.2:21700,tcp://10.0.0.3:21700"
+    assert h0["APHRODITE_CP_HEALTH"].endswith(":21701")
+    for e in plan[1:]:
+        assert e["env"]["APHRODITE_CP_BIND"] == "tcp://0.0.0.0:21700"
+        assert e["env"]["APHRODITE_CP_HEALTH"] == "tcp://10.0.0.1:21701"
+        assert e["argv"][3] == "follower"
+        assert e["env"]["APHRODITE_NUM_PROCESSES"] == "3"
+    assert plan[0]["argv"][3] == "run"
+    # single host: no control plane env at all
+    solo = build_launch_plan(["localhost"], "/m")
+    assert "APHRODITE_CP_PEERS" not in solo[0]["env"]
+    # ssh command rendering
+    cmds = launch(hosts, "/m", dry_run=True)
+    assert all(c.startswith("ssh ") for c in cmds[1:])
+    assert "follower" in cmds[1]
+    # CLI dry run end-to-end
+    import subprocess, sys
+    hf = tmp_path / "hosts"
+    hf.write_text("\n".join(hosts) + "\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "aphrodite_tpu.cli", "launch",
+         "--hostfile", str(hf), "--dry-run", "/m", "--", "-tp", "4"],
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-500:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 3 and "APHRODITE_CP_PEERS" in lines[0]
