@@ -68,8 +68,11 @@ def test_usage_reporting(ckpt, tmp_path, monkeypatch):
     monkeypatch.setattr(U, "_DIR", str(stats_dir))
     U.report_usage("LlamaForCausalLM", "TEST", {"tp": 1})
     import time
-    for _ in range(100):
-        if (stats_dir / "usage_stats.json").exists():
+    # the reporter thread creates then writes the file: wait for CONTENT,
+    # not existence (empty-file window shows under load)
+    for _ in range(200):
+        f = stats_dir / "usage_stats.json"
+        if f.exists() and f.read_text().strip():
             break
         time.sleep(0.05)
     rec = json.loads((stats_dir / "usage_stats.json").read_text()
