@@ -58,6 +58,10 @@ class ModelConfig:
     tokenizer: Optional[str] = None
     # "auto" | "hf" | "mistral" (tekken.json; tokenizer_utils.get_tokenizer)
     tokenizer_mode: str = "auto"
+    # Quantize the lm_head too (reference QuantizationConfig
+    # lm_head_quantized): per-channel int8 here — near-lossless and the
+    # [H, V] matmul streams half the bytes at decode.
+    quantize_lm_head: bool = False
     trust_remote_code: bool = False
     dtype: str = "bfloat16"
     seed: int = 0

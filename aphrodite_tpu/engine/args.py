@@ -18,6 +18,7 @@ class EngineArgs:
     seed: int = 0
     max_model_len: Optional[int] = None
     quantization: Optional[str] = None
+    quantize_lm_head: bool = False
     tokenizer_mode: str = "auto"
     trust_remote_code: bool = False
     block_size: int = 32
@@ -56,6 +57,10 @@ class EngineArgs:
         parser.add_argument("model", nargs="?", help="model name or path")
         parser.add_argument("--model", dest="model_opt", default=None)
         parser.add_argument("--tokenizer", default=None)
+        parser.add_argument("--quantize-lm-head", action="store_true",
+                            dest="quantize_lm_head",
+                            help="quantize the lm_head too (per-channel "
+                                 "int8; reference lm_head_quantized)")
         parser.add_argument("--tokenizer-mode", default="auto",
                             choices=["auto", "hf", "slow", "mistral"],
                             help="mistral = Mistral-format tekken.json "
@@ -148,6 +153,7 @@ class EngineArgs:
             model=model, tokenizer=args.tokenizer, dtype=dtype,
             seed=args.seed, max_model_len=args.max_model_len,
             quantization=args.quantization,
+            quantize_lm_head=args.quantize_lm_head,
             trust_remote_code=args.trust_remote_code,
             block_size=args.block_size, num_kv_blocks=args.num_kv_blocks,
             hbm_utilization=args.hbm_utilization,

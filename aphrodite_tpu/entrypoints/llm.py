@@ -24,6 +24,7 @@ def build_engine_config(
     seed: int = 0,
     max_model_len: Optional[int] = None,
     quantization: Optional[str] = None,
+    quantize_lm_head: bool = False,
     trust_remote_code: bool = False,
     hf_config: Any = None,
     architecture: Optional[str] = None,
@@ -62,6 +63,7 @@ def build_engine_config(
                      tokenizer_mode=tokenizer_mode, dtype=dtype,
                      seed=seed, max_model_len=max_model_len,
                      quantization=quantization,
+                     quantize_lm_head=quantize_lm_head,
                      trust_remote_code=trust_remote_code,
                      hf_config=hf_config, enforce_eager=enforce_eager,
                      architecture=architecture)

@@ -196,6 +196,7 @@ class LlamaForCausalLM:
                 d = {"qweight": wspec}
                 if self.quant_fmt == "w4a16":
                     d["qweight_packed"] = wspec
+                    d["qweight4"] = wspec
                     d["scales"] = P(None, None, out_axis)
                     d["zeros"] = P(None, None, out_axis)
                 elif self.quant_fmt.startswith("fp8"):
@@ -630,8 +631,16 @@ class LlamaForCausalLM:
             up = lin(h, "w_up")
         return lin(self.act(gate, up), "w_down")
 
+    # set by quantization.loader when lm_head_quantized
+    lm_head_quant_fmt = None
+
     def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:
         head = params["embed"].T if self.tie_embeddings else params["lm_head"]
+        if isinstance(head, dict):
+            from aphrodite_tpu.layers.linear import apply_linear
+            return apply_linear(hidden, head,
+                                fmt=self.lm_head_quant_fmt or "w8a16"
+                                ).astype(jnp.float32)
         return jnp.dot(hidden, head, preferred_element_type=jnp.float32)
 
 

@@ -321,6 +321,9 @@ def get_quantization_config(model_config) -> Optional[QuantizationConfig]:
             hf_q = hf_q.to_dict() if hasattr(hf_q, "to_dict") else dict(
                 hf_q.__dict__)
         qcfg = QuantizationConfig.from_hf_config(hf_q)
+        if hf_q.get("lm_head") or getattr(model_config,
+                                          "quantize_lm_head", False):
+            qcfg.lm_head_quantized = True
         if qcfg.preprocess and model_config.quantization and \
                 model_config.quantization not in (
                     qcfg.method, "bitsandbytes", "modelopt", "nvfp4",
@@ -331,7 +334,10 @@ def get_quantization_config(model_config) -> Optional[QuantizationConfig]:
                 model_config.quantization).method
         return qcfg
     if model_config.quantization:
-        return QuantizationConfig.from_name(model_config.quantization)
+        qcfg = QuantizationConfig.from_name(model_config.quantization)
+        if getattr(model_config, "quantize_lm_head", False):
+            qcfg.lm_head_quantized = True
+        return qcfg
     return None
 
 

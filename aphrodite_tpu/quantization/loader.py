@@ -111,6 +111,21 @@ def quantize_stacked_params(params: dict, qcfg: QuantizationConfig,
             else:
                 raise ValueError(qcfg.method)
             done.append(key)
+    if qcfg.lm_head_quantized and isinstance(params.get("lm_head"),
+                                             (np.ndarray, jnp.ndarray)):
+        # Per-channel int8 regardless of the layer method: the lm_head is
+        # quality-sensitive and per-channel W8A16 is near-lossless while
+        # halving the decode-dominant [H, V] stream (reference gptq
+        # quantizes lm_head at the layer bit-width; we are deliberately
+        # conservative).
+        with jax.default_device(cpu):
+            w = jnp.asarray(params["lm_head"])[None]       # [1, H, V]
+            q, scale = q_int8(w)
+        params["lm_head"] = {"qweight": np.asarray(q[0]),
+                             "scales": np.asarray(scale[0])}
+        if model is not None:
+            model.lm_head_quant_fmt = "w8a16"
+        done.append("lm_head")
     logger.info("quantized %s on the fly (%s) in %.1fs", done,
                 qcfg.method, time.time() - t0)
     return params

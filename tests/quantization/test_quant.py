@@ -328,3 +328,39 @@ def test_engine_runs_fpx(tiny_fp_ckpt, method):
                        SamplingParams(temperature=0.0, max_tokens=5,
                                       ignore_eos=True))[0]
     assert len(out.outputs[0].token_ids) == 5
+
+
+def test_lm_head_quantized(tmp_path):
+    """--quantize-lm-head: the lm_head leaf becomes a per-channel int8
+    dict and engine tokens match an HF oracle whose lm_head carries the
+    same int8 round-trip (reference QuantizationConfig.lm_head_quantized)."""
+    import torch
+    from aphrodite_tpu.entrypoints.llm import LLM
+    from aphrodite_tpu.sampling_params import SamplingParams
+
+    hf_config = tiny_llama_hf_config(hidden=64, intermediate=128)
+    hf = save_tiny_hf_checkpoint(tmp_path, hf_config)
+    # Oracle: replace lm_head with its per-channel int8 round-trip.
+    with torch.no_grad():
+        w = hf.lm_head.weight.data.numpy().T.astype(np.float32)  # [H, V]
+        scale = np.maximum(np.abs(w).max(axis=0) / 127.0, 1e-8)
+        q = np.clip(np.round(w / scale[None, :]), -128, 127)
+        hf.lm_head.weight.data = torch.tensor((q * scale[None, :]).T
+                                              .astype(np.float32))
+        prompt = [3, 9, 27, 81]
+        exp = hf.generate(torch.tensor([prompt]), max_new_tokens=6,
+                          do_sample=False,
+                          eos_token_id=None)[0][len(prompt):].tolist()
+
+    llm = LLM(model=str(tmp_path), dtype="float32", block_size=16,
+              num_kv_blocks=128, max_num_batched_tokens=64, max_num_seqs=4,
+              max_model_len=128, tokenizer="unused",
+              quantization="w8a16", quantize_lm_head=True)
+    head = llm.engine.core.worker.runner.params["lm_head"]
+    assert isinstance(head, dict) and head["qweight"].dtype == jnp.int8
+    got = llm.generate([prompt],
+                       SamplingParams(temperature=0.0, max_tokens=6,
+                                      ignore_eos=True))[0]
+    # layer weights are ALSO w8a16 here (near-lossless), so tokens track
+    # the lm-head-rounded oracle
+    assert got.outputs[0].token_ids == exp
