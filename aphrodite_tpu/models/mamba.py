@@ -9,7 +9,9 @@ slot-indexed buffers — ``conv`` [L, slots, d_conv-1, d_inner] and ``ssm``
 [L, slots, d_inner, d_state] — donated through the jitted step exactly like
 the paged KV cache (the runner assigns a slot per running request;
 md.state_slots routes it). The selective scan runs as one
-``jax.lax.associative_scan`` over the *flat ragged token layout*, with
+a chunked Pallas selective-scan kernel (ops/selective_scan.py; XLA
+``associative_scan`` below the size cutoff) over the *flat ragged token
+layout*, with
 request isolation handled algebraically: each segment's first token zeroes
 its decay coefficient and injects ``decay * h0`` (the slot's resumed state,
 or 0 at position 0) into its input term, so one parallel scan serves any
@@ -303,9 +305,8 @@ class MambaForCausalLM:
         dA = jnp.where((is_first | ~valid)[:, None, None], 0.0, dA)
         dBx = jnp.where(valid[:, None, None], dBx, 0.0)
 
-        def combine(a, b):
-            return a[0] * b[0], a[1] * b[0] + b[1]
-        _, hs = jax.lax.associative_scan(combine, (dA, dBx), axis=0)
+        from aphrodite_tpu.ops.selective_scan import ssm_scan
+        hs = ssm_scan(dA, dBx)
 
         y = jnp.einsum("tds,ts->td", hs, C)
         y = y + hc.astype(jnp.float32) * lp["D"].astype(jnp.float32)[None]
@@ -496,9 +497,8 @@ class Mamba2ForCausalLM(MambaForCausalLM):
         dA = jnp.where((is_first | ~valid)[:, None, None, None], 0.0, dA)
         dBx = jnp.where(valid[:, None, None, None], dBx, 0.0)
 
-        def combine(a, b):
-            return a[0] * b[0], a[1] * b[0] + b[1]
-        _, hs = jax.lax.associative_scan(combine, (dA, dBx), axis=0)
+        from aphrodite_tpu.ops.selective_scan import ssm_scan
+        hs = ssm_scan(jnp.broadcast_to(dA, dBx.shape), dBx)
 
         y = jnp.einsum("thds,ths->thd", hs, C)
         y = y + h.astype(jnp.float32) * lp["D"].astype(jnp.float32)[

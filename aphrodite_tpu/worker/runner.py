@@ -365,12 +365,18 @@ class ModelRunner:
                 token_pos=pos,
                 slot_mapping=slots,
                 query_start_loc=jnp.arange(R + 1, dtype=jnp.int32),
-                seq_lens=seqlens,
+                # SSM: budget-frozen rows must not touch their recurrent
+                # state (the mixer gates its state writes on seq_lens>0;
+                # a frozen row re-feeding its held token would corrupt it)
+                seq_lens=jnp.where(live, seqlens, 0)
+                if self.is_ssm else seqlens,
                 block_tables=block_tables,
                 num_reqs=jnp.asarray(R, jnp.int32),
                 num_tokens=jnp.asarray(R, jnp.int32),
                 lora_slots=lora_row_slots,
                 mrope_deltas=mrope_deltas,
+                seg_starts=arange_r if self.is_ssm else None,
+                state_slots=ex.get("state_slots"),
                 decode_mode=True)
             hidden, kv = self.model.apply(params, toks, kv, md,
                                           use_pallas=self.use_pallas,
@@ -909,22 +915,7 @@ class ModelRunner:
             lora_arg = self.lora_manager.device_tensors
 
         if self.is_ssm:
-            state_slots = np.zeros((R_pad,), np.int32)
-            for r, rid in enumerate(order):
-                slot = self._slot_of.get(rid)
-                if slot is None:
-                    if not self._free_slots:
-                        # All slots held: steal one from a preempted request
-                        # (not scheduled now; it recomputes from scratch on
-                        # resume, so its state is disposable).
-                        sched = set(order)
-                        victim = next(r2 for r2 in self._slot_of
-                                      if r2 not in sched)
-                        self._free_slots.append(self._slot_of.pop(victim))
-                    slot = self._free_slots.pop()
-                    self._slot_of[rid] = slot
-                state_slots[r] = slot
-            fields["md_state_slots"] = state_slots
+            fields["md_state_slots"] = self._ssm_state_slots(order, R_pad)
             fields["md_seg_starts"] = seg_starts
 
         if getattr(self.model, "needs_bidir_mm", False):
@@ -1416,6 +1407,23 @@ class ModelRunner:
                 realize=realize)
         return realize()
 
+    def _ssm_state_slots(self, order, R_pad) -> np.ndarray:
+        """Assign/reuse a recurrent-state slot per request (stealing from
+        preempted requests under pressure: they recompute on resume)."""
+        state_slots = np.zeros((R_pad,), np.int32)
+        for r, rid in enumerate(order):
+            slot = self._slot_of.get(rid)
+            if slot is None:
+                if not self._free_slots:
+                    sched = set(order)
+                    victim = next(r2 for r2 in self._slot_of
+                                  if r2 not in sched)
+                    self._free_slots.append(self._slot_of.pop(victim))
+                slot = self._free_slots.pop()
+                self._slot_of[rid] = slot
+            state_slots[r] = slot
+        return state_slots
+
     # --------------------------------------------------- multi-step machinery
     def _multi_step_eligibility(self, so: SchedulerOutput, order, flags
                                 ) -> int:
@@ -1428,7 +1436,7 @@ class ModelRunner:
         are far cheaper than extra ~25 ms dispatches. One jit
         specialization per distinct K actually used."""
         K_cap = self.config.tpu_config.multi_step_decode
-        if K_cap <= 1 or not self.use_graph_multi_step or self.is_ssm \
+        if K_cap <= 1 or not self.use_graph_multi_step \
                 or getattr(self.model, "is_encoder_decoder", False):
             return 1, None
         if self.draft is not None:
@@ -1495,6 +1503,8 @@ class ModelRunner:
             budgets = np.full((R_pad,), num_steps, np.int32)
             budgets[:R] = np.minimum(step_budgets, num_steps)
             fields["step_budget"] = budgets
+        if self.is_ssm:
+            fields["state_slots"] = self._ssm_state_slots(order, R_pad)
 
         lora_arg = None
         if self.lora_manager is not None and self.lora_manager.slots:

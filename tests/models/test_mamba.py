@@ -109,3 +109,30 @@ def test_mamba2_chunked_prefill(tmp_path):
     prompts = [list(range(30, 69))]
     outs = _generate(tmp_path, prompts, n_new=6, chunk=16)
     assert outs[0] == _hf(hf, prompts[0], 6)
+
+
+def test_mamba_multi_step_decode_equivalence(ckpt):
+    """SSM decode now runs in-graph multi-step windows (round-4): token
+    streams must match the single-step path exactly, including ragged
+    decode budgets and mid-run joins."""
+    from aphrodite_tpu.entrypoints.llm import LLM
+
+    d, hf = ckpt
+    prompts = [[1, 5, 9, 20, 3], [7, 8, 9, 10, 11, 12], [100, 101]]
+    params = [SamplingParams(temperature=0.0, max_tokens=n, ignore_eos=True)
+              for n in (12, 5, 9)]  # ragged budgets exercise step freezing
+
+    def run(multi_step):
+        llm = LLM(model=str(d), dtype="float32", block_size=16,
+                  num_kv_blocks=128, max_num_batched_tokens=64,
+                  max_num_seqs=4, max_model_len=256, tokenizer="unused",
+                  multi_step_decode=multi_step)
+        runner = llm.engine.core.worker.runner
+        outs = llm.generate(prompts, params)
+        return [o.outputs[0].token_ids for o in outs], runner
+
+    multi, runner = run(16)
+    single, _ = run(1)
+    assert multi == single
+    for p, out, pr in zip(prompts, multi, params):
+        assert out == _hf(hf, p, pr.max_tokens), p
