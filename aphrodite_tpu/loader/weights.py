@@ -231,4 +231,88 @@ def load_model_params(model, model_config: ModelConfig,
         params = rec(params, specs)
     else:
         params = jax.tree.map(jax.device_put, params)
+    if jax.default_backend() == "tpu" and mesh is None:
+        params = realize_int4_leaves(params)
     return params
+
+
+def _int4_format_for(shape):
+    """The default jit-input Format for an int4 aval: an unpinned producer
+    emits sub_byte_element_size_in_bits=0 metadata, which forces a relayout
+    device_put at the next jit boundary (the tunnel client cannot execute
+    it). Pinning the producer's out_shardings to the consumer-expected
+    Format makes int4 arrays cross jit boundaries freely."""
+    probe = jax.jit(lambda w: w.reshape(-1)[0].astype(jnp.int32))
+    aval = jax.ShapeDtypeStruct(shape, jnp.int4)
+    return probe.lower(aval).compile().input_formats[0][0]
+
+
+def realize_int4_leaves(params):
+    """TPU resident W4 format: unpack each ``qweight_packed`` (uint8
+    global-half nibbles, [.., K/2, N]) leaf to a native ``qweight4``
+    jnp.int4 [.., K, N] array ON DEVICE. Same HBM footprint, but the
+    decode GEMM runs on XLA's fused int4 dot at ~380-600 GB/s effective
+    weight stream vs ~280 for the nibble-arithmetic Pallas kernel
+    (benchmarks/w4_kernel_lab.py; benchmarks/profile_8b_w4a16.json)."""
+    import jax.numpy as jnp
+
+    def convert(qp):
+        # uint4 nibbles 0..15 shifted by -8 into the int4 range [-8, 7];
+        # zeros get the same shift so (q - z) * s is unchanged.
+        b = qp.astype(jnp.int32) & 0xFF
+        lo = ((b & 0xF) - 8).astype(jnp.int4)
+        hi = (((b >> 4) & 0xF) - 8).astype(jnp.int4)
+        return jnp.concatenate([lo, hi], axis=-2)
+
+    # Collect every packed leaf first, then convert the WHOLE set in one
+    # jit (one remote compile instead of one per leaf — the tunneled
+    # compile helper costs tens of seconds per program on a cold cache).
+    packed: dict[tuple, object] = {}
+
+    def collect(node, path):
+        if isinstance(node, dict):
+            if node.get("qweight_packed") is not None:
+                packed[path] = node["qweight_packed"]
+                return
+            for k, v in node.items():
+                collect(v, path + (k,))
+
+    collect(params, ())
+    if not packed:
+        return params
+
+    paths = sorted(packed)
+    fmts = tuple(
+        _int4_format_for(packed[p].shape[:-2]
+                         + (packed[p].shape[-2] * 2, packed[p].shape[-1]))
+        for p in paths)
+
+    def node_at(path):
+        node = params
+        for k in path:
+            node = node[k]
+        return node
+
+    zpaths = [p for p in paths if node_at(p).get("zeros") is not None]
+
+    def convert_all(qps, zs):
+        return (tuple(convert(q) for q in qps),
+                tuple(z - 8.0 for z in zs))
+
+    q4s, zshifted = jax.jit(convert_all, out_shardings=(fmts, None))(
+        tuple(packed[p] for p in paths),
+        tuple(node_at(p)["zeros"] for p in zpaths))
+
+    def rec(node, path):
+        if isinstance(node, dict):
+            if path in packed:
+                node = dict(node)
+                node["qweight4"] = q4s[paths.index(path)]
+                if path in zpaths:
+                    node["zeros"] = zshifted[zpaths.index(path)]
+                del node["qweight_packed"]
+                return node
+            return {k: rec(v, path + (k,)) for k, v in node.items()}
+        return node
+
+    return rec(params, ())
