@@ -46,7 +46,8 @@ def apply_linear(x: jax.Array, w: Weight,
             out = w4a16_matmul(x, w.get("qweight"), w["scales"],
                                w.get("zeros"),
                                input_perm=w.get("input_perm"),
-                               qpacked=w.get("qweight_packed"))
+                               qpacked=w.get("qweight_packed"),
+                               qweight4=w.get("qweight4"))
         elif fmt is not None and fmt.startswith("fpx_e"):
             from aphrodite_tpu.ops.quant_gemm import fpx_matmul
             ebits, mbits = (int(s) for s in fmt[5:].split("m"))

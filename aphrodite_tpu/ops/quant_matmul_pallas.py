@@ -258,3 +258,72 @@ def w4a16_packed_matmul_pallas(x: jax.Array, qpacked: jax.Array,
         interpret=interpret,
     )(x, x, qpacked, scales, zeros, scales, zeros)
     return out
+
+
+def _w4i4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc, *, nk: int,
+                 gpb: int, group: int):
+    """Native-int4 W4A16: w_ref is jnp.int4 [bk, bn] (hardware sub-byte
+    tiling, no nibble arithmetic); per-group dots with the scale and
+    zero-point applied to the [M, bn] group result (the VPU-cheapest
+    dequant found in benchmarks/w4_kernel_lab.py v2/v5)."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    for gi in range(gpb):
+        wg = w_ref[gi * group:(gi + 1) * group, :].astype(x_ref.dtype)
+        xg = x_ref[:, gi * group:(gi + 1) * group]
+        d = jax.lax.dot(xg, wg, preferred_element_type=jnp.float32)
+        xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        acc[...] += (d - xs * z_ref[gi][None, :].astype(jnp.float32)) \
+            * s_ref[gi][None, :].astype(jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[...] = acc[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k",
+                                             "interpret"))
+def w4a16_int4_matmul_pallas(x: jax.Array, q4: jax.Array, scales: jax.Array,
+                             zeros: jax.Array, block_n: int = 512,
+                             block_k: int = 2048,
+                             interpret: Optional[bool] = None) -> jax.Array:
+    """x [M, K] @ ((int4 [K, N] - z) * s), group-quantized; q4 is a native
+    jnp.int4 array (loader.realize_int4_leaves)."""
+    if interpret is None:
+        interpret = os.environ.get("APHRODITE_PALLAS_INTERPRET", "0") == "1"
+    M, K = x.shape
+    _, N = q4.shape
+    G = scales.shape[0]
+    group = K // G
+    bn = min(block_n, N)
+    bk = max((min(block_k, K) // group) * group, group)
+    while K % bk:
+        bk -= group
+    nk = K // bk
+    gpb = bk // group
+
+    return pl.pallas_call(
+        functools.partial(_w4i4_kernel, nk=nk, gpb=gpb, group=group),
+        grid=(cdiv(N, bn), nk),
+        in_specs=[
+            pl.BlockSpec((M, bk), lambda n, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bn), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bn), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda n, k: (0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x, q4, scales, zeros)
