@@ -22,16 +22,18 @@ import jax.numpy as jnp
 
 def _use_pallas(w4_packed: bool = False) -> bool:
     """Pallas-vs-XLA dequant GEMM policy, settled by measurement
-    (benchmarks/quant_microbench_v5e.json, r3):
+    (r3: benchmarks/quant_microbench_v5e.json; r4:
+    benchmarks/w4_kernel_lab.py + profile_8b_w4a16.json):
 
-    - W4A16 packed: Pallas by DEFAULT on TPU. HLO inspection confirms the
-      XLA path materializes the dequantized bf16 weight buffer
-      (bf16[K,N] appears as a fusion output), so it streams 4x the bytes;
-      the Pallas kernel measured faster at every decode M (8/16/32/64,
-      e.g. 3.28 vs 4.01 ms at M=32, 8B shapes) — and inside a decode
-      window XLA's materialization cancels the 4-bit HBM saving entirely.
-    - W8A16: a tie within noise at decode M (2.83 vs 2.90 ms at M=64);
-      XLA stays the default (simpler program, one fewer custom call).
+    - W4A16 decode: XLA's NATIVE-int4 dot is the round-4 default at
+      M<=64 (fused upcast, no bf16 materialization, ~351 GB/s effective
+      vs ~280 for the best Pallas nibble kernel, which is VPU-dequant-
+      bound); the int4 Pallas kernel covers 64<M<=256. This policy gate
+      only selects Pallas for the legacy packed-int8 leaves and the
+      64-256 band.
+    - XLA's PLAIN W4 path (int8 nibbles) materializes the dequantized
+      bf16 weights (HLO-verified, r3) — never used at decode.
+    - W8A16: a tie within noise at decode M; XLA stays the default.
 
     Override with APHRODITE_QUANT_PALLAS=1/0; interpret-mode tests force
     the kernels."""
