@@ -109,7 +109,7 @@ def main(argv=None) -> None:
         from aphrodite_tpu.parallel.launcher import launch
         with open(args.hostfile) as f:
             hosts = [ln.strip() for ln in f if ln.strip()
-                     and not ln.startswith("#")]
+                     and not ln.lstrip().startswith("#")]
         extra = [a for a in args.engine_args if a != "--"]
         out = launch(hosts, args.model, extra, ssh_cmd=args.ssh_cmd,
                      dry_run=args.dry_run)

@@ -36,16 +36,20 @@ from typing import Optional
 import numpy as np
 
 _MAGIC = b"KVX1"
-# transport views: 1- and 2-byte logical dtypes ride as uint8/uint16
+# transport views: 1- and 2-byte logical dtypes ride as uint8/uint16.
+# The runner's extract_pages already ships bf16/fp8 pages as uint16/uint8
+# bit patterns, so the uint dtypes are first-class transports themselves.
 _DTYPE_VIEWS = {"bfloat16": np.uint16, "float16": np.uint16,
                 "float8_e4m3fn": np.uint8, "float8_e5m2": np.uint8,
-                "float32": np.uint32}
+                "float32": np.uint32,
+                "uint8": np.uint8, "uint16": np.uint16,
+                "uint32": np.uint32}
 
 
 def _logical_dtype(name: str):
-    import ml_dtypes
-    if name in ("float16", "float32"):
+    if name in ("float16", "float32", "uint8", "uint16", "uint32"):
         return np.dtype(name)
+    import ml_dtypes
     return np.dtype(getattr(ml_dtypes, name))
 
 

@@ -121,6 +121,10 @@ class EngineCore:
         if _os.environ.get("APHRODITE_CP_PEERS"):
             from aphrodite_tpu.parallel.control_plane import StepBroadcaster
             self.broadcaster = StepBroadcaster()
+            if self.broadcaster.health is not None:
+                # Followers must be alive before the first SPMD step; a
+                # bounded wait turns a dead launch into a clean error.
+                self.broadcaster.health.wait_for_followers(timeout_s=600)
 
         # ---- async scheduling (reference: v1 --async-scheduling) --------
         # In-flight PendingSteps: host scheduling + the next dispatch
@@ -272,6 +276,13 @@ class EngineCore:
         try:
             runner_out = self.worker.execute_model(sched_out)
         except PerRequestError as e:
+            if self.broadcaster is not None:
+                # Multi-host SPMD: followers already received (and ran or
+                # died on) this step — a host-0-local abort would desync
+                # the collectives. Fail-stop consistently instead; the
+                # health channel surfaces follower-side failures the same
+                # way.
+                raise
             # Isolate: abort only the offending request; everything else
             # in the batch reschedules next step (their computed counts
             # were not advanced). Reference:

@@ -254,11 +254,14 @@ class LLM:
         k = max(2 * beam_width, beam_width + 1)
 
         # Lockstep: one sampled token per engine step per beam — in-graph
-        # multi-step windows and async realize would run ahead of the
-        # per-round fork points.
-        saved = (runner.use_graph_multi_step, runner.async_mode)
+        # multi-step windows, async realize, and speculative multi-token
+        # steps would all run ahead of the per-round fork points (spec
+        # would bake never-selected draft tokens into forked beams).
+        saved = (runner.use_graph_multi_step, runner.async_mode,
+                 core.proposer)
         runner.use_graph_multi_step = False
         runner.async_mode = False
+        core.proposer = None
         try:
             results = []
             for prompt in prompts:
@@ -273,7 +276,8 @@ class LLM:
                     base, beam_width, max_tokens, ignore_eos, eos_id, k))
             return results
         finally:
-            runner.use_graph_multi_step, runner.async_mode = saved
+            (runner.use_graph_multi_step, runner.async_mode,
+             core.proposer) = saved
 
     def _beam_search_one(self, base, beam_width, max_tokens, ignore_eos,
                          eos_id, k):

@@ -236,6 +236,10 @@ def load_model_params(model, model_config: ModelConfig,
     return params
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=64)
 def _int4_format_for(shape):
     """The default jit-input Format for an int4 aval: an unpinned producer
     emits sub_byte_element_size_in_bits=0 metadata, which forces a relayout

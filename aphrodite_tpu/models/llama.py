@@ -637,10 +637,11 @@ class LlamaForCausalLM:
     def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:
         head = params["embed"].T if self.tie_embeddings else params["lm_head"]
         if isinstance(head, dict):
-            from aphrodite_tpu.layers.linear import apply_linear
-            return apply_linear(hidden, head,
-                                fmt=self.lm_head_quant_fmt or "w8a16"
-                                ).astype(jnp.float32)
+            # keep the f32 accumulator (apply_linear would round logits
+            # through bf16); XLA fuses the int8 upcast into the dot
+            acc = jnp.dot(hidden, head["qweight"].astype(hidden.dtype),
+                          preferred_element_type=jnp.float32)
+            return acc * head["scales"].astype(jnp.float32)[None, :]
         return jnp.dot(hidden, head, preferred_element_type=jnp.float32)
 
 

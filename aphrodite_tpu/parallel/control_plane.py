@@ -64,13 +64,16 @@ class HealthMonitor:
 
     def __init__(self, bind_addr: Optional[str] = None,
                  num_followers: int = 0,
-                 timeout_s: float = 10.0) -> None:
+                 timeout_s: float = 10.0,
+                 join_timeout_s: float = 600.0) -> None:
         import zmq
         bind_addr = bind_addr or os.environ.get("APHRODITE_CP_HEALTH")
         self.ctx = zmq.Context.instance()
         self.sock = self.ctx.socket(zmq.PULL)
         self.sock.bind(bind_addr)
         self.timeout_s = timeout_s
+        self.join_timeout_s = join_timeout_s
+        self._started = time.monotonic()
         self.num_followers = num_followers
         self.last_seen: dict[str, float] = {}
         self.errors: dict[str, str] = {}
@@ -116,6 +119,14 @@ class HealthMonitor:
         costs one dict scan."""
         now = time.monotonic()
         with self._lock:
+            if (len(self.last_seen) < self.num_followers
+                    and now - self._started > self.join_timeout_s):
+                # a follower that NEVER joined (ssh/process failed to
+                # start) would otherwise hang the first collective forever
+                raise FollowerDeadError(
+                    f"only {len(self.last_seen)}/{self.num_followers} "
+                    f"followers ever joined within "
+                    f"{self.join_timeout_s:.0f}s; check the launch plan")
             if self.errors:
                 fid, tb = next(iter(self.errors.items()))
                 raise FollowerDeadError(

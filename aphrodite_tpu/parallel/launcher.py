@@ -133,7 +133,8 @@ def launch(hosts: list[str], model: str,
     if dry_run:
         return cmds
     # Start followers FIRST (their PULL sockets must bind before host 0
-    # broadcasts; the health monitor's wait_for_followers gates serving).
+    # broadcasts; EngineCore's health.wait_for_followers gates serving
+    # and HealthMonitor.check flags never-joined followers).
     procs = []
     for cmd in reversed(cmds):
         procs.append(subprocess.Popen(cmd, shell=True))

@@ -163,17 +163,20 @@ def parse_tool_calls(text: str, parser_name: str = "auto"
             return [], text
 
     # InternLM2: <|action_start|><|plugin|>{json}<|action_end|>
-    m = _INTERNLM_RE.search(text)
-    if m and parser_name in ("auto", "internlm2"):
-        try:
-            obj = json.loads(m.group(1))
-            if isinstance(obj, dict) and "name" in obj:
-                calls.append(_mk_call(
-                    obj["name"], obj.get("parameters",
-                                         obj.get("arguments", {}))))
-                return calls, text[:m.start()].strip()
-        except json.JSONDecodeError:
-            pass
+    if parser_name in ("auto", "internlm2"):
+        m = _INTERNLM_RE.search(text)
+        if m:
+            try:
+                obj = json.loads(m.group(1))
+                if isinstance(obj, dict) and "name" in obj:
+                    calls.append(_mk_call(
+                        obj["name"], obj.get("parameters",
+                                             obj.get("arguments", {}))))
+                    return calls, text[:m.start()].strip()
+            except json.JSONDecodeError:
+                pass
+        if parser_name == "internlm2":
+            return [], text
 
     # Bare JSON: {"name": ..., "arguments"|"parameters": {...}},
     # optionally ';'-chained (Llama-3 style).

@@ -96,10 +96,17 @@ class TekkenTokenizer:
         return vocab
 
     def encode(self, text: str, add_special_tokens: bool = True,
-               **kw) -> list[int]:
-        """Special-token strings in the text map to their control ids (the
-        templated-text -> ids server path stays faithful)."""
-        ids = self._enc.encode(text, allowed_special="all")
+               split_special_tokens: bool = False, **kw) -> list[int]:
+        """Special-token strings in the text map to their control ids by
+        DEFAULT — this matches HF fast tokenizers (their default also
+        tokenizes in-content special strings as specials) and keeps the
+        templated-text -> ids server path faithful. Pass
+        split_special_tokens=True (the HF kwarg) to treat untrusted text
+        literally: special strings then encode as plain bytes."""
+        if split_special_tokens:
+            ids = self._enc.encode(text, disallowed_special=())
+        else:
+            ids = self._enc.encode(text, allowed_special="all")
         if add_special_tokens and (not ids or ids[0] != self.bos_token_id):
             ids = [self.bos_token_id] + ids
         return ids

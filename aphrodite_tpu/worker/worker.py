@@ -293,6 +293,15 @@ class Worker:
             return 512
         budget = int(limit * cc.hbm_utilization) - in_use \
             - _ACTIVATION_HEADROOM
+        # Multimodal models keep a device-resident encoder-output cache
+        # (worker/encoder_cache.py) that grows to its budget in steady
+        # state: carve it out of the pool so it cannot OOM mid-serving.
+        # Non-MM models never insert (content_hash key is None).
+        if any(getattr(self.model, enc, None) is not None
+               for enc in ("encode_images", "encode_media",
+                           "encode_audio")):
+            budget -= (self.config.tpu_config.encoder_cache_budget_mb
+                       * 1024 * 1024)
         num = max(budget // page_bytes, 16)
         max_needed = (self.config.max_blocks_per_req *
                       self.config.scheduler_config.max_num_seqs + 1)

@@ -86,3 +86,16 @@ def test_wire_format_is_pickle_free_and_capped():
     import pickle
     evil = pickle.dumps({"kv": "boom"})
     assert decode_payload(evil, max_bytes=1 << 20) is None
+
+
+def test_wire_format_uint_transport_dtypes():
+    """The runner ships bf16/fp8 pages as uint16/uint8 bit patterns
+    (extract_pages): those must encode/decode as-is."""
+    import numpy as np
+    from aphrodite_tpu.distributed.kv_transfer import (decode_payload,
+                                                       encode_payload)
+    for dt in (np.uint16, np.uint8, np.uint32):
+        kv = np.arange(24, dtype=dt).reshape(2, 3, 4)
+        out = decode_payload(encode_payload(kv, 8), max_bytes=1 << 20)
+        assert out["kv"].dtype == dt
+        np.testing.assert_array_equal(out["kv"], kv)

@@ -123,3 +123,14 @@ def test_streaming_named_llama_bare_json():
     assert content == ""
     args = "".join(c["function"].get("arguments", "") for c in calls)
     assert json.loads(args) == {"x": 1}
+
+
+def test_internlm2_constrained_no_bare_json_fallthrough():
+    """--tool-call-parser internlm2 must NOT fire on bare-JSON content
+    (review finding: it fell through to the llama parser)."""
+    calls, rest = parse_tool_calls(LLAMA, "internlm2")
+    assert calls == [] and rest == LLAMA
+    intern = ('<|action_start|><|plugin|>{"name": "f", "parameters": '
+              '{"x": 1}}<|action_end|>')
+    calls, _ = parse_tool_calls(intern, "internlm2")
+    assert len(calls) == 1
