@@ -56,3 +56,19 @@ def test_8b_w4a16_decode_regression():
     assert res["seconds_per_run"] <= 1.75, (
         f"8B W4A16 regressed: {res['seconds_per_run']} s/run > 1.75 "
         "(round-4 measured 1.495)")
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="perf thresholds are TPU-only")
+def test_ssm_serving_regression():
+    """Mamba-2.8B-class serving gate (round-4 measured 5.35 s/run with
+    the Pallas selective scan + SSM multi-step decode; threshold ~20%
+    above)."""
+    out = subprocess.run(
+        [sys.executable, "benchmarks/ssm_bench.py"],
+        capture_output=True, text=True, timeout=3600, check=True)
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.strip().startswith('"seconds_per_run"')]
+    val = float(line[0].split(":")[1].strip().rstrip(","))
+    assert val <= 6.5, (
+        f"SSM serving regressed: {val} s/run > 6.5 (round-4: 5.35)")
