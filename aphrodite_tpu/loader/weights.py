@@ -111,8 +111,11 @@ def _pack_w4_leaves(params):
     reference repacks at load the same way, gptq_marlin.py:329). The
     half-split (rather than nibble interleave) means the Pallas kernel
     unpacks with two aligned row-block views — no sublane shuffles
-    (ops/quant_matmul_pallas.py _w4p_kernel). jnp.int4 arrays would be
-    simpler but cannot cross the jit argument boundary on this platform.
+    (ops/quant_matmul_pallas.py _w4p_kernel). On the TPU backend this
+    packed form is TRANSPORT only: realize_int4_leaves converts it to
+    resident jnp.int4 arrays on device (round 4 — int4 crosses jit
+    boundaries once the producer's output Format pins the sub-byte
+    layout; see that function's docstring).
 
     Leaves whose K/2 does not align to the quant group stay unpacked."""
     def rec(node):

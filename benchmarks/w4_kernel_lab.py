@@ -546,3 +546,57 @@ if __name__ == "__main__":
         main_v9()
     if "--prefill" in sys.argv:
         main_prefill()
+
+
+def main_v15():
+    """Contraction-precision variants of the grouped int4 path."""
+    import jax.numpy as jnp
+    K, N = 4096, 28672
+    w4_pure = K // 2 * N
+
+    @jax.jit
+    def grouped_bf16_contract(x, w4, scales, zeros):
+        M, K = x.shape
+        G, N = scales.shape
+        group = K // G
+        xg = x.reshape(M, G, group).transpose(1, 0, 2)
+        dg = jax.lax.dot_general(
+            xg, w4.reshape(G, group, N).astype(x.dtype),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.bfloat16)         # bf16 dg
+        y = jnp.einsum('gmn,gn->mn', dg, scales.astype(jnp.bfloat16))
+        xs = xg.sum(axis=2, dtype=jnp.float32).T
+        y = y.astype(jnp.float32) - jnp.dot(
+            xs, zeros * scales, preferred_element_type=jnp.float32)
+        return y.astype(x.dtype)
+
+    @jax.jit
+    def grouped_noz(x, w4, scales, zeros):
+        M, K = x.shape
+        G, N = scales.shape
+        group = K // G
+        xg = x.reshape(M, G, group).transpose(1, 0, 2)
+        dg = jax.lax.dot_general(
+            xg, w4.reshape(G, group, N).astype(x.dtype),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        return jnp.einsum('gmn,gn->mn', dg,
+                          scales.astype(jnp.float32)).astype(x.dtype)
+
+    key = jax.random.PRNGKey(0)
+    q8 = jax.random.randint(key, (L, K, N), -8, 8, dtype=jnp.int8)
+    q4 = make_int4_on_device(q8)
+    sc = jnp.ones((L, K // GROUP, N), jnp.float32)
+    zr = jnp.zeros((L, K // GROUP, N), jnp.float32)
+    del q8
+    from aphrodite_tpu.ops.quant_gemm import w4a16_int4_grouped
+    bench_chain(w4a16_int4_grouped, K, N, lambda K, N: (q4, sc, zr),
+                "v9 production grouped", w4_pure)
+    bench_chain(grouped_bf16_contract, K, N, lambda K, N: (q4, sc, zr),
+                "v15 bf16 dg contraction", w4_pure)
+    bench_chain(grouped_noz, K, N, lambda K, N: (q4, sc, zr),
+                "v15b no zero-correction", w4_pure)
+
+
+if __name__ == "__main__" and "--v15" in __import__("sys").argv:
+    main_v15()
