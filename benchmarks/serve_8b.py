@@ -29,13 +29,24 @@ def main():
     from aphrodite_tpu.entrypoints.llm import build_engine_config
 
     t0 = time.time()
+    # config-2-matched shapes: the XLA cache from the throughput runs
+    # stays warm and the serving buckets are the precompile set
     config = build_engine_config(
         "serve8b-w4a16", hf_config=_llama8b_config(), tokenizer="unused",
         dtype="bfloat16", load_format="dummy", quantization="gptq",
-        block_size=64, max_num_seqs=32, max_num_batched_tokens=8192,
-        max_model_len=1280)
+        block_size=64, max_num_seqs=32, max_num_batched_tokens=16384,
+        max_model_len=704,
+        # Streaming-appropriate decode granularity: the offline default
+        # (64-step fused windows) delivers whole requests in one realize,
+        # making TTFT == E2EL. 8-step windows bound token delivery at
+        # 8-token granularity while still amortizing the tunnel RPC.
+        multi_step_decode=8)
     engine = AsyncLLM(config)
     print(f"# engine built {time.time()-t0:.1f}s", file=sys.stderr,
+          flush=True)
+    t0 = time.time()
+    engine.worker_call("precompile")
+    print(f"# precompile {time.time()-t0:.1f}s", file=sys.stderr,
           flush=True)
 
     async def run():
