@@ -23,6 +23,11 @@ def main(argv=None) -> None:
                             "(ZMQ boundary)")
     run_p.add_argument("--launch-kobold-api", action="store_true",
                        help="also mount the KoboldAI legacy API under /api")
+    run_p.add_argument("--reasoning-parser", default="auto",
+                       choices=["auto", "deepseek_r1", "qwen3", "granite",
+                                "none"],
+                       help="constrain reasoning-content splitting to one "
+                            "model family (reference --reasoning-parser)")
     run_p.add_argument("--tool-call-parser", default="auto",
                        choices=["auto", "hermes", "mistral", "jamba",
                                 "internlm2", "llama", "llama3_json",
@@ -264,7 +269,8 @@ def serve(args) -> None:
                host=args.host, port=args.port,
                multiprocess=getattr(args, "multiprocess_engine", False),
                kobold_api=getattr(args, "launch_kobold_api", False),
-               tool_parser=getattr(args, "tool_call_parser", "auto"))
+               tool_parser=getattr(args, "tool_call_parser", "auto"),
+               reasoning_parser=getattr(args, "reasoning_parser", "auto"))
 
 
 if __name__ == "__main__":

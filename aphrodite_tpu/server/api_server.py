@@ -83,10 +83,12 @@ class OpenAIServer:
     """Route handlers bound to one AsyncLLM."""
 
     def __init__(self, engine: AsyncLLM, model_name: str,
-                 tool_parser: str = "auto") -> None:
+                 tool_parser: str = "auto",
+                 reasoning_parser: str = "auto") -> None:
         self.engine = engine
         self.model_name = model_name
         self.tool_parser = tool_parser
+        self.reasoning_parser = reasoning_parser
         self.start_time = time.time()
         self.num_requests = 0
         self.num_prompt_tokens = 0
@@ -646,7 +648,8 @@ class OpenAIServer:
                     })
                 logprobs = {"content": content}
             content = texts.get(i, "")
-            reasoning, content = parse_reasoning(content)
+            reasoning, content = parse_reasoning(content,
+                                                 self.reasoning_parser)
             tool_calls = []
             if req.tools:
                 tool_calls, content = parse_tool_calls(
@@ -692,7 +695,9 @@ class OpenAIServer:
         # Incremental tool-call / reasoning parsing per choice (reference:
         # endpoints/openai/tool_parsers/* extract_tool_calls_streaming).
         from aphrodite_tpu.server.tool_parser import StreamingToolParser
-        parsers = {i: StreamingToolParser(parser_name=self.tool_parser)
+        parsers = {i: StreamingToolParser(
+            parser_name=self.tool_parser,
+            reasoning_parser=self.reasoning_parser)
                    for i in range(params.n)} \
             if req.tools else None
         n_prompt = n_gen = 0
@@ -841,9 +846,10 @@ class OpenAIServer:
 
 def build_app(engine: AsyncLLM, model_name: str,
               kobold_api: bool = False,
-              tool_parser: str = "auto") -> web.Application:
-    app = OpenAIServer(engine, model_name, tool_parser=tool_parser
-                       ).build_app()
+              tool_parser: str = "auto",
+              reasoning_parser: str = "auto") -> web.Application:
+    app = OpenAIServer(engine, model_name, tool_parser=tool_parser,
+                       reasoning_parser=reasoning_parser).build_app()
     if kobold_api:
         from aphrodite_tpu.server.kobold import KoboldAPI
         KoboldAPI(engine, model_name).add_routes(app)
@@ -853,7 +859,8 @@ def build_app(engine: AsyncLLM, model_name: str,
 def run_server(config, model_name: str, host: str = "0.0.0.0",
                port: int = 2242, multiprocess: bool = False,
                kobold_api: bool = False,
-               tool_parser: str = "auto") -> None:
+               tool_parser: str = "auto",
+               reasoning_parser: str = "auto") -> None:
     engine = AsyncLLM(config, multiprocess=multiprocess)
     if config.tpu_config.precompile and \
             config.device_config.resolve() == "tpu":
@@ -862,6 +869,7 @@ def run_server(config, model_name: str, host: str = "0.0.0.0",
         # compiled server instead of paying the bucket warmup.
         engine.worker_call("precompile", timeout=1800)
     app = build_app(engine, model_name, kobold_api=kobold_api,
-                    tool_parser=tool_parser)
+                    tool_parser=tool_parser,
+                    reasoning_parser=reasoning_parser)
     logger.info("serving %s on %s:%d", model_name, host, port)
     web.run_app(app, host=host, port=port)

@@ -35,18 +35,31 @@ _GRANITE_RE = re.compile(
     r"(?:Here's|Here is) my response:(.*)", re.DOTALL)
 
 
-def parse_reasoning(text: str) -> tuple[Optional[str], str]:
+# Named reasoning parsers (reference aphrodite/reasoning/: deepseek_r1,
+# qwen3, granite parsers selected by --reasoning-parser). "auto" tries
+# the <think> family then Granite prose; "none" disables splitting.
+REASONING_PARSERS = ("auto", "deepseek_r1", "qwen3", "granite", "none")
+
+
+def parse_reasoning(text: str, parser_name: str = "auto"
+                    ) -> tuple[Optional[str], str]:
     """Split '<think>...</think>rest' -> (reasoning, rest). Handles an
     unterminated think block (everything is reasoning) and Granite's
-    prose-delimited thinking sections."""
-    m = _THINK_RE.search(text)
-    if m:
-        rest = text[:m.start()] + text[m.end():]
-        return m.group(1).strip(), rest.lstrip("\n")
-    if text.lstrip().startswith("<think>"):
-        return text.split("<think>", 1)[1].strip(), ""
+    prose-delimited thinking sections. ``parser_name`` constrains the
+    recognized convention (deepseek_r1/qwen3 both use <think>)."""
+    if parser_name == "none":
+        return None, text
+    if parser_name in ("auto", "deepseek_r1", "qwen3"):
+        m = _THINK_RE.search(text)
+        if m:
+            rest = text[:m.start()] + text[m.end():]
+            return m.group(1).strip(), rest.lstrip("\n")
+        if text.lstrip().startswith("<think>"):
+            return text.split("<think>", 1)[1].strip(), ""
+        if parser_name != "auto":
+            return None, text
     m = _GRANITE_RE.search(text)
-    if m:
+    if m and parser_name in ("auto", "granite"):
         return m.group(1).strip(), m.group(2).strip()
     return None, text
 
@@ -232,7 +245,11 @@ class StreamingToolParser:
     format-table-driven incremental scanner)."""
 
     def __init__(self, parse_think: bool = True,
-                 parser_name: str = "auto") -> None:
+                 parser_name: str = "auto",
+                 reasoning_parser: str = "auto") -> None:
+        if reasoning_parser == "none":
+            parse_think = False
+        self.reasoning_parser = reasoning_parser
         self.parser_name = parser_name
         self.markers = (PARSER_MARKERS[parser_name]
                         if parser_name in PARSER_MARKERS else _MARKERS)

@@ -134,3 +134,25 @@ def test_internlm2_constrained_no_bare_json_fallthrough():
               '{"x": 1}}<|action_end|>')
     calls, _ = parse_tool_calls(intern, "internlm2")
     assert len(calls) == 1
+
+
+def test_named_reasoning_parsers():
+    from aphrodite_tpu.server.tool_parser import parse_reasoning
+    think = "<think>plan</think>answer"
+    granite = "Here is my thought process: plan Here is my response: answer"
+    # deepseek_r1/qwen3 accept <think>, reject granite prose
+    for name in ("auto", "deepseek_r1", "qwen3"):
+        r, c = parse_reasoning(think, name)
+        assert r == "plan" and c == "answer", name
+    assert parse_reasoning(granite, "deepseek_r1") == (None, granite)
+    # granite accepts prose, rejects nothing-to-split and... <think> stays
+    r, c = parse_reasoning(granite, "granite")
+    assert r == "plan" and c == "answer"
+    assert parse_reasoning(think, "granite") == (None, think)
+    # none disables splitting entirely
+    assert parse_reasoning(think, "none") == (None, think)
+    # streaming: reasoning_parser="none" passes think markers as content
+    from aphrodite_tpu.server.tool_parser import StreamingToolParser
+    p = StreamingToolParser(reasoning_parser="none")
+    content, _ = _drain(p, think)
+    assert content == think
