@@ -221,6 +221,19 @@ class EngineCore:
         sched_out, ps = self._pending.pop(0)
         runner_out = ps.realize()
         outputs = self.scheduler.realize_update(sched_out, runner_out)
+        if self.structured is not None and self.structured.requests:
+            # Grammar rows ride async steps single-step (expected count 1,
+            # per-row window eligibility): their FSM advances here, before
+            # the next schedule() computes their bitmask — an async-pending
+            # request is never rescheduled until its step realizes, so the
+            # mask is never computed from a stale state.
+            for i, rid in enumerate(runner_out.req_ids):
+                if self.structured.has(rid):
+                    self.structured.advance(
+                        rid, runner_out.sampled_token_ids[i])
+            for eco in outputs:
+                if eco.finished:
+                    self.structured.remove_request(eco.req_id)
         for eco in outputs:
             self.stats.on_tokens(eco.req_id, len(eco.new_token_ids))
             if eco.finished:

@@ -122,6 +122,7 @@ def build_sampling_arrays(
     num_reqs_pad: int,
     base_seed: int = 0,
     need_tokens: Optional[bool] = None,
+    extra_len: int = 0,
 ) -> tuple[dict, SamplerFlags]:
     """Pack per-request params into padded numpy arrays (field name ->
     array, matching SamplingMetadata's fields).
@@ -129,6 +130,11 @@ def build_sampling_arrays(
     Each element of ``reqs`` is (params, all_token_ids, prompt_len,
     output_len). output_len doubles as the per-request sample counter for
     seeded reproducibility.
+
+    ``extra_len`` reserves room in token_seq past the longest current
+    sequence: multi-step decode windows append each sampled token to the
+    history IN-GRAPH (worker/runner.py _multi_step_window), so the buffer
+    must cover the window's worth of future tokens.
     """
     R = num_reqs_pad
     f32 = lambda v: np.full((R,), v, np.float32)  # noqa: E731
@@ -261,7 +267,7 @@ def build_sampling_arrays(
                 (sampler_flags.do_penalties or sampler_flags.do_dry
                  or sampler_flags.do_ngram))
     if need_tok:
-        L = next_power_of_2(max_len)
+        L = next_power_of_2(max_len + extra_len)
         token_seq = np.full((R, L), vocab_size, np.int32)
         for r, (_, toks, _, _) in enumerate(reqs):
             token_seq[r, :len(toks)] = toks

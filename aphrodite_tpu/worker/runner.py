@@ -326,8 +326,17 @@ class ModelRunner:
         budget freeze (no KV write, no seq_len advance, token held) so K can
         be sized for the LONGEST remaining budget in the batch — a ragged
         tail costs idle lanes instead of extra dispatches (each dispatch
-        carries ~25 ms of tunnel RPC)."""
+        carries ~25 ms of tunnel RPC).
+
+        Token-history samplers (penalties/DRY/no-repeat-ngram) run EVERY
+        sub-step: the history buffer (token_seq/total_len) rides the scan
+        carry and each sampled token is appended in-graph, so the window
+        sees exactly the context single-step execution would (reference:
+        the multi-step runner pythonizes + reruns the full sampler per
+        sub-step, aphrodite/worker/multi_step_model_runner.py:482-520)."""
+        import dataclasses as _dc
         _, smd, ex = self._unpack(flat_meta, layout)
+        track_tokens = flags.do_penalties or flags.do_dry or flags.do_ngram
         cur_tokens = ex["cur_tokens"]
         seq_lens0 = ex["seq_lens0"]
         block_tables = ex["block_tables"]
@@ -352,7 +361,8 @@ class ModelRunner:
             tv_buf = ti_buf = jnp.zeros((0,), jnp.float32)
 
         def body(i, carry):
-            kv, toks, seqlens, tok_buf, lp_buf, tv_buf, ti_buf = carry
+            (kv, toks, seqlens, hist, hlen, tok_buf, lp_buf, tv_buf,
+             ti_buf) = carry
             live = seqlens > 0
             if step_budget is not None:
                 live &= i < step_budget
@@ -383,21 +393,28 @@ class ModelRunner:
                                           lora=lora)
             logits = self.model.compute_logits(params, hidden)
             logits = self._head_lora(logits, hidden, lora, lora_row_slots)
-            out = sample_tokens(logits, smd, flags, max_logprobs,
+            smd_i = (_dc.replace(smd, token_seq=hist, total_len=hlen)
+                     if track_tokens else smd)
+            out = sample_tokens(logits, smd_i, flags, max_logprobs,
                                 step_offset=i)
             new_tok = jnp.where(live, out["tokens"], toks)
+            if track_tokens:
+                wpos = jnp.where(live, hlen, hist.shape[1])
+                hist = hist.at[arange_r, wpos].set(new_tok, mode="drop")
+                hlen = hlen + live.astype(jnp.int32)
             tok_buf = tok_buf.at[i].set(new_tok)
             lp_buf = lp_buf.at[i].set(out["logprob"])
             if max_logprobs:
                 tv_buf = tv_buf.at[i].set(out["topk_values"])
                 ti_buf = ti_buf.at[i].set(out["topk_indices"])
             return (kv, new_tok, seqlens + live.astype(jnp.int32),
-                    tok_buf, lp_buf, tv_buf, ti_buf)
+                    hist, hlen, tok_buf, lp_buf, tv_buf, ti_buf)
 
-        kv_cache, _, _, tok_buf, lp_buf, tv_buf, ti_buf = jax.lax.fori_loop(
+        (kv_cache, _, _, _, _, tok_buf, lp_buf, tv_buf,
+         ti_buf) = jax.lax.fori_loop(
             0, n_live, body,
-            (kv_cache, cur_tokens, seq_lens0, tok_buf, lp_buf, tv_buf,
-             ti_buf))
+            (kv_cache, cur_tokens, seq_lens0, smd.token_seq, smd.total_len,
+             tok_buf, lp_buf, tv_buf, ti_buf))
         packed = jnp.stack([
             jax.lax.bitcast_convert_type(tok_buf, jnp.float32), lp_buf])
         if not max_logprobs:
@@ -417,11 +434,22 @@ class ModelRunner:
         ``chain_packed``: the [2, R] packed output of a just-dispatched
         prefill step — the window chains off it ON DEVICE (bitcast row 0 =
         the sampled tokens), so a prefill + its whole decode window run
-        back-to-back with no host round trip between them."""
+        back-to-back with no host round trip between them. ``chain_idx``
+        (in the packed metadata) remaps chained rows when the window runs
+        a SUBSET of the originating batch (per-row eligibility: grammar /
+        mid-prefill rows stay single-step while the rest window).
+
+        Token-history samplers (penalties/DRY/no-repeat-ngram) run every
+        sub-step off an in-graph-appended history carry — see _multi_step."""
+        import dataclasses as _dc
         _, smd, ex = self._unpack(flat_meta, layout)
+        track_tokens = flags.do_penalties or flags.do_dry or flags.do_ngram
         if chain_packed is not None:
             cur_tokens = jax.lax.bitcast_convert_type(chain_packed[0],
                                                       jnp.int32)
+            chain_idx = ex.get("chain_idx")
+            if chain_idx is not None:
+                cur_tokens = jnp.take(cur_tokens, chain_idx)
         else:
             cur_tokens = ex["cur_tokens"]
         seq_lens0 = ex["seq_lens0"]
@@ -453,8 +481,16 @@ class ModelRunner:
         else:
             tv_buf = ti_buf = jnp.zeros((0,), jnp.float32)
 
+        hist0, hlen0 = smd.token_seq, smd.total_len
+        if track_tokens and chain_packed is not None:
+            # The chained (prefill-sampled) token is not in the host-built
+            # history — append it in-graph before the first window step.
+            wpos0 = jnp.where(live0, hlen0, hist0.shape[1])
+            hist0 = hist0.at[arange_r, wpos0].set(cur_tokens, mode="drop")
+            hlen0 = hlen0 + live0.astype(jnp.int32)
+
         def body(i, carry):
-            tk, tv, toks, tok_buf, lp_buf, tv_buf, ti_buf = carry
+            tk, tv, toks, hist, hlen, tok_buf, lp_buf, tv_buf, ti_buf = carry
             live = live0
             if step_budget is not None:
                 live = live & (i < step_budget)
@@ -480,19 +516,27 @@ class ModelRunner:
                 use_pallas=self.use_pallas, lora=lora)
             logits = model.compute_logits(params, hidden)
             logits = self._head_lora(logits, hidden, lora, lora_row_slots)
-            out = sample_tokens(logits, smd, flags, max_logprobs,
+            smd_i = (_dc.replace(smd, token_seq=hist, total_len=hlen)
+                     if track_tokens else smd)
+            out = sample_tokens(logits, smd_i, flags, max_logprobs,
                                 step_offset=i)
             new_tok = jnp.where(live, out["tokens"], toks)
+            if track_tokens:
+                wpos = jnp.where(live, hlen, hist.shape[1])
+                hist = hist.at[arange_r, wpos].set(new_tok, mode="drop")
+                hlen = hlen + live.astype(jnp.int32)
             tok_buf = tok_buf.at[i].set(new_tok)
             lp_buf = lp_buf.at[i].set(out["logprob"])
             if max_logprobs:
                 tv_buf = tv_buf.at[i].set(out["topk_values"])
                 ti_buf = ti_buf.at[i].set(out["topk_indices"])
-            return (tk, tv, new_tok, tok_buf, lp_buf, tv_buf, ti_buf)
+            return (tk, tv, new_tok, hist, hlen, tok_buf, lp_buf, tv_buf,
+                    ti_buf)
 
-        tk, tv, _, tok_buf, lp_buf, tv_buf, ti_buf = jax.lax.fori_loop(
+        tk, tv, _, _, _, tok_buf, lp_buf, tv_buf, ti_buf = jax.lax.fori_loop(
             0, n_live, body,
-            (tk0, tv0, cur_tokens, tok_buf, lp_buf, tv_buf, ti_buf))
+            (tk0, tv0, cur_tokens, hist0, hlen0, tok_buf, lp_buf, tv_buf,
+             ti_buf))
 
         # ---- flush the window tails into the paged cache -----------------
         j = jnp.arange(num_steps, dtype=jnp.int32)
@@ -777,9 +821,12 @@ class ModelRunner:
             reqs_meta.append((p, st.token_ids, st.prompt_len, st.output_len))
             if p.logprobs:
                 max_logprobs = max(max_logprobs, p.logprobs)
+        # +1 slack so a decode window (up to multi_step_decode appends,
+        # plus the chained prefill token) fits in the token history.
         smd_arrays, flags = build_sampling_arrays(
             reqs_meta, self.model.vocab_size, R_pad,
-            base_seed=self._base_seed)
+            base_seed=self._base_seed,
+            extra_len=self.config.tpu_config.multi_step_decode + 1)
         max_lp = next_power_of_2(max_logprobs) if max_logprobs else 0
 
         num_steps, step_budgets = self._multi_step_eligibility(
@@ -1258,29 +1305,42 @@ class ModelRunner:
     def _maybe_fused_window(self, so, order, R, R_pad, flags,
                             samples_expected, packed_dev, topk_v_d,
                             topk_i_d, max_lp):
-        """After a step where EVERY scheduled request samples a token,
-        chain the whole decode window off the still-in-flight step ON
-        DEVICE (chain_packed): one wave = one prefill dispatch + one window
-        dispatch + ONE sync. The scheduler needs no changes — lookahead
-        slots already cover the window's KV, and update_from_output already
-        advances num_computed for multi-token results. Returns None when
-        ineligible (the caller falls through to the normal tail)."""
+        """After a step, chain a decode window off the still-in-flight
+        step ON DEVICE (chain_packed) for every ELIGIBLE row: one wave =
+        one combined dispatch + one window dispatch + ONE sync.
+        Eligibility is PER-ROW: grammar rows (their FSM advances on host
+        per token) and mid-prefill chunked rows keep their single-step
+        result while every other row windows — one guided-decoding
+        request no longer reverts the whole engine to ~35 ms/step
+        single-step decode, and a wave that mixes prefill chunks with
+        decodes windows its decode rows (the online-serving hot case).
+        Penalty/DRY/no-repeat-ngram rows DO window: the token history
+        rides the window's scan carry (see _multi_step_window; reference
+        bar: the full sampler runs every sub-step,
+        aphrodite/worker/multi_step_model_runner.py:482-520). The
+        scheduler needs no changes — lookahead slots already cover the
+        window's KV, and update_from_output already advances num_computed
+        for multi-token results. Returns None when no row is eligible
+        (the caller falls through to the normal tail)."""
         if (self.draft is not None or self.is_ssm
                 or not self.use_window_decode
                 or not self.use_graph_multi_step
-                or so.grammar_bitmask is not None
-                or so.scheduled_spec_decode_tokens
-                or flags.do_penalties or flags.do_dry or flags.do_ngram
-                or not all(samples_expected)):
+                or so.scheduled_spec_decode_tokens):
             return None
         K_cap = self.config.tpu_config.multi_step_decode
         if K_cap <= 1:
             return None
+        grammar_ids = (set(so.structured_output_request_ids)
+                       if so.grammar_bitmask is not None else set())
+        win_rows = [r for r, rid in enumerate(order)
+                    if samples_expected[r] and rid not in grammar_ids]
+        if not win_rows:
+            return None
         max_len = self.config.scheduler_config.max_model_len
         W_cap = K_cap
         budgets = []
-        for rid in order:
-            st = self.requests[rid]
+        for r in win_rows:
+            st = self.requests[order[r]]
             b = max_len - (st.num_tokens + 1)
             mt = st.sampling_params.max_tokens
             if mt is not None:
@@ -1293,45 +1353,61 @@ class ModelRunner:
         W = min(W_cap, max(budgets), self.config.max_lookahead_tokens)
         if W < 1:
             return None
+        order_w = [order[r] for r in win_rows]
+        win_map = {r: w for w, r in enumerate(win_rows)}
+        Rw = len(order_w)
+        Rw_pad = pick_bucket(self.req_buckets, Rw)
 
         from aphrodite_tpu.sample.metadata import build_sampling_arrays
         from aphrodite_tpu.worker.meta_pack import pack_meta
         reqs_meta = [(self.requests[rid].sampling_params,
                       self.requests[rid].token_ids,
                       self.requests[rid].prompt_len,
-                      self.requests[rid].output_len + 1) for rid in order]
+                      self.requests[rid].output_len + 1) for rid in order_w]
+        wmax_lp = 0
+        for rid in order_w:
+            lp = self.requests[rid].sampling_params.logprobs
+            if lp:
+                wmax_lp = max(wmax_lp, lp)
+        wmax_lp = next_power_of_2(wmax_lp) if wmax_lp else 0
         smd_arrays, wflags = build_sampling_arrays(
-            reqs_meta, self.model.vocab_size, R_pad,
-            base_seed=self._base_seed)
-        seq_lens0 = np.zeros((R_pad,), np.int32)
-        block_tables = np.zeros((R_pad, self.max_pages_per_req), np.int32)
-        budget_arr = np.zeros((R_pad,), np.int32)
-        for r, rid in enumerate(order):
+            reqs_meta, self.model.vocab_size, Rw_pad,
+            base_seed=self._base_seed, extra_len=K_cap + 1)
+        seq_lens0 = np.zeros((Rw_pad,), np.int32)
+        block_tables = np.zeros((Rw_pad, self.max_pages_per_req), np.int32)
+        budget_arr = np.zeros((Rw_pad,), np.int32)
+        for w, rid in enumerate(order_w):
             st = self.requests[rid]
-            seq_lens0[r] = st.num_tokens + 1
-            block_tables[r, :len(st.block_ids)] = st.block_ids
-            budget_arr[r] = min(budgets[r], W)
+            seq_lens0[w] = st.num_tokens + 1
+            block_tables[w, :len(st.block_ids)] = st.block_ids
+            budget_arr[w] = min(budgets[w], W)
         fields = {"seq_lens0": seq_lens0, "block_tables": block_tables,
                   "step_budget": budget_arr,
                   "num_live_steps": np.asarray(W, np.int32)}
+        if win_rows != list(range(R)) or Rw_pad != R_pad:
+            # Window sub-batch: remap chained rows out of the originating
+            # step's packed output.
+            chain_idx = np.zeros((Rw_pad,), np.int32)
+            chain_idx[:Rw] = win_rows
+            fields["chain_idx"] = chain_idx
         shared = self._detect_shared_prefix(
-            order, int(seq_lens0[:R].min()) - 1)
+            order_w, int(seq_lens0[:Rw].min()) - 1)
         if shared is not None:
             fields["shared_pages"] = np.asarray(shared[0], np.int32)
             fields["shared_len"] = np.asarray(shared[1], np.int32)
         lora_arg = None
         if self.lora_manager is not None and self.lora_manager.slots:
-            rows = np.zeros((R_pad,), np.int32)
-            for r, rid in enumerate(order):
+            rows = np.zeros((Rw_pad,), np.int32)
+            for w, rid in enumerate(order_w):
                 nm = self.requests[rid].lora_name
                 if nm:
-                    rows[r] = self.lora_manager.slot_of(nm)
+                    rows[w] = self.lora_manager.slot_of(nm)
             fields["lora_rows"] = rows
             lora_arg = self.lora_manager.device_tensors
         if getattr(self.model, "uses_mrope", False):
-            deltas = np.zeros((R_pad,), np.int32)
-            for r, rid in enumerate(order):
-                deltas[r] = self._mrope_state(self.requests[rid])[1]
+            deltas = np.zeros((Rw_pad,), np.int32)
+            for w, rid in enumerate(order_w):
+                deltas[w] = self._mrope_state(self.requests[rid])[1]
             fields["mrope_deltas"] = deltas
         fields.update({"s_" + k: v for k, v in smd_arrays.items()})
         flat, layout = pack_meta(fields)
@@ -1339,7 +1415,7 @@ class ModelRunner:
             self._multi_step_window_fn(
                 self.params, self.kv_cache, jnp.asarray(flat),
                 layout=layout, flags=wflags, num_steps=K_cap,
-                max_logprobs=max_lp, lora=lora_arg,
+                max_logprobs=wmax_lp, lora=lora_arg,
                 chain_packed=packed_dev)
 
         # Capture the request-state objects now: by realize time the
@@ -1349,23 +1425,30 @@ class ModelRunner:
 
         def realize() -> ModelRunnerOutput:
             p1 = np.asarray(packed_dev)          # [2, R_pad]
-            p2 = np.asarray(packed2)             # [2, K_cap, R_pad]
+            p2 = np.asarray(packed2)             # [2, K_cap, Rw_pad]
             tok1 = p1[0, :R].view(np.int32)
             lp1 = p1[1, :R]
-            tok_k = p2[0, :, :R].view(np.int32)
-            lp_k = p2[1, :, :R]
+            tok_k = p2[0].view(np.int32)         # [K_cap, Rw_pad]
+            lp_k = p2[1]
             tv1 = np.asarray(topk_v_d[:R]) if max_lp else None
             ti1 = np.asarray(topk_i_d[:R]) if max_lp else None
-            tv2 = np.asarray(topk_v2[:, :R]) if max_lp else None
-            ti2 = np.asarray(topk_i2[:, :R]) if max_lp else None
+            tv2 = np.asarray(topk_v2) if wmax_lp else None
+            ti2 = np.asarray(topk_i2) if wmax_lp else None
 
             sampled: list[list[int]] = []
             logprobs_out: list[Optional[list[dict[int, float]]]] = []
             any_lp = False
             for r, rid in enumerate(order):
                 st = states[r]
-                w_r = int(budget_arr[r])
-                toks = [int(tok1[r])] + [int(t) for t in tok_k[:w_r, r]]
+                if not samples_expected[r]:
+                    sampled.append([])
+                    logprobs_out.append(None)
+                    continue
+                w = win_map.get(r)
+                w_r = int(budget_arr[w]) if w is not None else 0
+                toks = [int(tok1[r])]
+                if w is not None:
+                    toks += [int(t) for t in tok_k[:w_r, w]]
                 sampled.append(toks)
                 st.token_ids.extend(toks)
                 p = st.sampling_params
@@ -1378,10 +1461,10 @@ class ModelRunner:
                             d[int(i2)] = float(v)
                     lps.append(d)
                     for k in range(w_r):
-                        d = {toks[k + 1]: float(lp_k[k, r])}
+                        d = {toks[k + 1]: float(lp_k[k, w])}
                         if p.logprobs and tv2 is not None:
-                            for v, i2 in zip(tv2[k, r][:p.logprobs],
-                                             ti2[k, r][:p.logprobs]):
+                            for v, i2 in zip(tv2[k, w][:p.logprobs],
+                                             ti2[k, w][:p.logprobs]):
                                 d[int(i2)] = float(v)
                         lps.append(d)
                     logprobs_out.append(lps)
@@ -1400,11 +1483,16 @@ class ModelRunner:
 
         if self.async_mode:
             from aphrodite_tpu.core.sched_output import PendingStep
-            return PendingStep(
-                req_ids=list(order),
-                expected_counts={rid: 1 + int(budget_arr[r])
-                                 for r, rid in enumerate(order)},
-                realize=realize)
+            ec = {}
+            for r, rid in enumerate(order):
+                if not samples_expected[r]:
+                    ec[rid] = 0
+                elif r in win_map:
+                    ec[rid] = 1 + int(budget_arr[win_map[r]])
+                else:
+                    ec[rid] = 1
+            return PendingStep(req_ids=list(order), expected_counts=ec,
+                               realize=realize)
         return realize()
 
     def _ssm_state_slots(self, order, R_pad) -> np.ndarray:
@@ -1428,13 +1516,17 @@ class ModelRunner:
     def _multi_step_eligibility(self, so: SchedulerOutput, order, flags
                                 ) -> int:
         """(K, budgets): K>1 when the whole batch is plain single-token
-        decode with no token-history samplers (penalties/DRY/ngram need
-        fresh context). K is sized for the LARGEST per-request remaining
-        decode budget (max_tokens / max_model_len), rounded up to a power
-        of 2 within the configured cap; requests with less budget idle in
-        the scan past their own limit (step_budget masking) — idle lanes
-        are far cheaper than extra ~25 ms dispatches. One jit
-        specialization per distinct K actually used."""
+        decode. Token-history samplers (penalties/DRY/ngram) no longer
+        gate this path: the scan carries the token history and reruns
+        them every sub-step (see _multi_step). Grammar still falls back
+        to K=1 here — its FSM advances on host — but the single-step path
+        then windows the NON-grammar rows via _maybe_fused_window's
+        per-row eligibility. K is sized for the LARGEST per-request
+        remaining decode budget (max_tokens / max_model_len); requests
+        with less budget idle in the scan past their own limit
+        (step_budget masking) — idle lanes are far cheaper than extra
+        ~25 ms dispatches. One jit specialization per distinct K actually
+        used."""
         K_cap = self.config.tpu_config.multi_step_decode
         if K_cap <= 1 or not self.use_graph_multi_step \
                 or getattr(self.model, "is_encoder_decoder", False):
@@ -1444,8 +1536,6 @@ class ModelRunner:
             # multi-step scan samples K tokens without a draft ingest.
             return 1, None
         if so.scheduled_spec_decode_tokens or so.grammar_bitmask is not None:
-            return 1, None
-        if flags.do_penalties or flags.do_dry or flags.do_ngram:
             return 1, None
         max_len = self.config.scheduler_config.max_model_len
         budgets = []
