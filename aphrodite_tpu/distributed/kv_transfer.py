@@ -22,6 +22,20 @@ arbitrary-code-execution), payloads are length-capped
 explicitly configured. The endpoint still carries model activations
 unauthenticated and unencrypted: deploy it on a trusted network segment
 (the reference's NCCL/Mooncake pipes assume the same).
+
+EXPLICITLY DROPPED (drop-ledger, quantization/__init__.py style): the
+reference's pluggable connector zoo (KVConnectorBase subclasses —
+PyNcclConnector, MooncakeConnector, LMCacheConnector,
+MooncakeStoreConnector, kv_connector/base.py:24). Rationale: every one
+of them exists to pick a GPU-side transport (NCCL p2p, RDMA libraries,
+a CUDA-aware cache service) — none of which exist on TPU, where the
+only way off the chip is host DMA and then the host NIC. Once the data
+plane is host-to-host bytes, one length-prefixed ZMQ pipe IS the
+transport-general design; a connector interface would abstract over a
+single implementation. The extension point that matters — WHERE pages
+are injected — is the prefix cache (seed_pages), which any future
+transport can call; an external cache service (LMCache-style) would
+implement the same lookup-buffer REQ/REP protocol out of process.
 """
 from __future__ import annotations
 

@@ -151,6 +151,7 @@ class LlamaForCausalLM:
             for name, shape in self._layer_shapes().items()
         }
         params: dict = {"layers": layer_bufs}
+        kv_scales = None  # calibrated per-layer fp8 KV scales, if shipped
         seen = set()
         for name, w in weights:
             if name.endswith("rotary_emb.inv_freq"):
@@ -166,6 +167,25 @@ class LlamaForCausalLM:
             elif name.startswith("model.layers."):
                 rest = name[len("model.layers."):]
                 idx_str, sub = rest.split(".", 1)
+                leaf = sub.rsplit(".", 1)[-1]
+                if "self_attn" in sub and leaf in ("k_scale", "v_scale",
+                                                   "kv_scale"):
+                    # Calibrated KV-cache scales (reference
+                    # aphrodite/quantization/kv_cache.py:10; kv_scale is
+                    # the legacy combined form). Stored per layer and
+                    # folded into q / the attention output at apply time.
+                    if kv_scales is None:
+                        kv_scales = {"k": np.ones((self.num_layers,),
+                                                  np.float32),
+                                     "v": np.ones((self.num_layers,),
+                                                  np.float32)}
+                    val = float(w.reshape(-1)[0])
+                    if leaf in ("k_scale", "kv_scale"):
+                        kv_scales["k"][int(idx_str)] = val
+                    if leaf in ("v_scale", "kv_scale"):
+                        kv_scales["v"][int(idx_str)] = val
+                    seen.add(name)
+                    continue
                 mapped = self._HF_LAYER_MAP.get(sub)
                 if mapped is None:
                     continue
@@ -175,6 +195,10 @@ class LlamaForCausalLM:
                 layer_bufs[key][int(idx_str)] = (
                     w.T if transpose else w).astype(target)
             seen.add(name)
+        if kv_scales is not None and (np.any(kv_scales["k"] != 1.0)
+                                      or np.any(kv_scales["v"] != 1.0)):
+            layer_bufs["kv_k_scale"] = kv_scales["k"]
+            layer_bufs["kv_v_scale"] = kv_scales["v"]
         if "embed" not in params:
             raise ValueError("checkpoint missing model.embed_tokens.weight")
         return params
@@ -356,7 +380,17 @@ class LlamaForCausalLM:
                 k = phln(k, lp["k_ln_w"], lp["k_ln_b"])
             q = apply_rope(q, c_rope, s_rope)
             k = apply_rope(k, c_rope, s_rope)
-            return q, k, v.reshape(T, nkv, hd)
+            v = v.reshape(T, nkv, hd)
+            if "kv_k_scale" in lp:
+                # Calibrated fp8-KV scales: the cache stores k/ks and v/vs;
+                # q·k is bilinear so q absorbs ks BEFORE the kernel, and
+                # the attention output absorbs vs in finish_layer — the
+                # Pallas kernels never see a scale (reference applies them
+                # inside paged_attention, quantization/kv_cache.py).
+                q = q * lp["kv_k_scale"].astype(q.dtype)
+                k = k / lp["kv_k_scale"].astype(k.dtype)
+                v = v / lp["kv_v_scale"].astype(v.dtype)
+            return q, k, v
 
         def make_lin(lp):
             def lin(h, key, bias=None):
@@ -371,6 +405,8 @@ class LlamaForCausalLM:
 
         def finish_layer(x, o, lp, lin):
             T = o.shape[0]
+            if "kv_v_scale" in lp:
+                o = o * lp["kv_v_scale"].astype(o.dtype)
             x = self._sp(x + lin(o.reshape(T, nq * hd), "wo"))
             h = rms_norm(x, lp["post_norm"], self.rms_eps)
             return self._sp(x + self._mlp(h, lp, lin=lin))

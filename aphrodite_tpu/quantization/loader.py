@@ -270,10 +270,16 @@ def load_llama_quantized(model, weights: Iterable[tuple[str, np.ndarray]],
                         matched = True
                     break
             if not matched:
+                leaf = sub.rsplit(".", 1)[-1]
                 if sub == "input_layernorm.weight":
                     other[f"input_norm.{li}"] = np.asarray(w)
                 elif sub == "post_attention_layernorm.weight":
                     other[f"post_norm.{li}"] = np.asarray(w)
+                elif "self_attn" in sub and leaf in ("k_scale", "v_scale",
+                                                     "kv_scale"):
+                    # Calibrated fp8-KV scales shipped by fp8-serialized
+                    # checkpoints (reference quantization/kv_cache.py:10).
+                    other[f"{leaf}.{li}"] = np.asarray(w)
 
     L = model.num_layers
     layers: dict = {}
@@ -284,6 +290,22 @@ def load_llama_quantized(model, weights: Iterable[tuple[str, np.ndarray]],
             if t is not None:
                 buf[li] = t.astype(target)
         layers[norm] = buf
+    if any(k.startswith(("k_scale.", "v_scale.", "kv_scale."))
+           for k in other):
+        ks = np.ones((L,), np.float32)
+        vs = np.ones((L,), np.float32)
+        for li in range(L):
+            both = other.get(f"kv_scale.{li}")
+            k_t, v_t = other.get(f"k_scale.{li}"), other.get(f"v_scale.{li}")
+            if both is not None:
+                ks[li] = vs[li] = float(both.reshape(-1)[0])
+            if k_t is not None:
+                ks[li] = float(k_t.reshape(-1)[0])
+            if v_t is not None:
+                vs[li] = float(v_t.reshape(-1)[0])
+        if np.any(ks != 1.0) or np.any(vs != 1.0):
+            layers["kv_k_scale"] = ks
+            layers["kv_v_scale"] = vs
 
     for key in QUANTIZABLE:
         per_layer = []

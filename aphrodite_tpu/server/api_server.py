@@ -44,28 +44,10 @@ def _decode_image_url(url: str):
         raise ValueError(f"invalid image data URL: {e}") from e
 
 
-def _decode_wav(data: bytes):
-    """WAV bytes -> (mono float32 waveform, sample_rate) via stdlib."""
-    import io
-    import wave
-    import numpy as np
-    with wave.open(io.BytesIO(data)) as w:
-        sr = w.getframerate()
-        n_ch = w.getnchannels()
-        width = w.getsampwidth()
-        frames = w.readframes(w.getnframes())
-    if width == 2:
-        arr = np.frombuffer(frames, np.int16).astype(np.float32) / 32768.0
-    elif width == 4:
-        arr = np.frombuffer(frames, np.int32).astype(np.float32) / 2**31
-    elif width == 1:
-        arr = (np.frombuffer(frames, np.uint8).astype(np.float32)
-               - 128.0) / 128.0
-    else:
-        raise ValueError(f"unsupported WAV sample width {width}")
-    if n_ch > 1:
-        arr = arr.reshape(-1, n_ch).mean(axis=1)
-    return arr, sr
+# WAV via stdlib + from-scratch FLAC; recognized lossy formats get a
+# transcode hint (aphrodite_tpu/audio.py; reference decodes via librosa,
+# serving_transcription.py:160).
+from aphrodite_tpu.audio import decode_audio as _decode_audio
 
 
 def _err(msg: str, code: int = 400, etype: str = "BadRequestError"
@@ -201,7 +183,7 @@ class OpenAIServer:
             up = form.get("file")
             if up is None:
                 return _err("missing 'file' form field")
-            wav, sr = _decode_wav(up.file.read())
+            wav, sr = _decode_audio(up.file.read())
             temperature = float(form.get("temperature", 0) or 0)
             language = form.get("language")
         except Exception as e:

@@ -49,25 +49,54 @@ def _tinyllama_config():
 
 
 def _run(llm, prompts, decode_len, runs=3):
+    """Phase-split measurement (VERDICT r4 #4: do not credit
+    prefix-cache-served prefill as throughput).
+
+    - cold prefill: prefix cache reset, max_tokens=1 — honest chunked-
+      prefill tokens/s (the 1 decode step is ~1/64 of the work).
+    - cold total: prefix cache reset, the full workload — the number a
+      first-time user sees; total_tokens_per_s is computed from THIS.
+    - warm run (prefix cache serves the prompts): the decode-dominated
+      geometry rounds 1-4 reported; decode tokens/s and the
+      seconds_per_run regression gate (tests/tpu/test_perf.py) keep
+      this definition.
+    """
     from aphrodite_tpu.sampling_params import SamplingParams
     params = SamplingParams(temperature=0.0, max_tokens=decode_len,
                             ignore_eos=True)
+    one = SamplingParams(temperature=0.0, max_tokens=1, ignore_eos=True)
     llm.generate(prompts, params)  # warmup / compile
-    times = []
+    n_prompt = sum(len(p) for p in prompts)
+    n_tok = len(prompts) * decode_len
+
+    prefill_times, cold_times, warm_times = [], [], []
     for _ in range(runs):
+        llm.engine.reset_prefix_cache()
+        t0 = time.perf_counter()
+        llm.generate(prompts, one)
+        prefill_times.append(time.perf_counter() - t0)
+    for _ in range(runs):
+        llm.engine.reset_prefix_cache()
         t0 = time.perf_counter()
         llm.generate(prompts, params)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    n_tok = len(prompts) * decode_len
-    n_all = sum(len(p) for p in prompts) + n_tok
+        cold_times.append(time.perf_counter() - t0)
+    for _ in range(runs):  # prompts now prefix-cached
+        t0 = time.perf_counter()
+        llm.generate(prompts, params)
+        warm_times.append(time.perf_counter() - t0)
+    prefill_s = min(prefill_times)
+    cold_s = min(cold_times)
+    warm_s = min(warm_times)
     # Latency percentiles (TTFT/TPOT/ITL) come from the serve harness
     # (`aphrodite-tpu bench serve`), where request arrival is modeled;
     # offline fused decode windows deliver whole requests in one event.
     return {
-        "decode_tokens_per_s_per_chip": round(n_tok / dt, 1),
-        "total_tokens_per_s_per_chip": round(n_all / dt, 1),
-        "seconds_per_run": round(dt, 3),
+        "decode_tokens_per_s_per_chip": round(n_tok / warm_s, 1),
+        "cold_prefill_tokens_per_s_per_chip": round(n_prompt / prefill_s, 1),
+        "total_tokens_per_s_per_chip": round((n_prompt + n_tok) / cold_s, 1),
+        "seconds_per_run": round(warm_s, 3),
+        "cold_seconds_per_run": round(cold_s, 3),
+        "cold_prefill_seconds": round(prefill_s, 3),
     }
 
 
