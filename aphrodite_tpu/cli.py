@@ -83,6 +83,25 @@ def main(argv=None) -> None:
     launch_p.add_argument("engine_args", nargs=argparse.REMAINDER,
                           help="arguments forwarded to run/follower")
 
+    warm_p = sub.add_parser(
+        "warmup",
+        help="build the engine, precompile its hot programs, and "
+             "optionally export the XLA compile cache as a tarball for "
+             "shipping to same-TPU-generation hosts (cold-start budget: "
+             "a fresh host otherwise pays minutes of compiles before the "
+             "first token)")
+    EngineArgs.add_cli_args(warm_p)
+    warm_p.add_argument("--export", dest="export_tar", default=None,
+                        metavar="TAR",
+                        help="after warming, tar the compile cache here")
+    warm_p.add_argument("--import", dest="import_tar", default=None,
+                        metavar="TAR",
+                        help="before warming, untar a shipped cache into "
+                             "this host's cache dir")
+    warm_p.add_argument("--import-only", action="store_true",
+                        help="only import the tarball; skip the engine "
+                             "build (placement scripts warm lazily)")
+
     sub.add_parser("collect-env",
                    help="print environment info for bug reports "
                         "(reference: endpoints/cli/collect_env.py)")
@@ -131,6 +150,52 @@ def main(argv=None) -> None:
         run_batch(engine_args.create_engine_config(),
                   args.served_model_name or engine_args.model,
                   args.input_file, args.output_file)
+    elif args.cmd == "warmup":
+        warmup(args)
+
+
+def warmup(args) -> None:
+    """Cold-start management (VERDICT r4 #7): precompile the engine's hot
+    programs through the REAL engine loop, then optionally export the
+    jax persistent-cache entries as a tarball. On a fresh same-generation
+    host, `warmup --import cache.tar` (or --import-only in a placement
+    script) turns minutes of first-request compiles into cache hits —
+    the jax-level entries are host-portable because
+    jax_persistent_cache_enable_xla_caches="none" keeps machine-specific
+    XLA:CPU AOT artifacts out of the cache (worker.compile_cache_dir)."""
+    import os
+    import tarfile
+    import time
+
+    from aphrodite_tpu.engine.args import EngineArgs
+    from aphrodite_tpu.worker.worker import compile_cache_dir
+
+    cache_dir = compile_cache_dir()
+    if args.import_tar:
+        os.makedirs(cache_dir, exist_ok=True)
+        t0 = time.time()
+        with tarfile.open(args.import_tar) as tf:
+            tf.extractall(cache_dir, filter="data")
+        n = len(os.listdir(cache_dir))
+        print(f"imported compile cache -> {cache_dir} "
+              f"({n} entries, {time.time()-t0:.1f}s)")
+        if args.import_only:
+            return
+    t0 = time.time()
+    config = EngineArgs.from_cli_args(args).create_engine_config()
+    from aphrodite_tpu.engine.llm_engine import LLMEngine
+    engine = LLMEngine(config)
+    t1 = time.time()
+    engine.core.precompile()
+    t2 = time.time()
+    print(f"warmup: engine init {t1-t0:.1f}s + precompile {t2-t1:.1f}s "
+          f"= {t2-t0:.1f}s total")
+    if args.export_tar:
+        with tarfile.open(args.export_tar, "w") as tf:
+            tf.add(cache_dir, arcname=".")
+        sz = os.path.getsize(args.export_tar) / 2**20
+        print(f"exported compile cache ({sz:.0f} MiB) -> "
+              f"{args.export_tar}")
 
 
 def collect_env() -> None:

@@ -42,6 +42,32 @@ def load_params_to_device(host_params, model, mesh):
     return rec(host_params, specs)
 
 
+def compile_cache_dir() -> str:
+    """This host's persistent-cache directory, keyed by a CPU-feature
+    fingerprint: XLA:CPU AOT results encode CPU features, and reusing
+    them on a different machine can SIGILL (observed as cpu_aot_loader
+    warnings when one cache dir was shared across heterogeneous hosts).
+    The jax-level entries themselves are portable (TPU executables carry
+    no host CPU code) — `aphrodite-tpu warmup --export/--import` ships
+    them between same-TPU-generation hosts into each host's keyed dir."""
+    import hashlib
+    import os
+    import platform
+    feat = platform.machine() + platform.processor()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feat += line
+                    break
+    except OSError:
+        pass
+    tag = hashlib.sha256(feat.encode()).hexdigest()[:12]
+    return os.environ.get(
+        "APHRODITE_COMPILE_CACHE_DIR",
+        os.path.expanduser(f"~/.cache/aphrodite_tpu/xla2-{tag}"))
+
+
 def _enable_compile_cache() -> None:
     """Persistent XLA compilation cache: a cold engine start compiles
     ~10 large programs at 20-40 s each on a tunneled TPU; the disk cache
@@ -52,29 +78,21 @@ def _enable_compile_cache() -> None:
     if os.environ.get("APHRODITE_DISABLE_COMPILE_CACHE") == "1":
         return
     try:
-        # Key the cache by a host-machine fingerprint: XLA:CPU AOT results
-        # encode CPU features, and reusing them on a different machine can
-        # SIGILL (observed as cpu_aot_loader warnings when one cache dir
-        # was shared across heterogeneous hosts). TPU entries are
-        # machine-independent but cheap to redo per host class.
-        import hashlib
-        import platform
-        feat = platform.machine() + platform.processor()
-        try:
-            with open("/proc/cpuinfo") as f:
-                for line in f:
-                    if line.startswith("flags"):
-                        feat += line
-                        break
-        except OSError:
-            pass
-        tag = hashlib.sha256(feat.encode()).hexdigest()[:12]
-        path = os.environ.get(
-            "APHRODITE_COMPILE_CACHE_DIR",
-            os.path.expanduser(f"~/.cache/aphrodite_tpu/xla2-{tag}"))
+        path = compile_cache_dir()
         os.makedirs(path, exist_ok=True)
+        prev = jax.config.jax_compilation_cache_dir
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if prev is not None and prev != path:
+            # jax's compilation cache latches its directory on first use;
+            # honor a changed APHRODITE_COMPILE_CACHE_DIR mid-process.
+            try:
+                from jax._src import compilation_cache as _cc
+                _cc.reset_cache()
+            except Exception:
+                pass
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          float(os.environ.get(
+                              "APHRODITE_CACHE_MIN_COMPILE_SECS", "1.0")))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         try:
             # XLA:CPU AOT executables embed the COMPILE machine's CPU

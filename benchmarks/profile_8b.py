@@ -63,13 +63,31 @@ def _time_once(fn, x0, c):
 
 def micro(quant: str):
     """Chained decode-GEMM streams at the exact 8B per-layer shapes:
-    the weight-stream roofline the engine step is held against."""
+    the weight-stream roofline the engine step is held against.
+
+    Column consumption MUST be via argmax (r4 verdict weak #2): a
+    `y.sum(axis=1)` witness is algebraically rewritten by XLA into
+    `x @ W.sum(axis=1)` whose weight reduction is loop-invariant and
+    hoisted out of the chain — the benched loop then reads only the
+    SLICED weight columns, inflating GB/s past the HBM peak (the round-4
+    lm_head artifact: 1,063 GB/s on an 819 GB/s part). argmax cannot be
+    simplified through the dot, so every column must be computed and
+    every weight byte read, every iteration."""
     import jax
     import jax.numpy as jnp
 
     M = 32  # decode batch
     results = {}
     key = jax.random.PRNGKey(0)
+
+    def consume(y, keep):
+        """Truncate to `keep` columns while making ALL columns (and thus
+        the full weight read) data-live via an argmax witness."""
+        ix = jnp.argmax(y, axis=1, keepdims=True).astype(jnp.bfloat16)
+        out = y[:, :keep].astype(jnp.bfloat16) + ix * jnp.bfloat16(1e-9)
+        if out.shape[1] < keep:
+            out = jnp.pad(out, ((0, 0), (0, keep - out.shape[1])))
+        return out
 
     if quant == "w4a16":
         # the production decode path: XLA int4 grouped dot
@@ -102,18 +120,19 @@ def micro(quant: str):
             per_layer_bytes += K // 2 * N + 2 * (K // GROUP) * N * 4
 
         def one_layer(x, l, ws):
-            """Real decode dataflow: qkv -> o -> gate_up -> down."""
+            """Real decode dataflow: qkv -> o -> gate_up -> down.
+            Every truncation goes through consume() — a bare y[:, :k]
+            would let XLA skip reading the discarded weight columns."""
             qp, sc, zr = ws["qkv"]
             y = w4(x, qp[l], sc[l], zr[l])              # [M, 6144]
             qp, sc, zr = ws["o"]
-            y = w4(y[:, :HEADS * HD].astype(jnp.bfloat16),
-                   qp[l], sc[l], zr[l])                 # [M, H]
-            h = y.astype(jnp.bfloat16)
+            y = w4(consume(y, HEADS * HD), qp[l], sc[l], zr[l])  # [M, H]
+            h = consume(y, H)
             qp, sc, zr = ws["gate_up"]
             y = w4(h, qp[l], sc[l], zr[l])              # [M, 2I]
             qp, sc, zr = ws["down"]
-            y = w4(y[:, :I].astype(jnp.bfloat16), qp[l], sc[l], zr[l])
-            return y.astype(jnp.bfloat16)               # [M, H]
+            y = w4(consume(y, I), qp[l], sc[l], zr[l])
+            return consume(y, H)                        # [M, H]
 
         @functools.partial(jax.jit, static_argnames=("chain",))
         def chained_w(x, ws, chain):
@@ -145,10 +164,8 @@ def micro(quant: str):
             @functools.partial(jax.jit, static_argnames=("chain", "K"))
             def proj_jit(x, qp, sc, zr, chain, K):
                 def body(xc, l):
-                    y = w4(xc, qp[l], sc[l], zr[l]).astype(jnp.bfloat16)
-                    if y.shape[1] >= K:
-                        return y[:, :K], None
-                    return jnp.pad(y, ((0, 0), (0, K - y.shape[1]))), None
+                    y = w4(xc, qp[l], sc[l], zr[l])
+                    return consume(y, K), None
                 def rep(xc, _):
                     out, _ = jax.lax.scan(body, xc,
                                           jnp.arange(L, dtype=jnp.int32))
@@ -183,23 +200,17 @@ def micro(quant: str):
                         preferred_element_type=jnp.float32)
             return y * sc[None, :]
 
-        def take(y, n):
-            # consume ALL columns (cheap sum) so XLA cannot DCE the
-            # unused part of the GEMM + its weight read
-            return (y[:, :n] + y.sum(axis=1, keepdims=True) * 1e-9
-                    ).astype(jnp.bfloat16)
-
         def one_layer(x, l, ws):
             qw, sc = ws["qkv"]
             y = mm(x, qw[l], sc[l])
             qw, sc = ws["o"]
-            y = mm(take(y, HEADS * HD), qw[l], sc[l])
-            h = take(y, H)
+            y = mm(consume(y, HEADS * HD), qw[l], sc[l])
+            h = consume(y, H)
             qw, sc = ws["gate_up"]
             y = mm(h, qw[l], sc[l])
             qw, sc = ws["down"]
-            y = mm(take(y, I), qw[l], sc[l])
-            return take(y, H)
+            y = mm(consume(y, I), qw[l], sc[l])
+            return consume(y, H)
 
         @functools.partial(jax.jit, static_argnames=("chain",))
         def chained_w(x, ws, chain):
@@ -233,9 +244,10 @@ def micro(quant: str):
     def lm_jit(x, w, chain):
         def body(xc, _):
             y = jnp.dot(xc, w, preferred_element_type=jnp.float32)
-            # consume all V columns so the weight read cannot be DCE'd
-            return ((y[:, :H] + y.sum(axis=1, keepdims=True) * 1e-9)
-                    / np.float32(V)).astype(jnp.bfloat16), None
+            # argmax witness: the real sampler's consumption pattern, and
+            # the one XLA cannot rewrite into a hoisted weight reduction
+            return (consume(y, H) / np.float32(V)).astype(jnp.bfloat16), \
+                None
         out, _ = jax.lax.scan(body, x, None, length=chain)
         return out
 
@@ -251,6 +263,115 @@ def micro(quant: str):
     print("lm_head [32x4096]x[4096x128256]:", results["lm_head"],
           flush=True)
     return results
+
+
+def components(quant: str, micro_results: dict) -> dict:
+    """In-engine step-wall decomposition (VERDICT r4 #3): attention
+    window, sampler, KV window flush, measured at the exact config-2/3
+    decode geometry, so the engine's ms/sub-step sums to named parts
+    plus an explicit residual (norms/rope/residual-adds/scan glue)."""
+    import jax
+    import jax.numpy as jnp
+
+    out = {}
+
+    # -- decode attention: the real window kernel, one call = one layer --
+    from benchmarks.decode_attn_roofline import bench_case
+    ctx = PREFIX_LEN + DECODE_LEN // 2  # mid-window context
+    kv_dtype = "fp8" if quant == "fp8" else "bf16"
+    ms, gib, gbps = bench_case(R=NUM_PROMPTS, ctx=ctx, kvh=KVH,
+                               group=HEADS // KVH, hd=HD, page=64,
+                               L=4, Kw=64)
+    attn_ms = ms * L
+    out["attention_window"] = {
+        "ms_per_substep_32_layers": round(attn_ms, 2),
+        "kv_gib_per_layer": round(gib, 4),
+        "achieved_gbps": round(gbps, 1),
+        "note": f"bf16 KV benched; config-3 streams {kv_dtype}"}
+    print(f"attn window ({NUM_PROMPTS}r x ctx{ctx} x {KVH}kvh x32L): "
+          f"{attn_ms:.2f} ms/substep @ {gbps:.0f} GB/s", flush=True)
+
+    # -- sampler: greedy argmax over [R, V] f32 logits (config-2 flags) --
+    logits0 = jax.random.normal(jax.random.PRNGKey(2),
+                                (NUM_PROMPTS, V), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("chain",))
+    def samp(lg, chain):
+        def body(c, _):
+            tok = jnp.argmax(lg + c[:, None], axis=-1).astype(jnp.int32)
+            lp = jnp.take_along_axis(
+                jax.nn.log_softmax(lg + c[:, None], axis=-1),
+                tok[:, None], axis=1)[:, 0]
+            return lp.astype(jnp.float32), None
+        outv, _ = jax.lax.scan(body, jnp.zeros((NUM_PROMPTS,),
+                                               jnp.float32), None,
+                               length=chain)
+        return outv
+
+    dts = []
+    for c in (8, 24):
+        _sync(samp(logits0, c))
+        dts.append(min(_time_once(samp, logits0, c) for _ in range(3)))
+    samp_ms = (dts[1] - dts[0]) / 16 * 1e3
+    out["sampler_greedy"] = {"ms": round(samp_ms, 3)}
+    print(f"sampler (greedy+logprob, [32x{V}]): {samp_ms:.3f} ms",
+          flush=True)
+
+    # -- KV window-tail flush: once per WINDOW, amortized over K steps --
+    K = 64
+    page = 64
+    LB = 4  # bench a 4-layer slice, scale to the full 32
+    P = NUM_PROMPTS * ((ctx + DECODE_LEN) // page + 2)
+    kv = jnp.zeros((LB, P, 2, KVH, page, HD), jnp.bfloat16)
+    tk = jnp.ones((LB, NUM_PROMPTS, KVH, K, HD), jnp.bfloat16)
+    paged_lens = jnp.full((NUM_PROMPTS,), ctx, jnp.int32)
+    bt = jnp.arange(NUM_PROMPTS * (P // NUM_PROMPTS),
+                    dtype=jnp.int32).reshape(NUM_PROMPTS, -1)
+
+    @jax.jit
+    def flush(kv, tk, tv, paged_lens, bt):
+        j = jnp.arange(K, dtype=jnp.int32)
+        abs_pos = paged_lens[:, None] + j[None, :]
+        pages = jnp.take_along_axis(bt, abs_pos // page, axis=1)
+        pf = pages.reshape(-1)
+        of = (abs_pos % page).reshape(-1)
+        val_k = tk.transpose(1, 3, 0, 2, 4).reshape(
+            NUM_PROMPTS * K, LB, KVH, HD)
+        val_v = tv.transpose(1, 3, 0, 2, 4).reshape(
+            NUM_PROMPTS * K, LB, KVH, HD)
+        kv = kv.at[:, pf, 0, :, of, :].set(val_k, mode="drop")
+        kv = kv.at[:, pf, 1, :, of, :].set(val_v, mode="drop")
+        return kv
+
+    _sync(flush(kv, tk, tk, paged_lens, bt)[0, 0, 0, 0, 0])
+    t0 = time.perf_counter()
+    _sync(flush(kv, tk, tk, paged_lens, bt)[0, 0, 0, 0, 0])
+    flush_s = time.perf_counter() - t0
+    # One flush covers LB benched layers x K steps; scale to 32 layers,
+    # amortize per sub-step. (Includes the dispatch sync: upper bound.)
+    flush_ms = flush_s * (L / LB) / K * 1e3
+    out["kv_window_flush"] = {"ms_per_substep_amortized": round(
+        flush_ms, 3)}
+    print(f"kv flush (amortized /substep, 32L): {flush_ms:.3f} ms",
+          flush=True)
+
+    # -- assemble the table --------------------------------------------
+    gemm_key = "w4_all_layers" if quant == "w4a16" else "fp8_all_layers"
+    gemm_ms = micro_results.get(gemm_key, {}).get("ms_per_model_pass")
+    lm_ms = micro_results.get("lm_head", {}).get("ms")
+    if gemm_ms is not None and lm_ms is not None:
+        accounted = gemm_ms + lm_ms + attn_ms + samp_ms + flush_ms
+        out["accounted_ms_per_substep"] = {
+            "gemms": gemm_ms, "lm_head": lm_ms,
+            "attention": round(attn_ms, 2),
+            "sampler": round(samp_ms, 3),
+            "kv_flush": round(flush_ms, 3),
+            "total": round(accounted, 2)}
+        print(f"accounted: {accounted:.2f} ms/substep "
+              f"(gemm {gemm_ms} + lm_head {lm_ms} + attn {attn_ms:.2f} "
+              f"+ sampler {samp_ms:.2f} + flush {flush_ms:.2f})",
+              flush=True)
+    return out
 
 
 def engine_profile(quant: str):
@@ -369,8 +490,17 @@ def main():
     res = {"config": f"llama-3.1-8B-class {quant}, 32x(512+64), bs<=32"}
     if "--engine-only" not in sys.argv:
         res["micro"] = micro(quant)
+        res["components"] = components(quant, res["micro"])
     if "--micro-only" not in sys.argv:
         res["engine"] = engine_profile(quant)
+        acc = res.get("components", {}).get("accounted_ms_per_substep")
+        eng = res["engine"].get("ms_per_decode_substep")
+        if acc and eng:
+            res["unattributed_ms_per_substep"] = round(
+                eng - acc["total"], 2)
+            print(f"engine substep {eng} ms vs accounted "
+                  f"{acc['total']} ms -> unattributed "
+                  f"{res['unattributed_ms_per_substep']} ms", flush=True)
     with open(f"benchmarks/profile_8b_{quant}.json", "w") as f:
         json.dump(res, f, indent=1)
     print(f"wrote benchmarks/profile_8b_{quant}.json")

@@ -23,6 +23,85 @@ def _llama8b_config():
         rope_theta=500000.0, architectures=["LlamaForCausalLM"])
 
 
+def _install_profiler(engine) -> dict:
+    """Timeline instrumentation for the in-proc serving loop: every
+    engine.step() call (outer wall + what it dispatched/realized) and the
+    gaps BETWEEN steps (asyncio/executor latency the device sees as
+    idle)."""
+    import time as _t
+    core = engine.engine.core
+    runner = core.worker.runner
+    tl = {"steps": [], "dispatch": [], "realize": []}
+
+    orig_step = engine.engine.step
+
+    def step_timed():
+        t0 = _t.perf_counter()
+        out = orig_step()
+        tl["steps"].append((t0, _t.perf_counter() - t0, len(out)))
+        return out
+    engine.engine.step = step_timed
+
+    orig_ms = runner._execute_multi_step
+    orig_fw = runner._maybe_fused_window
+
+    def ms_timed(*a, **k):
+        t0 = _t.perf_counter()
+        out = orig_ms(*a, **k)
+        tl["dispatch"].append((t0, _t.perf_counter() - t0, "multi"))
+        return out
+
+    def fw_timed(*a, **k):
+        t0 = _t.perf_counter()
+        out = orig_fw(*a, **k)
+        tl["dispatch"].append((t0, _t.perf_counter() - t0,
+                               "fused" if out is not None else "none"))
+        return out
+    runner._execute_multi_step = ms_timed
+    runner._maybe_fused_window = fw_timed
+
+    orig_realize = core._realize_one
+
+    def realize_timed():
+        t0 = _t.perf_counter()
+        out = orig_realize()
+        tl["realize"].append((t0, _t.perf_counter() - t0, len(out)))
+        return out
+    core._realize_one = realize_timed
+    return tl
+
+
+def _report_timeline(tl) -> None:
+    steps = tl["steps"]
+    if len(steps) < 2:
+        return
+    gaps = [steps[i + 1][0] - (steps[i][0] + steps[i][1])
+            for i in range(len(steps) - 1)]
+    tot = steps[-1][0] + steps[-1][1] - steps[0][0]
+    in_step = sum(s[1] for s in steps)
+    print(f"# timeline: {len(steps)} engine.step calls over {tot:.2f}s: "
+          f"{in_step:.2f}s inside step(), "
+          f"{sum(gaps):.2f}s in asyncio gaps "
+          f"(mean gap {np.mean(gaps)*1e3:.1f} ms, "
+          f"p99 {np.percentile(gaps, 99)*1e3:.1f} ms)", file=sys.stderr,
+          flush=True)
+    for tag in ("dispatch", "realize"):
+        rows = tl[tag]
+        if rows:
+            durs = [r[1] for r in rows]
+            print(f"#   {tag}: n={len(rows)} total {sum(durs):.2f}s "
+                  f"mean {np.mean(durs)*1e3:.1f} ms "
+                  f"max {max(durs)*1e3:.1f} ms", file=sys.stderr,
+                  flush=True)
+    slow = sorted(steps, key=lambda s: -s[1])[:5]
+    print(f"#   slowest steps: "
+          f"{[round(s[1]*1e3) for s in slow]} ms", file=sys.stderr,
+          flush=True)
+
+
+import numpy as np  # noqa: E402
+
+
 def main():
     from aphrodite_tpu.benchmarks.harness import bench_serve_async
     from aphrodite_tpu.engine.async_llm import AsyncLLM
@@ -49,13 +128,18 @@ def main():
     print(f"# precompile {time.time()-t0:.1f}s", file=sys.stderr,
           flush=True)
 
+    profile = "--profile" in sys.argv
+
     async def run():
         # warmup (compiles the serving buckets)
         await bench_serve_async(engine, num_prompts=8, input_len=512,
                                 output_len=16)
         results = {}
-        for rate, tag in ((float("inf"), "burst"), (8.0, "poisson_8rps"),
-                          (2.0, "poisson_2rps")):
+        rates = ([(float("inf"), "burst")] if profile else
+                 [(float("inf"), "burst"), (8.0, "poisson_8rps"),
+                  (2.0, "poisson_2rps")])
+        for rate, tag in rates:
+            tl = _install_profiler(engine) if profile else None
             r = await bench_serve_async(engine, num_prompts=32,
                                         input_len=512, output_len=64,
                                         request_rate=rate)
@@ -65,9 +149,13 @@ def main():
                   f"p99 TTFT {r['p99_ttft_ms']:.0f} ms, "
                   f"out tok/s {r['output_token_throughput']:.0f}",
                   flush=True)
+            if tl is not None:
+                _report_timeline(tl)
         return results
 
     results = asyncio.get_event_loop().run_until_complete(run())
+    if profile:
+        return
     out = {
         "config": "Llama-3.1-8B-class W4A16 (int4 resident), 1 v5e chip, "
                   "32 x (512 prompt + 64 decode), online AsyncLLM serving",
