@@ -170,6 +170,19 @@ def load_model_params(model, model_config: ModelConfig,
         logger.info("loading pre-sharded state from %s", model_config.model)
         params = load_sharded_state(str(model_config.model))
     elif fmt == "dummy":
+        if (quant_config is not None and mesh is None
+                and jax.default_backend() == "tpu"
+                and quant_config.method in ("gptq", "awq", "int8",
+                                            "w8a16", "fp8")
+                and not quant_config.lm_head_quantized):
+            # Device-side generate+quantize: host-initialized dummy
+            # weights cost minutes of h2d through a tunneled chip (~10
+            # MB/s observed; an 8B engine spent ~8 of its 9 init minutes
+            # in the transfer). Each leaf is generated AND quantized on
+            # the chip, and W4 leaves come out directly in the pinned
+            # int4-resident format — no transfer, no realize pass.
+            return _dummy_quantized_on_device(model, quant_config,
+                                              rng_seed)
         if quant_config is not None:
             # Initialize on the host CPU backend: quantization needs numpy,
             # and pulling GBs back from a (possibly tunneled) accelerator is
@@ -236,10 +249,144 @@ def load_model_params(model, model_config: ModelConfig,
         params = jax.tree.map(jax.device_put, params)
     if jax.default_backend() == "tpu" and mesh is None:
         params = realize_int4_leaves(params)
+        params = _ensure_int4_pinned(params)
     return params
 
 
 import functools as _functools
+
+
+def _dummy_quantized_on_device(model, qcfg, rng_seed: int) -> dict:
+    """Dummy + quantized weights generated ON DEVICE (TPU, single-chip).
+
+    The shape tree comes from eval_shape(init_dummy_params); every leaf
+    is then produced by a small per-shape jit on the chip — random bf16
+    for plain leaves, fused generate+quantize (chunked per layer with
+    lax.map so the fp32 intermediates never exceed one layer) for the
+    quantizable stacks. gptq/awq leaves are emitted as native jnp.int4
+    in the pinned resident format (_int4_format_for), so the loader's
+    pack/realize passes are skipped entirely.
+    Values are dummy by definition; only shapes/dtypes/layouts matter.
+    """
+    import jax.numpy as jnp
+    from aphrodite_tpu.quantization.loader import QUANTIZABLE
+
+    shapes = jax.eval_shape(model.init_dummy_params, jax.random.PRNGKey(0))
+    if hasattr(model, "quant_targets"):
+        targets = set(model.quant_targets())
+    else:
+        targets = {("layers", k) for k in QUANTIZABLE}
+    base = jax.random.PRNGKey(rng_seed)
+    counter = [0]
+
+    @_functools.partial(jax.jit, static_argnums=(1, 2))
+    def gen_plain(key, shape, dtype):
+        if jnp.issubdtype(dtype, jnp.floating):
+            return (0.02 * jax.random.normal(key, shape, jnp.float32)
+                    ).astype(dtype)
+        return jnp.zeros(shape, dtype)
+
+    def make_q4(key, shape, g):
+        L, K, N = shape
+        G = K // g
+        fmt = _int4_format_for(shape)
+
+        @_functools.partial(jax.jit, out_shardings=(fmt, None, None))
+        def f(key):
+            def one(k):
+                w = 0.02 * jax.random.normal(k, (K, N), jnp.float32)
+                wg = w.reshape(G, g, N)
+                wmax = jnp.max(wg, axis=1)
+                wmin = jnp.min(wg, axis=1)
+                scale = jnp.maximum((wmax - wmin) / 15.0, 1e-8)
+                zero = jnp.clip(jnp.round(-wmin / scale), 0, 15)
+                q = jnp.clip(jnp.round(wg / scale[:, None, :])
+                             + zero[:, None, :], 0, 15)
+                q4 = (q - 8).astype(jnp.int4).reshape(K, N)
+                return q4, scale, zero - 8.0
+            return jax.lax.map(one, jax.random.split(key, L))
+        with _cache_bypass():
+            q4, scale, zero = f(key)
+        return {"qweight4": q4, "scales": scale, "zeros": zero}
+
+    def make_q8(key, shape, fp8: bool):
+        lead, (K, N) = shape[:-2], shape[-2:]
+        Lf = int(np.prod(lead)) if lead else 1
+
+        @jax.jit
+        def f(key):
+            def one(k):
+                w = 0.02 * jax.random.normal(k, (K, N), jnp.float32)
+                if fp8:
+                    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0)
+                                        / 448.0, 1e-8)
+                    q = (w / scale[None, :]).astype(jnp.float8_e4m3fn)
+                else:
+                    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0)
+                                        / 127.0, 1e-8)
+                    q = jnp.clip(jnp.round(w / scale[None, :]), -128,
+                                 127).astype(jnp.int8)
+                return q, scale
+            return jax.lax.map(one, jax.random.split(key, Lf))
+        q, scale = f(key)
+        key_name = "weight_scale" if fp8 else "scales"
+        return {"qweight": q.reshape(*lead, K, N),
+                key_name: scale.reshape(*lead, N)}
+
+    def rec(node, path):
+        if isinstance(node, dict):
+            return {k: rec(v, path + (k,)) for k, v in node.items()}
+        counter[0] += 1
+        key = jax.random.fold_in(base, counter[0])
+        if len(path) >= 2 and (path[-2], path[-1]) in targets \
+                and node.ndim >= 3:
+            if qcfg.method in ("gptq", "awq"):
+                if node.ndim != 3:
+                    raise NotImplementedError(
+                        "w4a16 on expert stacks: follow-up (use int8/"
+                        "w8a16/fp8 for MoE)")
+                K = node.shape[-2]
+                g = qcfg.group_size if 0 < qcfg.group_size <= K else K
+                return make_q4(key, node.shape, g)
+            return make_q8(key, node.shape, qcfg.method == "fp8")
+        return gen_plain(key, node.shape, node.dtype)
+
+    params = rec(shapes, ())
+    params = _ensure_int4_pinned(params)
+    logger.info("dummy weights generated + quantized on device (%s)",
+                qcfg.method)
+    return params
+
+
+class _cache_bypass:
+    """Temporarily disable the jax persistent compilation cache.
+
+    The cache's keys do NOT cover sub-byte output-layout pinning
+    (observed: a cached executable for the same HLO silently strips an
+    out_shardings sub_byte_element_size_in_bits=4 pin, leaving int4
+    arrays in the unpinned layout that the next jit boundary then tries
+    to fix with a tunnel-impossible device_put). Layout-sensitive
+    probe/repair compiles run under this guard."""
+
+    def __enter__(self):
+        self._prev = jax.config.jax_compilation_cache_dir
+        if self._prev is not None:
+            jax.config.update("jax_compilation_cache_dir", None)
+            self._reset()
+        return self
+
+    def __exit__(self, *exc):
+        if self._prev is not None:
+            jax.config.update("jax_compilation_cache_dir", self._prev)
+            self._reset()
+
+    @staticmethod
+    def _reset():
+        try:
+            from jax._src import compilation_cache as _cc
+            _cc.reset_cache()
+        except Exception:
+            pass
 
 
 @_functools.lru_cache(maxsize=64)
@@ -249,9 +396,34 @@ def _int4_format_for(shape):
     device_put at the next jit boundary (the tunnel client cannot execute
     it). Pinning the producer's out_shardings to the consumer-expected
     Format makes int4 arrays cross jit boundaries freely."""
-    probe = jax.jit(lambda w: w.reshape(-1)[0].astype(jnp.int32))
-    aval = jax.ShapeDtypeStruct(shape, jnp.int4)
-    return probe.lower(aval).compile().input_formats[0][0]
+    with _cache_bypass():
+        probe = jax.jit(lambda w: w.reshape(-1)[0].astype(jnp.int32))
+        aval = jax.ShapeDtypeStruct(shape, jnp.int4)
+        return probe.lower(aval).compile().input_formats[0][0]
+
+
+def _ensure_int4_pinned(tree):
+    """Fail-fast check that every jnp.int4 leaf carries the pinned
+    resident format. An unpinned S4 array is UNUSABLE: XLA forces packed
+    entry layouts for S4 parameters, so the first consuming dispatch
+    would attempt a relayout device_put the tunnel cannot execute (a
+    RecursionError deep in dispatch). Producers avoid this by compiling
+    under _cache_bypass; this check turns any regression into a clear
+    error at load time instead."""
+    int4 = jnp.dtype(jnp.int4)
+    bad = [x.shape for x in jax.tree.leaves(tree)
+           if getattr(x, "dtype", None) == int4
+           and str(x.format.layout) != str(
+               _int4_format_for(x.shape).layout)]
+    if bad:
+        raise RuntimeError(
+            f"{len(bad)} int4 leaves lost their sub-byte layout pin "
+            f"(shapes {bad[:3]}...): an int4-producing program compiled "
+            "through the persistent cache returned an unpinned "
+            "executable. Clear the cache dir "
+            "(APHRODITE_COMPILE_CACHE_DIR) or set "
+            "APHRODITE_DISABLE_COMPILE_CACHE=1 and retry.")
+    return tree
 
 
 def realize_int4_leaves(params):
@@ -306,9 +478,10 @@ def realize_int4_leaves(params):
         return (tuple(convert(q) for q in qps),
                 tuple(z - 8.0 for z in zs))
 
-    q4s, zshifted = jax.jit(convert_all, out_shardings=(fmts, None))(
-        tuple(packed[p] for p in paths),
-        tuple(node_at(p)["zeros"] for p in zpaths))
+    with _cache_bypass():
+        q4s, zshifted = jax.jit(convert_all, out_shardings=(fmts, None))(
+            tuple(packed[p] for p in paths),
+            tuple(node_at(p)["zeros"] for p in zpaths))
 
     def rec(node, path):
         if isinstance(node, dict):

@@ -161,17 +161,39 @@ class ModelRunner:
         self.encoder_cache = EncoderCache(
             budget_bytes=tc.encoder_cache_budget_mb * 1024 * 1024)
 
+        # Pin the jitted programs' INPUT formats for int4-resident params:
+        # XLA's per-program layout assignment may otherwise pick a
+        # different sub-byte layout for an S4 operand than the realized
+        # arrays carry, and the resulting relayout device_put cannot run
+        # through the tunnel (recursion error — CLAUDE.md int4 notes).
+        # in_shardings forbids kwargs, so these jits take every argument
+        # POSITIONALLY (static_argnums, not argnames).
+        self._params_formats = None
+        try:
+            if any(getattr(leaf, "dtype", None) == jnp.dtype(jnp.int4)
+                   for leaf in jax.tree.leaves(params)):
+                self._params_formats = jax.tree.map(
+                    lambda x: (x.format
+                               if x.dtype == jnp.dtype(jnp.int4)
+                               else x.sharding), params)
+        except Exception:
+            self._params_formats = None
+        fmt = self._params_formats
         self._step_fn = jax.jit(
             self._step, donate_argnums=(1,),
-            static_argnames=("layout", "flags", "max_logprobs", "spec_k",
-                             "plp_k", "need_sample", "need_hidden",
-                             "block_q"))
+            static_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
+            in_shardings=((fmt, None, None, None, None)
+                          if fmt is not None else None))
         self._multi_step_fn = jax.jit(
             self._multi_step, donate_argnums=(1,),
-            static_argnames=("layout", "flags", "num_steps", "max_logprobs"))
+            static_argnums=(3, 4, 5, 6),
+            in_shardings=((fmt, None, None, None)
+                          if fmt is not None else None))
         self._multi_step_window_fn = jax.jit(
             self._multi_step_window, donate_argnums=(1,),
-            static_argnames=("layout", "flags", "num_steps", "max_logprobs"))
+            static_argnums=(3, 4, 5, 6),
+            in_shardings=((fmt, None, None, None, None)
+                          if fmt is not None else None))
         self.use_window_decode = getattr(model, "supports_window_decode",
                                          False) and not self.is_ssm
         self._block_q_cap = self._compute_block_q_cap()
@@ -1057,10 +1079,8 @@ class ModelRunner:
         packed, topk_v_d, topk_i_d, self.kv_cache, plp_d, hidden_d = \
             self._step_fn(
                 self.params, self.kv_cache, jnp.asarray(flat),
-                layout=layout, flags=flags, max_logprobs=max_lp,
-                spec_k=spec_k, plp_k=plp_k, need_sample=need_sample,
-                need_hidden=need_hidden, block_q=block_q, lora=lora_arg,
-                mm=mm_arg)
+                layout, flags, max_lp, spec_k, plp_k, need_sample,
+                need_hidden, block_q, lora_arg, mm_arg)
 
         def _host_md():
             # Device-side AttentionMetadata for the draft proposer (runs a
@@ -1423,9 +1443,7 @@ class ModelRunner:
         packed2, topk_v2, topk_i2, self.kv_cache = \
             self._multi_step_window_fn(
                 self.params, self.kv_cache, jnp.asarray(flat),
-                layout=layout, flags=wflags, num_steps=K_cap,
-                max_logprobs=wmax_lp, lora=lora_arg,
-                chain_packed=packed_dev)
+                layout, wflags, K_cap, wmax_lp, lora_arg, packed_dev)
 
         # Capture the request-state objects now: by realize time the
         # scheduler may have (optimistically) finished these requests and
@@ -1621,12 +1639,16 @@ class ModelRunner:
             fields["mrope_deltas"] = deltas
         fields.update({"s_" + k: v for k, v in smd_arrays.items()})
         flat, layout = pack_meta(fields)
-        ms_fn = (self._multi_step_window_fn if self.use_window_decode
-                 else self._multi_step_fn)
-        packed_dev, topk_v_d, topk_i_d, self.kv_cache = ms_fn(
-            self.params, self.kv_cache, jnp.asarray(flat), layout=layout,
-            flags=flags, num_steps=K_cap, max_logprobs=max_lp,
-            lora=lora_arg)
+        if self.use_window_decode:
+            packed_dev, topk_v_d, topk_i_d, self.kv_cache = \
+                self._multi_step_window_fn(
+                    self.params, self.kv_cache, jnp.asarray(flat),
+                    layout, flags, K_cap, max_lp, lora_arg, None)
+        else:
+            packed_dev, topk_v_d, topk_i_d, self.kv_cache = \
+                self._multi_step_fn(
+                    self.params, self.kv_cache, jnp.asarray(flat),
+                    layout, flags, K_cap, max_lp, lora_arg)
 
         states = [self.requests[rid] for rid in order]
         counts = [num_steps if step_budgets is None

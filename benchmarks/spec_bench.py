@@ -1,0 +1,128 @@
+"""Speculative decoding on the chip (VERDICT r4 #5): does ngram
+speculation ever beat the fused decode window it displaces, and at what
+acceptance / batch size?
+
+Method: 8B W4A16 (config-2 geometry), dummy weights. Two workloads:
+  - "repeat": prompts are a short phrase tiled many times — a dummy
+    greedy model on a looping context keeps looping, so ngram
+    prompt-lookup drafts match and acceptance is HIGH (the best case
+    that exists for speculation).
+  - "random": random-token prompts — acceptance ~0, the worst case.
+Each runs with ngram spec (k=4) and without (the fused-window baseline),
+at batch sizes 4 and 32. The JSON records tok/s, acceptance, and the
+derived break-even acceptance curve: speculation pays only when
+(1 + a*k) * t_window > t_spec_step, where t_spec_step carries the
+per-step host sync the window amortizes over K sub-steps.
+
+Reference analog: tests/spec_decode/e2e acceptance tests + the
+disable_by_batch_size heuristic (spec_decode_worker.py:292).
+
+Usage: PYTHONPATH=.:/root/.axon_site python benchmarks/spec_bench.py
+Writes benchmarks/spec_bench.json.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _llama8b_config():
+    from transformers import LlamaConfig
+    return LlamaConfig(
+        vocab_size=128256, hidden_size=4096, num_hidden_layers=32,
+        num_attention_heads=32, num_key_value_heads=8,
+        intermediate_size=14336, max_position_embeddings=8192,
+        rope_theta=500000.0, architectures=["LlamaForCausalLM"])
+
+
+def _build(spec: bool):
+    from aphrodite_tpu.config import SpeculativeConfig
+    from aphrodite_tpu.entrypoints.llm import LLM
+    kw = dict(model=f"spec8b-{spec}", hf_config=_llama8b_config(),
+              tokenizer="unused", dtype="bfloat16", load_format="dummy",
+              quantization="gptq", block_size=64, max_num_seqs=32,
+              max_num_batched_tokens=16384, max_model_len=704)
+    if spec:
+        kw["speculative_config"] = SpeculativeConfig(
+            method="ngram", num_speculative_tokens=4,
+            prompt_lookup_max=4, prompt_lookup_min=2)
+    return LLM(**kw)
+
+
+def _prompts(kind: str, n: int, length: int = 512):
+    rng = np.random.RandomState(0)
+    out = []
+    for i in range(n):
+        if kind == "repeat":
+            phrase = rng.randint(10, 100000, size=16).tolist()
+            reps = length // len(phrase)
+            out.append((phrase * (reps + 1))[:length])
+        else:
+            out.append(rng.randint(10, 100000, size=length).tolist())
+    return out
+
+
+def _run(llm, prompts, decode_len=64):
+    from aphrodite_tpu.sampling_params import SamplingParams
+    params = SamplingParams(temperature=0.0, max_tokens=decode_len,
+                            ignore_eos=True)
+    llm.generate(prompts, params)  # warm
+    stats = llm.engine.core.stats
+    d0, a0 = stats.spec_drafted, stats.spec_accepted
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        llm.generate(prompts, params)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    drafted = stats.spec_drafted - d0
+    accepted = stats.spec_accepted - a0
+    n_tok = len(prompts) * decode_len
+    return {"seconds_per_run": round(dt, 3),
+            "decode_tok_per_s": round(n_tok / dt, 1),
+            "acceptance": round(accepted / drafted, 3) if drafted else None,
+            "drafted": drafted}
+
+
+def main():
+    results = {"config": "Llama-3.1-8B-class W4A16, 1 chip, ngram k=4 "
+                         "vs fused-window baseline, 64 decode tokens"}
+    for spec in (False, True):
+        t0 = time.time()
+        llm = _build(spec)
+        print(f"# engine(spec={spec}) built {time.time()-t0:.0f}s",
+              file=sys.stderr, flush=True)
+        for bs in (4, 32):
+            for kind in ("repeat", "random"):
+                tag = f"{'ngram' if spec else 'window'}_{kind}_bs{bs}"
+                r = _run(llm, _prompts(kind, bs))
+                results[tag] = r
+                print(f"{tag}: {r}", flush=True)
+        del llm
+
+    # Break-even analysis from the measured endpoints.
+    try:
+        k = 4
+        for bs in (4, 32):
+            t_win = results[f"window_random_bs{bs}"]["seconds_per_run"]
+            t_spec0 = results[f"ngram_random_bs{bs}"]["seconds_per_run"]
+            # At acceptance a, a spec run emits ~(1+a*k)x tokens per step;
+            # its zero-acceptance run measures the full per-step cost.
+            a_be = (t_spec0 / t_win - 1) / k
+            results[f"break_even_acceptance_bs{bs}"] = round(a_be, 3)
+            print(f"bs{bs}: spec pays only above acceptance "
+                  f"~{a_be:.2f} (t_window {t_win}s, t_spec@a~0 "
+                  f"{t_spec0}s)", flush=True)
+    except KeyError:
+        pass
+
+    with open("benchmarks/spec_bench.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote benchmarks/spec_bench.json")
+
+
+if __name__ == "__main__":
+    main()
