@@ -336,6 +336,12 @@ class SchedulerConfig:
     max_model_len: int = 2048
     # Cap on prefill chunk per request per step; None = budget-limited only.
     long_prefill_token_threshold: Optional[int] = None
+    # Wave-level cap on total PREFILL tokens per step (None = token budget
+    # only). Online serving sets this so prefill work is sliced into quanta
+    # that interleave with decode windows (bounded TTFT without stalling
+    # in-flight decodes); offline throughput runs leave it None and prefill
+    # whole waves.
+    max_prefill_tokens: Optional[int] = None
     # Overlap host scheduling + the next dispatch with device compute:
     # multi-step windows return deterministic token COUNTS, so the
     # scheduler advances optimistically and fetches values lazily

@@ -46,6 +46,11 @@ class SchedulerOutput:
     # req_id -> grammar bitmask row (structured output), filled by engine.
     structured_output_request_ids: dict[str, int] = field(default_factory=dict)
     grammar_bitmask: Optional[object] = None
+    # Continuation-window wave: every scheduled request gets ONE virtual
+    # token whose value is still in flight on device (or realized, for
+    # joiner rows); the runner chains a decode window off the previous one
+    # (worker/runner.py _execute_continuation).
+    is_continuation: bool = False
 
     @property
     def is_empty(self) -> bool:

@@ -94,6 +94,13 @@ class Scheduler:
     # Async scheduling (engine-set): () -> bool, realizes in-flight steps
     # (possibly freeing pages); called before preempting under pressure.
     realize_hook = None
+    # Continuation windows (engine-set): (request) -> "chain" | "join" |
+    # None. When any running request is chainable, schedule() emits a
+    # continuation wave: one virtual token per request, executed by the
+    # runner as a decode window chained off the in-flight one — the device
+    # pipeline never drains between windows (worker/runner.py
+    # _execute_continuation).
+    continuation_hook = None
 
     def _free_request(self, request: Request) -> None:
         if self.finish_callback is not None:
@@ -148,6 +155,8 @@ class Scheduler:
     def schedule(self) -> SchedulerOutput:
         budget = self.config.max_num_batched_tokens
         chunk_cap = self.config.long_prefill_token_threshold or budget
+        # Wave-level prefill quantum (see SchedulerConfig.max_prefill_tokens)
+        prefill_budget = self.config.max_prefill_tokens or budget
 
         num_scheduled: dict[str, int] = {}
         spec_tokens: dict[str, list[int]] = {}
@@ -163,6 +172,12 @@ class Scheduler:
             self.running.sort(key=self._prio)
             self._priority_preemption(preempted)
 
+        # -- 0. continuation windows --------------------------------------
+        if self.continuation_hook is not None and self.running:
+            out = self._schedule_continuation(preempted)
+            if out is not None:
+                return out
+
         # -- 1. running requests (FCFS) -----------------------------------
         idx = 0
         while idx < len(self.running) and budget > 0:
@@ -175,6 +190,9 @@ class Scheduler:
                 continue
             num_new = req.num_tokens_with_spec - req.num_computed_tokens
             num_new = min(num_new, budget, chunk_cap)
+            in_prefill = req.num_computed_tokens < req.num_prompt_tokens
+            if in_prefill:
+                num_new = min(num_new, prefill_budget)
             # Keep within model length (spec tokens may overshoot).
             num_new = min(num_new,
                           self.config.max_model_len - req.num_computed_tokens)
@@ -206,6 +224,8 @@ class Scheduler:
                 break
             num_scheduled[req.request_id] = num_new
             budget -= num_new
+            if in_prefill:
+                prefill_budget -= num_new
             if req.spec_token_ids:
                 n_spec = min(len(req.spec_token_ids),
                              num_new - 1 if num_new > 0 else 0)
@@ -225,9 +245,11 @@ class Scheduler:
             if req.request_id in preempted:
                 # Don't resume a request we just preempted this same step.
                 break
+            if prefill_budget <= 0:
+                break  # this wave's prefill quantum is spent
             computed_blocks, num_computed = self.kv.get_computed_blocks(req)
             num_new = req.num_tokens - num_computed
-            num_new = min(num_new, budget, chunk_cap)
+            num_new = min(num_new, budget, chunk_cap, prefill_budget)
             if num_new <= 0:
                 break
             new_blocks = self.kv.allocate_slots(
@@ -247,6 +269,7 @@ class Scheduler:
             self.running.append(req)
             num_scheduled[req.request_id] = num_new
             budget -= num_new
+            prefill_budget -= num_new
             all_block_ids = self.kv.get_block_ids(req.request_id)
             if resumed:
                 cached.req_ids.append(req.request_id)
@@ -275,6 +298,54 @@ class Scheduler:
             scheduled_spec_decode_tokens=spec_tokens,
             finished_req_ids=finished_ids)
 
+    def _schedule_continuation(self, preempted: set
+                               ) -> Optional[SchedulerOutput]:
+        """Build a continuation-window wave: one virtual token per
+        chainable (in-flight) running request, plus decode-ready joiner
+        rows. Emitted INSTEAD of a normal wave; the depth cap inside the
+        hook makes continuation alternate with normal waves, so waiting
+        prefills are admitted every other step (time-multiplexing the
+        device between decode windows and prefill chunks)."""
+        chain, join = [], []
+        for req in self.running:
+            if req.request_id in preempted:
+                continue
+            mode = self.continuation_hook(req)
+            if mode == "chain":
+                chain.append(req)
+            elif mode == "join":
+                join.append(req)
+        if not chain or len(chain) + len(join) > self.config.max_num_seqs:
+            return None
+        num_scheduled: dict[str, int] = {}
+        cached = CachedRequestData()
+        for req in chain + join:
+            # No realize_hook / preemption here: a row that cannot get its
+            # lookahead pages simply sits this wave out (the normal path
+            # picks it up later under real pressure handling).
+            new_blocks = self.kv.allocate_slots(
+                req, 1, num_lookahead_tokens=self.num_lookahead_tokens)
+            if new_blocks is None:
+                continue
+            num_scheduled[req.request_id] = 1
+            cached.req_ids.append(req.request_id)
+            cached.new_block_ids.append([b.block_id for b in new_blocks])
+            cached.resumed_from_preemption.append(False)
+            cached.all_token_ids.append(None)
+            cached.num_computed_tokens.append(req.num_computed_tokens)
+        if not num_scheduled:
+            return None
+        finished_ids = self._finished_req_ids
+        self._finished_req_ids = set()
+        return SchedulerOutput(
+            scheduled_new_reqs=[],
+            scheduled_cached_reqs=cached,
+            num_scheduled_tokens=num_scheduled,
+            total_num_scheduled_tokens=len(num_scheduled),
+            scheduled_spec_decode_tokens={},
+            finished_req_ids=finished_ids,
+            is_continuation=True)
+
     def _preempt(self, req: Request) -> None:
         self.num_preemptions += 1
         self.running.remove(req)
@@ -300,10 +371,13 @@ class Scheduler:
                 continue
             k = expected_counts.get(rid, 0)
             req.num_computed_tokens += n_sched + max(0, k - 1)
-            req.num_async_pending = k
+            # Cumulative: continuation windows stack a second in-flight
+            # step on an already-pending request.
+            pending_before = req.num_async_pending
+            req.num_async_pending += k
             params = req.sampling_params
-            out_after = req.num_output_tokens + k
-            len_after = req.num_tokens + k
+            out_after = req.num_output_tokens + pending_before + k
+            len_after = req.num_tokens + pending_before + k
             will_finish = (
                 (params.max_tokens is not None
                  and out_after >= params.max_tokens)
@@ -325,24 +399,33 @@ class Scheduler:
         seen = {rid: i for i, rid in enumerate(runner_out.req_ids)}
         for rid in sched_out.num_scheduled_tokens:
             req = self.requests.get(rid)
-            stashed = self._async_finishing.pop(rid, None)
+            stashed = self._async_finishing.get(rid)
             if req is None:
-                req = stashed
-            if req is None:
-                continue  # aborted while in flight
-            req.num_async_pending = 0
+                # Aborted while in flight, or finished by an earlier
+                # realize (a later chained window still held tokens for
+                # it — they are dropped here).
+                self._async_finishing.pop(rid, None)
+                continue
             i = seen.get(rid)
             sampled = (runner_out.sampled_token_ids[i]
                        if i is not None else [])
+            # Decrement, not reset: continuation windows stack multiple
+            # in-flight steps per request.
+            req.num_async_pending = max(
+                0, req.num_async_pending - len(sampled))
             if not sampled:
                 continue
             new_tokens, finish = self._append_and_check_stop(req, sampled)
             if stashed is not None:
-                # Pages already freed by note_async; just mark finished.
-                if not req.is_finished:
-                    req.status = RequestStatus.FINISHED_LENGTH_CAPPED
-                self._finished_req_ids.add(rid)
-                self.requests.pop(rid, None)
+                if finish or req.num_async_pending == 0:
+                    # Pages already freed by note_async; just mark
+                    # finished once the last in-flight step realized (or
+                    # a stop condition cut it short).
+                    self._async_finishing.pop(rid, None)
+                    if not req.is_finished:
+                        req.status = RequestStatus.FINISHED_LENGTH_CAPPED
+                    self._finished_req_ids.add(rid)
+                    self.requests.pop(rid, None)
             elif finish:
                 self._free_request(req)
             lp = None

@@ -47,6 +47,7 @@ class EngineArgs:
     max_loras: int = 4
     max_lora_rank: int = 16
     long_prefill_token_threshold: Optional[int] = None
+    max_prefill_tokens: Optional[int] = None
     async_scheduling: bool = True
     multi_step_decode: Optional[int] = None
     scheduling_policy: str = "fcfs"
@@ -109,6 +110,11 @@ class EngineArgs:
                             default=None,
                             help="cap on prefill tokens per request per "
                                  "step (None = budget-limited)")
+        parser.add_argument("--max-prefill-tokens", type=int, default=None,
+                            help="wave-level cap on total prefill tokens "
+                                 "per step: slices prefill into quanta "
+                                 "that interleave with decode windows "
+                                 "(online serving TTFT knob)")
         parser.add_argument("--no-async-scheduling",
                             dest="async_scheduling", action="store_false",
                             help="disable overlap of host scheduling with "
@@ -184,6 +190,7 @@ class EngineArgs:
             max_loras=args.max_loras,
             max_lora_rank=args.max_lora_rank,
             long_prefill_token_threshold=args.long_prefill_token_threshold,
+            max_prefill_tokens=args.max_prefill_tokens,
             async_scheduling=args.async_scheduling,
             multi_step_decode=args.multi_step_decode,
             scheduling_policy=args.scheduling_policy)

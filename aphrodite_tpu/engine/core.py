@@ -135,6 +135,22 @@ class EngineCore:
             # The finish callback reads pages synchronously at free time.
             self.worker.runner.async_mode = False
         self.scheduler.realize_hook = self._realize_all_hook
+        # Continuation windows: chain decode window w+1 off the in-flight
+        # window w on device so the pipeline never drains between windows
+        # (the core of online==offline decode throughput). Incompatible
+        # with host-side speculation (the proposer must see every token).
+        runner = self.worker.runner
+        if (getattr(runner, "use_window_decode", False) and runner.async_mode
+                and self.proposer is None):
+            self.scheduler.continuation_hook = self._continuation_mode
+
+    def _continuation_mode(self, req):
+        """Scheduler continuation hook: grammar-constrained requests must
+        realize every token on host (FSM advance), so they never chain."""
+        if self.structured is not None and \
+                self.structured.has(req.request_id):
+            return None
+        return self.worker.runner.continuation_mode(req)
 
     def precompile(self) -> None:
         """Warm the hot jitted programs at init by running synthetic
@@ -151,7 +167,10 @@ class EngineCore:
         R = sc.max_num_seqs
         plen = max(min(sc.max_num_batched_tokens // max(R, 1),
                        sc.max_model_len - 66), 1)
-        dec = min(self.config.tpu_config.multi_step_decode + 1,
+        # 2 windows + 2 so the warm loop exercises the continuation-window
+        # program (window w+1 chained off in-flight window w), not just
+        # the fused prefill+window.
+        dec = min(2 * self.config.tpu_config.multi_step_decode + 2,
                   max(sc.max_model_len - plen - 1, 1))
         params = SamplingParams(temperature=0.0, max_tokens=dec,
                                 ignore_eos=True)

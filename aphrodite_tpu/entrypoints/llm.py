@@ -48,6 +48,7 @@ def build_engine_config(
     max_loras: int = 4,
     max_lora_rank: int = 16,
     long_prefill_token_threshold: Optional[int] = None,
+    max_prefill_tokens: Optional[int] = None,
     async_scheduling: bool = True,
     scheduling_policy: str = "fcfs",
     multi_step_decode: Optional[int] = None,
@@ -81,6 +82,7 @@ def build_engine_config(
             max_num_batched_tokens=max_num_batched_tokens,
             max_model_len=max_model_len or mc.max_model_len,
             long_prefill_token_threshold=long_prefill_token_threshold,
+            max_prefill_tokens=max_prefill_tokens,
             async_scheduling=async_scheduling,
             policy=scheduling_policy),
         parallel_config=ParallelConfig(

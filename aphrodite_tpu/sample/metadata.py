@@ -123,6 +123,7 @@ def build_sampling_arrays(
     base_seed: int = 0,
     need_tokens: Optional[bool] = None,
     extra_len: int = 0,
+    history_len: Optional[int] = None,
 ) -> tuple[dict, SamplerFlags]:
     """Pack per-request params into padded numpy arrays (field name ->
     array, matching SamplingMetadata's fields).
@@ -267,7 +268,11 @@ def build_sampling_arrays(
                 (sampler_flags.do_penalties or sampler_flags.do_dry
                  or sampler_flags.do_ngram))
     if need_tok:
-        L = next_power_of_2(max_len + extra_len)
+        # ``history_len`` lets callers drive the buffer bucket from a value
+        # every host computes identically (continuation windows: effective
+        # lengths incl. in-flight tokens) — host-local list lengths may be
+        # stale on host 0 vs realized on followers.
+        L = next_power_of_2(max(max_len + extra_len, history_len or 1))
         token_seq = np.full((R, L), vocab_size, np.int32)
         for r, (_, toks, _, _) in enumerate(reqs):
             token_seq[r, :len(toks)] = toks

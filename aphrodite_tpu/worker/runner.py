@@ -41,6 +41,10 @@ class RequestState:
     sampling_params: SamplingParams
     lora_name: Optional[str] = None
     in_graph_sample_count: int = 0
+    # Tokens produced by in-flight (unrealized) device steps: the request's
+    # EFFECTIVE length is num_tokens + inflight. Continuation windows chain
+    # off these on device (see _execute_continuation).
+    inflight: int = 0
     # Accumulated prompt logprobs ([{token: (lp, rank?)}...], pos 0 = None).
     prompt_lp: Optional[list] = None
     # Multimodal: MMInputs payload + the per-request encoder cache (flat
@@ -191,11 +195,18 @@ class ModelRunner:
                           if fmt is not None else None))
         self._multi_step_window_fn = jax.jit(
             self._multi_step_window, donate_argnums=(1,),
-            static_argnums=(3, 4, 5, 6),
-            in_shardings=((fmt, None, None, None, None)
+            static_argnums=(3, 4, 5, 6, 11),
+            in_shardings=((fmt, None, None, None, None, None, None)
                           if fmt is not None else None))
         self.use_window_decode = getattr(model, "supports_window_decode",
                                          False) and not self.is_ssm
+        # Continuation-window chain state: after any decode-window dispatch
+        # the group records WHERE each row's in-flight tokens live on device
+        # (packed2 buffer + row index + the carried token-history buffers),
+        # so the NEXT window can chain off it without a host round trip.
+        # _chain_depth counts unrealized window dispatches (pipeline depth).
+        self._window_group = None
+        self._chain_depth = 0
         self._block_q_cap = self._compute_block_q_cap()
         # Async (pending-step) mode: the engine core may disable this when
         # a synchronous consumer of step results exists (KV-transfer
@@ -446,7 +457,8 @@ class ModelRunner:
     # ---------------------------------------------- window multi-step decode
     def _multi_step_window(self, params, kv_cache, flat_meta, layout, flags,
                            num_steps, max_logprobs, lora=None,
-                           chain_packed=None):
+                           chain_packed=None, chain_hist=None,
+                           chain_hlen=None, chain_mode=None):
         """K decode steps with a FROZEN paged cache: each step's K/V rows go
         into per-layer tail buffers updated in place in the scan carry; one
         batched scatter flushes the window into the pages at the end. This
@@ -466,7 +478,20 @@ class ModelRunner:
         import dataclasses as _dc
         _, smd, ex = self._unpack(flat_meta, layout)
         track_tokens = flags.do_penalties or flags.do_dry or flags.do_ngram
-        if chain_packed is not None:
+        is_chain = None
+        if chain_mode == "window":
+            # Continuation: feed tokens come from the PREVIOUS window's
+            # last live sub-step (chain_packed = prev packed2[:, W-1, :]);
+            # chain_idx maps each row to its row in the previous window
+            # batch, with -1 marking host-fed joiner rows (their last
+            # token is already realized on host -> cur_tokens).
+            feed = jax.lax.bitcast_convert_type(chain_packed[0], jnp.int32)
+            chain_idx = ex["chain_idx"]
+            is_chain = chain_idx >= 0
+            safe_idx = jnp.clip(chain_idx, 0)
+            cur_tokens = jnp.where(is_chain, jnp.take(feed, safe_idx),
+                                   ex["cur_tokens"])
+        elif chain_packed is not None:
             cur_tokens = jax.lax.bitcast_convert_type(chain_packed[0],
                                                       jnp.int32)
             chain_idx = ex.get("chain_idx")
@@ -504,7 +529,31 @@ class ModelRunner:
             tv_buf = ti_buf = jnp.zeros((0,), jnp.float32)
 
         hist0, hlen0 = smd.token_seq, smd.total_len
-        if track_tokens and chain_packed is not None:
+        if track_tokens and chain_mode == "window":
+            # Continuation: chain rows' host-built history is stale by the
+            # in-flight tokens, but the previous window RETURNED its final
+            # history carry — merge it in-graph (rows remapped by
+            # chain_idx; joiner rows keep their fresh host history, which
+            # already contains their last token). The feed token is NOT
+            # re-appended: the previous window appended it at its last
+            # sub-step.
+            if chain_hist is not None:
+                L_new = hist0.shape[1]
+                L_prev = chain_hist.shape[1]
+                prev = chain_hist
+                if L_prev < L_new:
+                    prev = jnp.concatenate(
+                        [prev, jnp.full((prev.shape[0], L_new - L_prev),
+                                        self.model.vocab_size, jnp.int32)],
+                        axis=1)
+                elif L_prev > L_new:
+                    prev = prev[:, :L_new]
+                safe_idx = jnp.clip(ex["chain_idx"], 0)
+                hist0 = jnp.where(is_chain[:, None],
+                                  jnp.take(prev, safe_idx, axis=0), hist0)
+                hlen0 = jnp.where(is_chain,
+                                  jnp.take(chain_hlen, safe_idx), hlen0)
+        elif track_tokens and chain_packed is not None:
             # The chained (prefill-sampled) token is not in the host-built
             # history — append it in-graph before the first window step.
             wpos0 = jnp.where(live0, hlen0, hist0.shape[1])
@@ -555,7 +604,8 @@ class ModelRunner:
             return (tk, tv, new_tok, hist, hlen, tok_buf, lp_buf, tv_buf,
                     ti_buf)
 
-        tk, tv, _, _, _, tok_buf, lp_buf, tv_buf, ti_buf = jax.lax.fori_loop(
+        (tk, tv, _, hist_f, hlen_f, tok_buf, lp_buf, tv_buf,
+         ti_buf) = jax.lax.fori_loop(
             0, n_live, body,
             (tk0, tv0, cur_tokens, hist0, hlen0, tok_buf, lp_buf, tv_buf,
              ti_buf))
@@ -594,7 +644,9 @@ class ModelRunner:
             jax.lax.bitcast_convert_type(tok_buf, jnp.float32), lp_buf])
         if not max_logprobs:
             tv_buf = ti_buf = None
-        return packed, tv_buf, ti_buf, kv_cache
+        if not track_tokens:
+            hist_f = hlen_f = None
+        return packed, tv_buf, ti_buf, kv_cache, hist_f, hlen_f
 
     # ------------------------------------------------------- KV page transfer
     def extract_pages(self, page_ids: list[int]) -> np.ndarray:
@@ -835,6 +887,9 @@ class ModelRunner:
         self.update_states(so)
         if so.total_num_scheduled_tokens == 0:
             return ModelRunnerOutput(req_ids=[], sampled_token_ids=[])
+        if getattr(so, "is_continuation", False):
+            return self._execute_continuation(
+                so, list(so.num_scheduled_tokens.keys()))
 
         from aphrodite_tpu.attention.metadata import Q_SEGMENT_ALIGN
 
@@ -1440,15 +1495,17 @@ class ModelRunner:
             fields["mrope_deltas"] = deltas
         fields.update({"s_" + k: v for k, v in smd_arrays.items()})
         flat, layout = pack_meta(fields)
-        packed2, topk_v2, topk_i2, self.kv_cache = \
+        packed2, topk_v2, topk_i2, self.kv_cache, hist_f, hlen_f = \
             self._multi_step_window_fn(
                 self.params, self.kv_cache, jnp.asarray(flat),
-                layout, wflags, K_cap, wmax_lp, lora_arg, packed_dev)
+                layout, wflags, K_cap, wmax_lp, lora_arg, packed_dev,
+                None, None, None)
 
         # Capture the request-state objects now: by realize time the
         # scheduler may have (optimistically) finished these requests and
         # update_states may have popped them from self.requests.
         states = [self.requests[rid] for rid in order]
+        self._register_window_group(order_w, packed2, W, hist_f, hlen_f)
 
         def realize() -> ModelRunnerOutput:
             p1 = np.asarray(packed_dev)          # [2, R_pad]
@@ -1518,8 +1575,223 @@ class ModelRunner:
                     ec[rid] = 1 + int(budget_arr[win_map[r]])
                 else:
                     ec[rid] = 1
+                states[r].inflight += ec[rid]
+            self._chain_depth += 1
+
+            def realize_async() -> ModelRunnerOutput:
+                out = realize()
+                self._chain_depth -= 1
+                for r, rid in enumerate(order):
+                    states[r].inflight -= ec[rid]
+                return out
+
             return PendingStep(req_ids=list(order), expected_counts=ec,
-                               realize=realize)
+                               realize=realize_async)
+        return realize()
+
+    def _register_window_group(self, order_w, packed2, W, hist_f,
+                               hlen_f) -> None:
+        """Record where the just-dispatched window's results live on device
+        so the next decode window can chain off them without realizing
+        (see _execute_continuation)."""
+        self._window_group = {
+            "rows": {rid: w for w, rid in enumerate(order_w)},
+            "packed2": packed2, "W": int(W),
+            "hist": hist_f, "hlen": hlen_f,
+        }
+
+    def continuation_mode(self, req) -> Optional[str]:
+        """Scheduler hook (wired through EngineCore): can this RUNNING
+        request be scheduled into a continuation-window wave right now?
+
+        - "chain": its next feed token is in flight on device in the
+          current window group — a new window can chain off it in-graph.
+        - "join": it is decode-ready with its last token realized on host
+          and can ride the same wave host-fed.
+        - None: not eligible (the normal scheduling path applies).
+
+        This is what lets online decode run at offline throughput: window
+        w+1 dispatches while window w still computes, so the device never
+        drains between windows (reference bar: the v1 async scheduler +
+        multi-step runner overlap, aphrodite/v1/core/sched/scheduler.py
+        async_scheduling)."""
+        K_cap = self.config.tpu_config.multi_step_decode
+        if (not self.use_window_decode or not self.async_mode
+                or not self.use_graph_multi_step or K_cap <= 1
+                or self.draft is not None or self.spec_k or self.is_ssm):
+            return None
+        st = self.requests.get(req.request_id)
+        if st is None:
+            return None
+        p = req.sampling_params
+        eff = req.num_tokens + req.num_async_pending
+        if eff >= self.config.scheduler_config.max_model_len:
+            return None
+        if p.max_tokens is not None and \
+                req.num_output_tokens + req.num_async_pending >= p.max_tokens:
+            return None
+        if req.num_async_pending > 0:
+            group = self._window_group
+            if group is None or req.request_id not in group["rows"]:
+                return None
+            if st.inflight != req.num_async_pending:
+                # A non-window pending step is also in flight for this
+                # request (shouldn't happen, but never chain off it).
+                return None
+            if self._chain_depth > 1:
+                return None  # pipeline already 2 deep: realize first
+            return "chain"
+        if req.num_computed_tokens + 1 != req.num_tokens:
+            return None  # mid-prefill
+        if req.spec_token_ids:
+            return None
+        return "join"
+
+    def _execute_continuation(self, so, order) -> "PendingStep":
+        """Dispatch a decode window whose feed tokens are still in flight:
+        chain rows read their first input from the previous window's device
+        output (and, for token-history samplers, from its returned history
+        carry); joiner rows are host-fed. One dispatch, zero host syncs —
+        realize of the PREVIOUS window overlaps this window's device
+        compute."""
+        from aphrodite_tpu.sample.metadata import build_sampling_arrays
+        from aphrodite_tpu.worker.meta_pack import pack_meta
+        group = self._window_group
+        assert group is not None, "continuation wave without a window group"
+        K_cap = self.config.tpu_config.multi_step_decode
+        max_len = self.config.scheduler_config.max_model_len
+        R = len(order)
+        Rw_pad = pick_bucket(self.req_buckets, R)
+
+        chain_idx = np.full((Rw_pad,), -1, np.int32)
+        cur_tokens = np.zeros((Rw_pad,), np.int32)
+        seq_lens0 = np.zeros((Rw_pad,), np.int32)
+        block_tables = np.zeros((Rw_pad, self.max_pages_per_req), np.int32)
+        budgets = np.zeros((Rw_pad,), np.int32)
+        reqs_meta = []
+        W_cap = K_cap
+        wmax_lp = 0
+        max_eff = 1
+        for w, rid in enumerate(order):
+            st = self.requests[rid]
+            eff = st.num_tokens + st.inflight
+            eff_out = st.output_len + st.inflight
+            max_eff = max(max_eff, eff)
+            gi = group["rows"].get(rid)
+            if gi is not None and st.inflight > 0:
+                chain_idx[w] = gi
+            else:
+                cur_tokens[w] = st.token_ids[-1]
+            seq_lens0[w] = eff
+            block_tables[w, :len(st.block_ids)] = st.block_ids
+            p = st.sampling_params
+            b = max_len - eff
+            if p.max_tokens is not None:
+                b = min(b, p.max_tokens - eff_out)
+            if not p.ignore_eos:
+                W_cap = min(W_cap, 16)
+            budgets[w] = max(b, 0)
+            if p.logprobs:
+                wmax_lp = max(wmax_lp, p.logprobs)
+            reqs_meta.append((p, st.token_ids, st.prompt_len, eff_out))
+        W = int(min(W_cap, budgets[:R].max(),
+                    self.config.max_lookahead_tokens))
+        assert W >= 1, "scheduler admitted a budget-0 continuation row"
+        np.minimum(budgets, W, out=budgets)
+        wmax_lp = next_power_of_2(wmax_lp) if wmax_lp else 0
+
+        # history_len drives the token_seq bucket from EFFECTIVE lengths,
+        # which host 0 (stale host lists + inflight) and followers
+        # (realized lists) compute identically — the jitted shapes must
+        # match across hosts in multi-host SPMD.
+        smd_arrays, wflags = build_sampling_arrays(
+            reqs_meta, self.model.vocab_size, Rw_pad,
+            base_seed=self._base_seed, history_len=max_eff + K_cap + 1)
+        fields = {"cur_tokens": cur_tokens, "seq_lens0": seq_lens0,
+                  "block_tables": block_tables, "step_budget": budgets,
+                  "num_live_steps": np.asarray(W, np.int32),
+                  "chain_idx": chain_idx}
+        shared = self._detect_shared_prefix(
+            order, int(seq_lens0[:R].min()) - 1)
+        if shared is not None:
+            fields["shared_pages"] = np.asarray(shared[0], np.int32)
+            fields["shared_len"] = np.asarray(shared[1], np.int32)
+        lora_arg = None
+        if self.lora_manager is not None and self.lora_manager.slots:
+            rows = np.zeros((Rw_pad,), np.int32)
+            for w, rid in enumerate(order):
+                nm = self.requests[rid].lora_name
+                if nm:
+                    rows[w] = self.lora_manager.slot_of(nm)
+            fields["lora_rows"] = rows
+            lora_arg = self.lora_manager.device_tensors
+        if getattr(self.model, "uses_mrope", False):
+            deltas = np.zeros((Rw_pad,), np.int32)
+            for w, rid in enumerate(order):
+                deltas[w] = self._mrope_state(self.requests[rid])[1]
+            fields["mrope_deltas"] = deltas
+        fields.update({"s_" + k: v for k, v in smd_arrays.items()})
+        flat, layout = pack_meta(fields)
+
+        track = wflags.do_penalties or wflags.do_dry or wflags.do_ngram
+        feed = group["packed2"][:, group["W"] - 1, :]
+        chain_hist = group["hist"] if track else None
+        chain_hlen = group["hlen"] if track else None
+        packed2, topk_v2, topk_i2, self.kv_cache, hist_f, hlen_f = \
+            self._multi_step_window_fn(
+                self.params, self.kv_cache, jnp.asarray(flat),
+                layout, wflags, K_cap, wmax_lp, lora_arg, feed,
+                chain_hist, chain_hlen, "window")
+
+        states = [self.requests[rid] for rid in order]
+        counts = [int(budgets[w]) for w in range(R)]
+        self._register_window_group(order, packed2, W, hist_f, hlen_f)
+        for w in range(R):
+            states[w].inflight += counts[w]
+        self._chain_depth += 1
+
+        def realize() -> ModelRunnerOutput:
+            p2 = np.asarray(packed2)             # [2, K_cap, Rw_pad]
+            self._chain_depth -= 1
+            tok_k = p2[0].view(np.int32)
+            lp_k = p2[1]
+            tv2 = np.asarray(topk_v2) if wmax_lp else None
+            ti2 = np.asarray(topk_i2) if wmax_lp else None
+            sampled: list[list[int]] = []
+            logprobs_out: list[Optional[list[dict[int, float]]]] = []
+            any_lp = False
+            for w, rid in enumerate(order):
+                st = states[w]
+                toks = [int(t) for t in tok_k[:counts[w], w]]
+                sampled.append(toks)
+                st.token_ids.extend(toks)
+                st.inflight -= counts[w]
+                p = st.sampling_params
+                if p.logprobs is not None:
+                    lps = []
+                    for k, tok in enumerate(toks):
+                        d = {tok: float(lp_k[k, w])}
+                        if p.logprobs and tv2 is not None:
+                            for v, i2 in zip(tv2[k, w][:p.logprobs],
+                                             ti2[k, w][:p.logprobs]):
+                                d[int(i2)] = float(v)
+                        lps.append(d)
+                    logprobs_out.append(lps)
+                    any_lp = True
+                else:
+                    logprobs_out.append(None)
+            return ModelRunnerOutput(
+                req_ids=list(order),
+                sampled_token_ids=sampled,
+                logprobs=logprobs_out if any_lp else None)
+
+        from aphrodite_tpu.core.sched_output import PendingStep
+        if self.async_mode:
+            return PendingStep(
+                req_ids=list(order),
+                expected_counts={rid: counts[w]
+                                 for w, rid in enumerate(order)},
+                realize=realize)
         return realize()
 
     def _ssm_state_slots(self, order, R_pad) -> np.ndarray:
@@ -1640,10 +1912,13 @@ class ModelRunner:
         fields.update({"s_" + k: v for k, v in smd_arrays.items()})
         flat, layout = pack_meta(fields)
         if self.use_window_decode:
-            packed_dev, topk_v_d, topk_i_d, self.kv_cache = \
+            packed_dev, topk_v_d, topk_i_d, self.kv_cache, hist_f, hlen_f = \
                 self._multi_step_window_fn(
                     self.params, self.kv_cache, jnp.asarray(flat),
-                    layout, flags, K_cap, max_lp, lora_arg, None)
+                    layout, flags, K_cap, max_lp, lora_arg, None,
+                    None, None, None)
+            self._register_window_group(order, packed_dev, num_steps,
+                                        hist_f, hlen_f)
         else:
             packed_dev, topk_v_d, topk_i_d, self.kv_cache = \
                 self._multi_step_fn(
@@ -1691,9 +1966,18 @@ class ModelRunner:
 
         if self.async_mode and self.use_window_decode:
             from aphrodite_tpu.core.sched_output import PendingStep
-            return PendingStep(
-                req_ids=list(order),
-                expected_counts={rid: counts[r]
-                                 for r, rid in enumerate(order)},
-                realize=realize)
+            ec = {rid: counts[r] for r, rid in enumerate(order)}
+            for r, rid in enumerate(order):
+                states[r].inflight += counts[r]
+            self._chain_depth += 1
+
+            def realize_async() -> ModelRunnerOutput:
+                out = realize()
+                self._chain_depth -= 1
+                for r, rid in enumerate(order):
+                    states[r].inflight -= counts[r]
+                return out
+
+            return PendingStep(req_ids=list(order), expected_counts=ec,
+                               realize=realize_async)
         return realize()

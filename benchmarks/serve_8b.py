@@ -118,8 +118,13 @@ def main():
         # Streaming-appropriate decode granularity: the offline default
         # (64-step fused windows) delivers whole requests in one realize,
         # making TTFT == E2EL. 8-step windows bound token delivery at
-        # 8-token granularity while still amortizing the tunnel RPC.
-        multi_step_decode=8)
+        # 8-token granularity while still amortizing the tunnel RPC;
+        # continuation windows (round 5) chain them on device so the
+        # pipeline never drains between windows.
+        multi_step_decode=8,
+        # Slice prefill into quanta that interleave with decode windows:
+        # bounded TTFT for arrivals without stalling in-flight decodes.
+        max_prefill_tokens=2048)
     engine = AsyncLLM(config)
     print(f"# engine built {time.time()-t0:.1f}s", file=sys.stderr,
           flush=True)
