@@ -101,6 +101,11 @@ class Scheduler:
     # pipeline never drains between windows (worker/runner.py
     # _execute_continuation).
     continuation_hook = None
+    # () -> bool: a window chain is live (group with in-flight rows).
+    # While true, join-eligible decode rows are held OUT of normal waves:
+    # they ride the next continuation wave instead of spawning a rival
+    # window group that would strand the chain.
+    chain_active_hook = None
 
     def _free_request(self, request: Request) -> None:
         if self.finish_callback is not None:
@@ -179,6 +184,8 @@ class Scheduler:
                 return out
 
         # -- 1. running requests (FCFS) -----------------------------------
+        chain_live = (self.chain_active_hook is not None
+                      and self.chain_active_hook())
         idx = 0
         while idx < len(self.running) and budget > 0:
             req = self.running[idx]
@@ -186,6 +193,12 @@ class Scheduler:
                 # An in-flight async step is already producing this
                 # request's next tokens; nothing to schedule until it
                 # realizes.
+                idx += 1
+                continue
+            if chain_live and self.continuation_hook is not None \
+                    and self.continuation_hook(req) == "join":
+                # Hold for the next continuation wave (see
+                # chain_active_hook).
                 idx += 1
                 continue
             num_new = req.num_tokens_with_spec - req.num_computed_tokens

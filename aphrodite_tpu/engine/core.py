@@ -143,6 +143,9 @@ class EngineCore:
         if (getattr(runner, "use_window_decode", False) and runner.async_mode
                 and self.proposer is None):
             self.scheduler.continuation_hook = self._continuation_mode
+            self.scheduler.chain_active_hook = lambda: (
+                runner._window_group is not None
+                and runner._chain_depth > 0)
 
     def _continuation_mode(self, req):
         """Scheduler continuation hook: grammar-constrained requests must

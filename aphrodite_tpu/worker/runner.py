@@ -1207,6 +1207,33 @@ class ModelRunner:
                             d[int(i)] = float(v)
                     st.prompt_lp.append(d)
 
+        if (self.async_mode and not spec_k and not has_plp
+                and self.draft is None and self.use_graph_multi_step):
+            # (use_graph_multi_step is cleared when a host-side ngram
+            # proposer is active: it must see realized tokens every step,
+            # so those waves stay synchronous.)
+            # Async single-step: defer the d2h sync into a PendingStep so
+            # the engine keeps dispatching (a prefill wave finishing while
+            # a decode-window chain is live must not stall the pipeline —
+            # its rows host-join the chain after this realizes).
+            states2 = [self.requests[rid] for rid in order]
+            ec = {rid: (1 if samples_expected[r] else 0)
+                  for r, rid in enumerate(order)}
+            for r in range(len(order)):
+                states2[r].inflight += ec[order[r]]
+            packed_d = packed
+
+            def realize_single() -> ModelRunnerOutput:
+                for r in range(len(order)):
+                    states2[r].inflight -= ec[order[r]]
+                return self._finish_single_step(
+                    order, states2, samples_expected, packed_d, max_lp,
+                    topk_v_d, topk_i_d)
+
+            from aphrodite_tpu.core.sched_output import PendingStep
+            return PendingStep(req_ids=list(order), expected_counts=ec,
+                               realize=realize_single)
+
         packed = np.asarray(packed)  # single d2h
 
         if spec_k:
@@ -1239,6 +1266,26 @@ class ModelRunner:
                                                host_slots=slots)
             return ModelRunnerOutput(req_ids=order,
                                      sampled_token_ids=sampled)
+        out = self._finish_single_step(
+            order, [self.requests[rid] for rid in order], samples_expected,
+            packed, max_lp, topk_v_d, topk_i_d)
+        if self.draft is not None:
+            self.draft.observe_and_propose(order, R_pad, input_ids, _host_md(),
+                                           samples_expected, hidden=hidden_d,
+                                           host_qsl=qsl,
+                                           host_seg_starts=seg_starts,
+                                           host_slots=slots)
+        return out
+
+    def _finish_single_step(self, order, states, samples_expected,
+                            packed_dev, max_lp, topk_v_d, topk_i_d
+                            ) -> ModelRunnerOutput:
+        """Host-side tail of a single-sample step: d2h fetch + per-request
+        token/logprob assembly. ``states`` is captured at dispatch time —
+        by (async) realize time the scheduler may have purged finished
+        requests from self.requests."""
+        R = len(order)
+        packed = np.asarray(packed_dev)
         tokens_host = packed[0, :R].view(np.int32)
         lp_host = packed[1, :R]
         topk_v = (np.asarray(topk_v_d[:R]) if max_lp else None)
@@ -1248,7 +1295,7 @@ class ModelRunner:
         logprobs_out: list[Optional[list[dict[int, float]]]] = []
         any_lp = False
         for r, rid in enumerate(order):
-            st = self.requests[rid]
+            st = states[r]
             if samples_expected[r]:
                 tok = int(tokens_host[r])
                 sampled.append([tok])
@@ -1268,19 +1315,12 @@ class ModelRunner:
                 sampled.append([])
                 logprobs_out.append(None)
 
-        if self.draft is not None:
-            self.draft.observe_and_propose(order, R_pad, input_ids, _host_md(),
-                                           samples_expected, hidden=hidden_d,
-                                           host_qsl=qsl,
-                                           host_seg_starts=seg_starts,
-                                           host_slots=slots)
         prompt_lps = {}
         for r, rid in enumerate(order):
-            st = self.requests[rid]
-            if samples_expected[r] and st.prompt_lp is not None:
-                prompt_lps[rid] = st.prompt_lp
+            if samples_expected[r] and states[r].prompt_lp is not None:
+                prompt_lps[rid] = states[r].prompt_lp
         return ModelRunnerOutput(
-            req_ids=order,
+            req_ids=list(order),
             sampled_token_ids=sampled,
             logprobs=logprobs_out if any_lp else None,
             prompt_logprobs=prompt_lps or None)
@@ -1413,6 +1453,16 @@ class ModelRunner:
             return None
         K_cap = self.config.tpu_config.multi_step_decode
         if K_cap <= 1:
+            return None
+        group = self._window_group
+        if (group is not None and self._chain_depth > 0
+                and not any(rid in group["rows"] for rid in order)):
+            # A live window chain exists for OTHER rows (this wave is a
+            # prefill finishing while the batch decodes). Don't chain a
+            # tiny window for just these rows — that would REPLACE the
+            # group and strand the chain. The wave realizes async
+            # (single-step PendingStep) and its rows host-join the big
+            # group's next continuation wave instead.
             return None
         grammar_ids = (set(so.structured_output_request_ids)
                        if so.grammar_bitmask is not None else set())

@@ -44,6 +44,7 @@ def _install_profiler(engine) -> dict:
 
     orig_ms = runner._execute_multi_step
     orig_fw = runner._maybe_fused_window
+    orig_ct = runner._execute_continuation
 
     def ms_timed(*a, **k):
         t0 = _t.perf_counter()
@@ -57,8 +58,15 @@ def _install_profiler(engine) -> dict:
         tl["dispatch"].append((t0, _t.perf_counter() - t0,
                                "fused" if out is not None else "none"))
         return out
+
+    def ct_timed(*a, **k):
+        t0 = _t.perf_counter()
+        out = orig_ct(*a, **k)
+        tl["dispatch"].append((t0, _t.perf_counter() - t0, "cont"))
+        return out
     runner._execute_multi_step = ms_timed
     runner._maybe_fused_window = fw_timed
+    runner._execute_continuation = ct_timed
 
     orig_realize = core._realize_one
 
@@ -136,14 +144,27 @@ def main():
     profile = "--profile" in sys.argv
 
     async def run():
-        # warmup (compiles the serving buckets)
-        await bench_serve_async(engine, num_prompts=8, input_len=512,
+        # warmup (compiles the serving buckets: small-R ramp buckets AND
+        # the full-batch continuation windows; output > 2 windows so the
+        # chained-continuation program compiles here, not mid-traffic)
+        await bench_serve_async(engine, num_prompts=1, input_len=512,
                                 output_len=16)
+        await bench_serve_async(engine, num_prompts=2, input_len=512,
+                                output_len=16)
+        await bench_serve_async(engine, num_prompts=8, input_len=512,
+                                output_len=24)
+        await bench_serve_async(engine, num_prompts=32, input_len=512,
+                                output_len=24)
         results = {}
         rates = ([(float("inf"), "burst")] if profile else
                  [(float("inf"), "burst"), (8.0, "poisson_8rps"),
                   (2.0, "poisson_2rps")])
         for rate, tag in rates:
+            # Measured phases serve COLD prompts: warmup primed the prefix
+            # cache with these exact token sequences, and a cache-served
+            # "prefill" makes TTFT measure only queueing (VERDICT r4
+            # weak#5 applied to the online bench).
+            engine.reset_prefix_cache()
             tl = _install_profiler(engine) if profile else None
             r = await bench_serve_async(engine, num_prompts=32,
                                         input_len=512, output_len=64,
