@@ -178,6 +178,11 @@ class Scheduler:
             self._priority_preemption(preempted)
 
         # -- 0. continuation windows --------------------------------------
+        # (A "suppress continuation while prefill waits and the batch is
+        # small" policy was tried and measured WORSE on both axes — the
+        # fused-skip then leaves ramping decode rows at 1 token/wave.
+        # Always interleaving windows with prefill quanta wins: burst 282
+        # vs 265 tok/s, poisson-8rps p50 TTFT 650 vs 853 ms.)
         if self.continuation_hook is not None and self.running:
             out = self._schedule_continuation(preempted)
             if out is not None:

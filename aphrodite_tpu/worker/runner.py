@@ -1518,12 +1518,13 @@ class ModelRunner:
         fields = {"seq_lens0": seq_lens0, "block_tables": block_tables,
                   "step_budget": budget_arr,
                   "num_live_steps": np.asarray(W, np.int32)}
-        if win_rows != list(range(R)) or Rw_pad != R_pad:
-            # Window sub-batch: remap chained rows out of the originating
-            # step's packed output.
-            chain_idx = np.zeros((Rw_pad,), np.int32)
-            chain_idx[:Rw] = win_rows
-            fields["chain_idx"] = chain_idx
+        # Always emit chain_idx (identity when the window covers the whole
+        # batch): a present/absent key changes the packed layout, which is
+        # a STATIC jit arg — wave-composition noise would otherwise compile
+        # a fresh program variant per (subset?, bucket) combination.
+        chain_idx = np.zeros((Rw_pad,), np.int32)
+        chain_idx[:Rw] = win_rows
+        fields["chain_idx"] = chain_idx
         shared = self._detect_shared_prefix(
             order_w, int(seq_lens0[:Rw].min()) - 1)
         if shared is not None:

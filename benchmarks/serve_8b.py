@@ -146,15 +146,15 @@ def main():
     async def run():
         # warmup (compiles the serving buckets: small-R ramp buckets AND
         # the full-batch continuation windows; output > 2 windows so the
-        # chained-continuation program compiles here, not mid-traffic)
-        await bench_serve_async(engine, num_prompts=1, input_len=512,
-                                output_len=16)
-        await bench_serve_async(engine, num_prompts=2, input_len=512,
-                                output_len=16)
-        await bench_serve_async(engine, num_prompts=8, input_len=512,
-                                output_len=24)
-        await bench_serve_async(engine, num_prompts=32, input_len=512,
-                                output_len=24)
+        # chained-continuation program compiles here, not mid-traffic).
+        # reset_prefix_cache between passes: warmup prompts overlap, and a
+        # cache-hit wave has a DIFFERENT shape signature than the all-cold
+        # waves the measured phases run — without the reset, warmup
+        # compiles the wrong variants and the bench pays them mid-run.
+        for n, ol in ((1, 16), (2, 16), (8, 24), (32, 24)):
+            engine.reset_prefix_cache()
+            await bench_serve_async(engine, num_prompts=n, input_len=512,
+                                    output_len=ol)
         results = {}
         rates = ([(float("inf"), "burst")] if profile else
                  [(float("inf"), "burst"), (8.0, "poisson_8rps"),

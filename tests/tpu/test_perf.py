@@ -60,6 +60,29 @@ def test_8b_w4a16_decode_regression():
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="perf thresholds are TPU-only")
+def test_online_serving_regression():
+    """Online serving gate (VERDICT r4 #2): continuation windows must keep
+    decode at the device-bound rate under load. Round-5 measured
+    (cold-prompt phases): poisson_8rps p50 TTFT 650 ms / 293 tok/s out;
+    burst 282 tok/s. Thresholds ~2x/0.8x for run-to-run noise."""
+    out = subprocess.run(
+        [sys.executable, "benchmarks/serve_8b.py"],
+        capture_output=True, text=True, timeout=3600, check=True)
+    res = json.load(open("benchmarks/serve_8b.json"))["results"]
+    p8 = res["poisson_8rps"]
+    assert p8["median_ttft_ms"] <= 1500, (
+        f"poisson_8rps p50 TTFT regressed: {p8['median_ttft_ms']} ms "
+        "(round-5 measured 650; pre-continuation was 9,805)")
+    assert p8["output_token_throughput"] >= 230, (
+        f"poisson_8rps throughput regressed: "
+        f"{p8['output_token_throughput']} tok/s (round-5: 293)")
+    assert res["burst"]["output_token_throughput"] >= 220, (
+        f"burst throughput regressed: "
+        f"{res['burst']['output_token_throughput']} tok/s (round-5: 282)")
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="perf thresholds are TPU-only")
 def test_ssm_serving_regression():
     """Mamba-2.8B-class serving gate (round-4 measured 5.35 s/run with
     the Pallas selective scan + SSM multi-step decode; threshold ~20%
