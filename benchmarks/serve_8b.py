@@ -156,15 +156,20 @@ def main():
             await bench_serve_async(engine, num_prompts=n, input_len=512,
                                     output_len=ol)
         results = {}
-        rates = ([(float("inf"), "burst")] if profile else
-                 [(float("inf"), "burst"), (8.0, "poisson_8rps"),
-                  (2.0, "poisson_2rps")])
-        for rate, tag in rates:
-            # Measured phases serve COLD prompts: warmup primed the prefix
+        rates = ([(float("inf"), "burst", True)] if profile else
+                 [(float("inf"), "burst", True),
+                  # burst_warm: prefix cache serves the prompts — pure
+                  # online DECODE capacity (and the apples-to-apples
+                  # continuation of r4's warm-prefill 253 tok/s number).
+                  (float("inf"), "burst_warm", False),
+                  (8.0, "poisson_8rps", True), (2.0, "poisson_2rps", True)])
+        for rate, tag, cold in rates:
+            # Cold phases serve COLD prompts: warmup primed the prefix
             # cache with these exact token sequences, and a cache-served
             # "prefill" makes TTFT measure only queueing (VERDICT r4
             # weak#5 applied to the online bench).
-            engine.reset_prefix_cache()
+            if cold:
+                engine.reset_prefix_cache()
             tl = _install_profiler(engine) if profile else None
             r = await bench_serve_async(engine, num_prompts=32,
                                         input_len=512, output_len=64,
