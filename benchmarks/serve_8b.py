@@ -101,6 +101,20 @@ def _report_timeline(tl) -> None:
                   f"mean {np.mean(durs)*1e3:.1f} ms "
                   f"max {max(durs)*1e3:.1f} ms", file=sys.stderr,
                   flush=True)
+    kinds = {}
+    for t0, dur, kind in tl["dispatch"]:
+        kinds.setdefault(kind, []).append(dur)
+    for kind, durs in sorted(kinds.items()):
+        print(f"#     dispatch[{kind}]: n={len(durs)} "
+              f"total {sum(durs):.2f}s mean {np.mean(durs)*1e3:.1f} ms",
+              file=sys.stderr, flush=True)
+    # Wave cadence: when did each dispatch kind fire (first/last)?
+    t_base = tl["steps"][0][0]
+    for kind, _ in sorted(kinds.items()):
+        ts = [t0 - t_base for t0, _, k in tl["dispatch"] if k == kind]
+        print(f"#     {kind} at: "
+              + ", ".join(f"{t:.1f}" for t in ts[:20]),
+              file=sys.stderr, flush=True)
     slow = sorted(steps, key=lambda s: -s[1])[:5]
     print(f"#   slowest steps: "
           f"{[round(s[1]*1e3) for s in slow]} ms", file=sys.stderr,
