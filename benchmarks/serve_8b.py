@@ -169,6 +169,12 @@ def main():
             engine.reset_prefix_cache()
             await bench_serve_async(engine, num_prompts=n, input_len=512,
                                     output_len=ol)
+        # ...and once against the now-primed cache: cache-hit admission
+        # waves (32 one-token rows) have their own shape signatures, and
+        # an unwarmed variant costs a 10-70 s mid-phase compile on a
+        # fresh machine (observed as bimodal burst numbers).
+        await bench_serve_async(engine, num_prompts=32, input_len=512,
+                                output_len=24)
         results = {}
         rates = ([(float("inf"), "burst", True)] if profile else
                  [(float("inf"), "burst", True),
@@ -188,11 +194,14 @@ def main():
             r = await bench_serve_async(engine, num_prompts=32,
                                         input_len=512, output_len=64,
                                         request_rate=rate)
+            sched = engine.engine.core.scheduler
+            r["num_preemptions"] = sched.num_preemptions
             results[tag] = {k: round(v, 2) for k, v in r.items()}
             print(f"{tag}: p50 TTFT {r['median_ttft_ms']:.0f} ms, "
                   f"p50 ITL {r['median_itl_ms']:.1f} ms, "
                   f"p99 TTFT {r['p99_ttft_ms']:.0f} ms, "
-                  f"out tok/s {r['output_token_throughput']:.0f}",
+                  f"out tok/s {r['output_token_throughput']:.0f}, "
+                  f"preemptions(cum) {sched.num_preemptions}",
                   flush=True)
             if tl is not None:
                 _report_timeline(tl)
