@@ -70,15 +70,25 @@ def test_online_serving_regression():
         capture_output=True, text=True, timeout=3600, check=True)
     res = json.load(open("benchmarks/serve_8b.json"))["results"]
     p8 = res["poisson_8rps"]
-    assert p8["median_ttft_ms"] <= 1500, (
+    # Margins are ~1.5-2x the measured values: a fresh machine's first
+    # run may still compile a never-seen wave variant mid-phase (the
+    # warmup covers the known shapes; the composition lottery has a
+    # tail), and the pre-continuation values these guard against were
+    # 5-10x worse.
+    assert p8["median_ttft_ms"] <= 2500, (
         f"poisson_8rps p50 TTFT regressed: {p8['median_ttft_ms']} ms "
-        "(round-5 measured 650; pre-continuation was 9,805)")
-    assert p8["output_token_throughput"] >= 230, (
+        "(round-5 measured 0.65-1.3 s; pre-continuation was 9,805)")
+    assert p8["output_token_throughput"] >= 200, (
         f"poisson_8rps throughput regressed: "
-        f"{p8['output_token_throughput']} tok/s (round-5: 293)")
-    assert res["burst"]["output_token_throughput"] >= 220, (
+        f"{p8['output_token_throughput']} tok/s (round-5: 278-294)")
+    assert res["burst_warm"]["output_token_throughput"] >= 700, (
+        f"online decode capacity regressed: "
+        f"{res['burst_warm']['output_token_throughput']} tok/s "
+        "(round-5: 1,100 = 80% of offline; round-4 was 253)")
+    assert res["burst"]["output_token_throughput"] >= 180, (
         f"burst throughput regressed: "
-        f"{res['burst']['output_token_throughput']} tok/s (round-5: 282)")
+        f"{res['burst']['output_token_throughput']} tok/s "
+        "(round-5: 225-286)")
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
