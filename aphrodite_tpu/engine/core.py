@@ -179,17 +179,30 @@ class EngineCore:
                                 ignore_eos=True)
         import numpy as np
         rng = np.random.RandomState(0)
+        prompts = [rng.randint(1, vocab, size=plen).tolist()
+                   for _ in range(R)]
         for i in range(R):
             self.scheduler.add_request(Request(
                 request_id=f"__warmup_{i}",
-                prompt_token_ids=rng.randint(
-                    1, vocab, size=plen).tolist(),
+                prompt_token_ids=prompts[i],
                 sampling_params=params))
         while self.has_unfinished_requests():
             self.step()
+        # Second pass over the SAME prompts: cache-hit admission waves
+        # (R one-token rows) have their own shape signatures, and an
+        # unwarmed variant costs a 10-70 s mid-traffic compile on a
+        # fresh machine (round-5 serve-bench forensics).
+        if self.scheduler.kv.enable_caching:
+            for i in range(R):
+                self.scheduler.add_request(Request(
+                    request_id=f"__warmup_hit_{i}",
+                    prompt_token_ids=prompts[i],
+                    sampling_params=params))
+            while self.has_unfinished_requests():
+                self.step()
         self.scheduler.kv.reset_prefix_cache()
         logger.info("precompile: warmed hot buckets in %.1fs "
-                    "(%d reqs x %d prompt + %d decode)",
+                    "(%d reqs x %d prompt + %d decode, cold+cache-hit)",
                     _time.time() - t0, R, plen, dec)
 
     def add_request(self, request: Request) -> None:
